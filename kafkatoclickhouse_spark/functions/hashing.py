@@ -1,0 +1,76 @@
+"""Portable shingling + hash families for MinHash / SimHash / LSH.
+
+Design constraint: the dedup operators must be *oracle-checkable* —
+the exact same candidate pairs must be computable by an ANSI-SQL
+DuckDB query. Engine-native hashes differ (Spark murmur3 vs DuckDB's
+internal hash), so the portable family is built on **md5 of the
+shingle text prefixed with the hash index** — md5 is identical
+everywhere. We take the first 15 hex digits (60 bits) as a positive
+int64. At 100 TB you would swap ``portable_hash64`` for
+``F.xxhash64`` (same plan shape, ~5× cheaper per shingle) and lose
+only oracle-replayability, not correctness.
+
+Shingles are word-level n-grams built from whitespace tokenization —
+pure ``split``/``transform``/``concat_ws`` expressions, fully
+codegen'd, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty string → empty array)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word-level n-gram shingles as an array<string>.
+
+    shingle i = tokens[i..i+n-1] joined by single spaces, for
+    i in [0, len-n]. Documents shorter than n words yield the
+    whole-document token string as a single shingle so they still
+    participate in dedup.
+    """
+    toks = tokens(text)
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), n_sh - 1)
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def portable_hash64(s: Column, seed: int) -> Column:
+    """Deterministic 60-bit positive int64 hash, identical in any
+    engine with md5: int64(substr(md5(seed || ':' || s), 1, 15), 16).
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def sql_portable_hash64(expr: str, seed: int) -> str:
+    """DuckDB twin of :func:`portable_hash64`."""
+    return f"CAST('0x' || substring(md5('{seed}:' || {expr}), 1, 15) AS BIGINT)"
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """Array of ``num_hashes`` min-hash values over the shingle set.
+
+    Each hash function is an independent seed of the portable family;
+    the signature element k = min over shingles of hash_k(shingle).
+    Pure higher-order expressions — evaluated row-local, no shuffle.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, k=k: portable_hash64(s, k))
+            )
+            for k in range(num_hashes)
+        ]
+    )

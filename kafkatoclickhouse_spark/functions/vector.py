@@ -1,0 +1,50 @@
+"""Embedding vector math over ``array<float>`` columns.
+
+All builders are higher-order-function expressions (JVM-side,
+whole-stage codegen) — no Python UDF in the hot path. Math is done in
+double with strict left-to-right accumulation (``F.aggregate`` folds
+sequentially), which matches DuckDB's ``list_cosine_similarity`` over
+``DOUBLE[]`` closely enough that scores rounded to 6 decimals are
+identical — that is the oracle contract for similarity queries.
+
+Engine-new surface (the reference has no array/vector handling —
+SURVEY.md §2.2 'Array/map fns: absent').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, accumulated in double."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    """L2 norm in double."""
+    return F.sqrt(
+        F.aggregate(
+            _as_double(a), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity in double; 0-vector guarded to NULL."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
+
+
+def cosine_rounded(a: Column, b: Column, places: int = 6) -> Column:
+    """Cosine rounded for cross-engine comparison stability."""
+    return F.round(cosine(a, b), places)

@@ -1,0 +1,148 @@
+"""As-of joins and range joins ([EXT] — SURVEY.md §2.2 'Joins').
+
+Spark has no native ASOF JOIN; the composition used here is the
+union-tag + running-last window trick: union both sides with a tag,
+sort per key by (ts, tag) and carry the last seen left-side row
+forward with ``F.last(..., ignorenulls=True)``. One shuffle on the
+key, one sort — identical cost shape to a sort-merge join, no
+``applyInPandas`` needed, scales like any windowed aggregate.
+Tag ordering (reference rows before probe rows at equal ts) pins the
+inclusive (ts_probe >= ts_ref) semantics of DuckDB ASOF JOIN, which
+is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kafkatoclickhouse_spark.registry import query
+from kafkatoclickhouse_spark.tables import load_table
+
+
+def asof_join(
+    probe: DataFrame,
+    reference: DataFrame,
+    key: str,
+    ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: for each probe row, the latest reference
+    row of the same ``key`` with ``reference.ts <= probe.ts``.
+
+    Returns the probe frame plus ``asof_<col>`` for each payload
+    column. Probe columns must not collide with reference payloads.
+    """
+    ref_tagged = reference.select(
+        key,
+        ts,
+        F.lit(0).alias("_tag"),
+        *[F.col(c) for c in payload_cols],
+        *[
+            F.lit(None).cast(probe.schema[c].dataType).alias(f"_probe_{c}")
+            for c in probe.columns
+        ],
+    )
+    probe_tagged = probe.select(
+        key,
+        ts,
+        F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(reference.schema[c].dataType).alias(c) for c in payload_cols],
+        *[F.col(c).alias(f"_probe_{c}") for c in probe.columns],
+    )
+    unioned = ref_tagged.unionByName(probe_tagged)
+    w = (
+        W.partitionBy(key)
+        .orderBy(ts, "_tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    return carried.filter(F.col("_tag") == 1).select(
+        *[F.col(f"_probe_{c}").alias(c) for c in probe.columns],
+        *[F.col(f"asof_{c}") for c in payload_cols],
+    )
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT event_id AS view_event_id, user_id, ts, value AS view_value
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.value,
+           v.view_event_id AS asof_view_event_id,
+           v.view_value AS asof_view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the most recent view event (at or
+    before it) by the same user — the canonical event-attribution
+    as-of join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("view_value"),
+    )
+    joined = asof_join(
+        probe=purchases,
+        reference=views,
+        key="user_id",
+        ts="ts",
+        payload_cols=["view_event_id", "view_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "value",
+        "asof_view_event_id",
+        "asof_view_value",
+    )
+
+
+@query(
+    "range_join_value_bands",
+    oracle="""
+    SELECT e.event_id, b.band_id
+    FROM events e
+    JOIN (SELECT CAST(r.range AS BIGINT) AS band_id,
+                 r.range * 100.0 AS lo,
+                 (r.range + 1) * 100.0 AS hi
+          FROM range(10) r) b
+      ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (theta) join: events × a small band dimension on a
+    BETWEEN condition. Spark plans BroadcastNestedLoopJoin — with a
+    10-row broadcast side that is a map-only scan, the right plan at
+    any fact-table size."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.range(10).select(
+        F.col("id").cast("long").alias("band_id"),
+        (F.col("id") * 100.0).alias("lo"),
+        ((F.col("id") + 1) * 100.0).alias("hi"),
+    )
+    return ev.join(
+        F.broadcast(bands),
+        (ev.value >= bands.lo) & (ev.value < bands.hi),
+    ).select("event_id", "band_id")

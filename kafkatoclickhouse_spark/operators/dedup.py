@@ -1,0 +1,411 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+LLM-pipeline surface (north star; the reference has no dedup of any
+kind — SURVEY.md §2.2). Five families:
+
+  exact            md5-fingerprint groupBy (narrow 32-char shuffle key
+                   instead of full text — the 100 TB essential)
+  minhash_lsh      word-shingle MinHash signatures → banded LSH
+                   candidate pairs → exact-Jaccard verification
+  ngram_jaccard    exact shingle-join Jaccard (ground truth for LSH)
+  simhash          16-bit SimHash fingerprint per document
+  embedding_cosine near-duplicate vectors by cosine threshold
+
+Every hash is the portable md5-based family
+(``functions.hashing.portable_hash64``) so each operator has an
+*exact* DuckDB oracle — the same candidate pairs, bit for bit. At
+production scale you'd swap in ``F.xxhash64`` (same plan, cheaper
+hash); nothing else changes.
+
+Scale shape of minhash_lsh: signatures are computed row-local (no
+shuffle), the only exchanges are the band-key groupBy (tiny: 32-char
+key + doc id) and the pair verification join — this is the textbook
+linear-scan LSH dedup, not an O(n²) cross join. The brute-force
+``ngram_jaccard``/``embedding`` variants are the small-data ground
+truth; their docstrings point at the LSH path for 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kafkatoclickhouse_spark.functions import hashing, textfns
+from kafkatoclickhouse_spark.functions.vector import cosine
+from kafkatoclickhouse_spark.registry import query
+from kafkatoclickhouse_spark.tables import load_table
+
+SHINGLE_N = 3
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 16
+SIMHASH_SEED = 101
+COSINE_DUP_THRESHOLD = 0.8
+
+# Shared DuckDB CTE: distinct word-3-gram shingles per document.
+_SQL_SHINGLES = """
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+             FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(range(greatest(len(t) - {nm1}, 1))) AS r
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(t[r + 1 : r + {n}], ' ') AS shingle
+           FROM idx)
+""".format(n=SHINGLE_N, nm1=SHINGLE_N - 1)
+
+_SQL_HASH = hashing.sql_portable_hash64("shingle", "{k}").replace(
+    "'{k}:'", "(k || ':')"
+)
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        hashing.word_shingles(F.col("text"), SHINGLE_N).alias("shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+             AS fingerprint,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text fingerprint: one groupBy on a
+    32-char digest. At 100 TB the shuffle carries (digest, id) only —
+    never the document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            textfns.fingerprint(F.col("text")).alias("fingerprint"),
+            "doc_id",
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_exact_canonical",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving rows after exact dedup (min doc_id per
+    fingerprint wins) — the `dropDuplicates` semantics made
+    deterministic, which `dropDuplicates` itself is not."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(textfns.fingerprint(F.col("text"))).orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_bands(shingled: DataFrame) -> DataFrame:
+    """doc_id → exploded (band, band_key) rows.
+
+    band_key = md5 of the comma-joined r signature values of that
+    band; grouping docs on (band, band_key) is the LSH bucket join.
+    """
+    sig = hashing.minhash_signature(F.col("shingles"), NUM_HASHES)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig, b * ROWS_PER_BAND + i + 1).cast(
+                                "string"
+                            )
+                            for i in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return shingled.select(
+        "doc_id", F.explode(bands).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any LSH bucket."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Verify candidates with exact shingle-set Jaccard (rounded 6dp
+    for cross-engine determinism)."""
+    sa = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - shared
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(shared.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+def _sql_minhash_pairs() -> str:
+    hash_expr = (
+        "CAST('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || shingle), 1, 15)"
+        " AS BIGINT)"
+    )
+    return f"""
+    WITH {_SQL_SHINGLES},
+    mh AS (
+      SELECT doc_id, k, MIN({hash_expr}) AS h
+      FROM sh, (SELECT unnest(range({NUM_HASHES})) AS k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, k // {ROWS_PER_BAND} AS band,
+             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY k)) AS band_key
+      FROM mh GROUP BY doc_id, k // {ROWS_PER_BAND}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+      FROM pairs p
+      JOIN sh x ON x.doc_id = p.doc_a
+      JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT s.doc_a, s.doc_b,
+           ROUND(s.c * 1.0 / (za.n + zb.n - s.c), 6) AS jaccard
+    FROM shared s
+    JOIN sizes za ON za.doc_id = s.doc_a
+    JOIN sizes zb ON zb.doc_id = s.doc_b
+    WHERE s.c * 1.0 / (za.n + zb.n - s.c) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_sql_minhash_pairs())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified at
+    ≥ 0.8. 12 hashes × 4 bands of 3 rows → s-curve threshold ≈ 0.63,
+    comfortably below the planted-duplicate similarity (~0.99) and
+    above random-pair similarity (~0.1)."""
+    shingled = _shingled(spark, sf_dir).cache()
+    pairs = candidate_pairs(minhash_bands(shingled))
+    return exact_jaccard(pairs, shingled).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def _sql_ngram_pairs() -> str:
+    return f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b,
+           ROUND(s.c * 1.0 / (za.n + zb.n - s.c), 6) AS jaccard
+    FROM shared s
+    JOIN sizes za ON za.doc_id = s.doc_a
+    JOIN sizes zb ON zb.doc_id = s.doc_b
+    WHERE s.c * 1.0 / (za.n + zb.n - s.c) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=_sql_ngram_pairs())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ 0.8 via shingle equi-join —
+    the ground truth the LSH recall tests compare against. The
+    shingle join is an equi-join (shuffle on shingle), not a cross
+    join, but its worst case is quadratic in shingle frequency;
+    at 100 TB use ``dedup_minhash_lsh``."""
+    shingled = _shingled(spark, sf_dir).cache()
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sizes = shingled.select(
+        "doc_id", F.size("shingles").cast("long").alias("n")
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        pairs.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _sql_simhash() -> str:
+    hash_expr = hashing.sql_portable_hash64("shingle", SIMHASH_SEED)
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH {_SQL_SHINGLES},
+    hashes AS (SELECT doc_id, {hash_expr} AS h FROM sh),
+    bits AS (
+      SELECT doc_id,
+           {bit_sums}
+      FROM hashes GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("dedup_simhash", oracle=_sql_simhash())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (bit j = sign of the ±1 vote sum
+    of shingle-hash bit j). Row-local, no shuffle; near-dup pairs are
+    then a hamming-ball self-join on the fingerprint (pytest covers
+    the pairing; the fingerprint itself is oracle-checked)."""
+    shingled = _shingled(spark, sf_dir)
+    hashes = F.transform(
+        F.col("shingles"),
+        lambda s: hashing.portable_hash64(s, SIMHASH_SEED),
+    )
+    withh = shingled.select("doc_id", hashes.alias("hs"))
+
+    def vote(j: int):
+        # two-arg lambda required by F.aggregate's arity inspection
+        return lambda acc, x: acc + (
+            F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    votes = [
+        F.aggregate("hs", F.lit(0).cast("long"), vote(j))
+        for j in range(SIMHASH_BITS)
+    ]
+    simhash = None
+    for j, v in enumerate(votes):
+        term = F.when(v >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return withh.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.8) — brute-force
+    self-join ground truth. At 100 TB: bucket by random-hyperplane
+    LSH first (``similarity.hyperplane_buckets``) and join within
+    buckets; this query is the verification kernel either way."""
+    em = load_table(spark, sf_dir, "embeddings")
+    a = em.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+    )
+    b = em.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+    )
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )

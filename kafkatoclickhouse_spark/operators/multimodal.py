@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+LLM-pipeline surface (north star). Images/audio/video are carried as
+``binary`` columns with a typed metadata struct; decode / feature
+extraction runs as Arrow-batched pandas over ``mapInPandas``. The
+decode step itself is STUBBED (no image/audio libraries in this
+container — see ``decode_image``): the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape) is real and tested, and
+``byte_features`` extracts deterministic per-payload statistics so
+the mapInPandas path has a correctness check.
+
+Since the fixtures ship no binary columns, payloads are synthesized
+deterministically from ``documents.text`` (utf-8 bytes) — the same
+derivation the oracle applies.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkatoclickhouse_spark.registry import query
+from kafkatoclickhouse_spark.tables import load_table
+
+DECODERS_AVAILABLE = False  # no PIL/cv2/librosa in this environment
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary column + typed metadata struct —
+    the multimodal data model: payload bytes stay unparsed until a
+    consumer asks; metadata is columnar and prunable."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(payload).alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB: real deployments decode via PIL/libvips here. The
+    container has no image codecs, so decoding is explicitly
+    unavailable rather than silently fake."""
+    raise NotImplementedError(
+        "image decode requires an image codec library (e.g. PIL); "
+        "not available in this environment"
+    )
+
+
+def _byte_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: deterministic per-payload byte statistics
+    (what a real feature extractor's output shape looks like).
+    Vectorized numpy over each Arrow batch."""
+    import numpy as np
+
+    for pdf in batches:
+        arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [int(a.size) for a in arrs],
+                "byte_sum": [int(a.sum()) for a in arrs],
+                "byte_min": [int(a.min()) if a.size else None for a in arrs],
+                "byte_max": [int(a.max()) if a.size else None for a in arrs],
+            }
+        )
+
+
+BYTE_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, byte_sum long, byte_min long, byte_max long"
+)
+
+
+def byte_features(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        _byte_feature_batches, schema=BYTE_FEATURE_SCHEMA
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           source AS origin
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata projection off the multimodal frame — metadata
+    queries never touch payload bytes (column pruning drops the
+    binary column at the scan; the 100 TB point of the design)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = with_binary_payload(docs)
+    return mm.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.origin").alias("origin"),
+    )
+
+
+@query("multimodal_byte_features")  # rows-only: byte math not ANSI-SQL
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads
+    (deterministic byte statistics; pytest checks exact values on a
+    known payload, the driver records a rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return byte_features(with_binary_payload(docs))

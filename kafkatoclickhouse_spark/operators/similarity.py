@@ -1,0 +1,225 @@
+"""Similarity search over the ``embeddings`` table.
+
+LLM-pipeline surface (north star): approximate-nearest-neighbor over
+an ``array<float>`` column. Two paths:
+
+  brute force    broadcast the query set, score every (query, vector)
+                 pair with a codegen'd higher-order-function cosine,
+                 window top-k. Exact; O(n·q); the ground truth.
+  hyperplane LSH 16 deterministic random hyperplanes → 16-bit bucket
+                 per vector; candidates share the query's bucket.
+                 Linear scan + tiny bucket-local scoring — the
+                 100 TB path (bucket on ingest, broadcast the query
+                 buckets, prune everything else at the scan).
+
+Hyperplanes are generated from the portable md5 hash family so the
+bucketing is *bit-identical* in the DuckDB oracle — ANN correctness
+is hash-checked end to end, not just recall-tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kafkatoclickhouse_spark.functions.vector import cosine, dot
+from kafkatoclickhouse_spark.registry import query
+from kafkatoclickhouse_spark.tables import load_table
+
+QUERY_MOD = 100  # query set = vec_id % 100 == 0
+TOP_K = 10
+# 8 planes → 256 buckets: populated buckets at the fixture scales
+# (500–2000 vectors). At 100 TB raise toward log2(n / target_bucket)
+# and multi-probe neighboring buckets.
+NUM_PLANES = 8
+DIM = 64
+
+
+def _plane_component(p: int, d: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1]:
+    md5-derived, reproducible in any md5-capable engine."""
+    h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def hyperplanes() -> list[list[float]]:
+    return [
+        [_plane_component(p, d) for d in range(DIM)]
+        for p in range(NUM_PLANES)
+    ]
+
+
+_SQL_PLANE_COMPONENT = (
+    "(CAST('0x' || substring(md5(CAST(p AS VARCHAR) || ':' "
+    "|| CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0"
+)
+
+_SQL_COSINE = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def bucket_expr(vec: Column) -> Column:
+    """16-bit LSH bucket: bit p = sign(vec · plane_p). The planes are
+    plan literals — no join, no shuffle; bucketing is a map-only
+    stage you run once at ingest."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    out = F.lit(0).cast("long")
+    for p, plane in enumerate(hyperplanes()):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        d = dot(v, lit_plane)
+        out = out + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out
+
+
+@query(
+    "sim_hyperplane_buckets",
+    oracle=f"""
+    WITH planes AS (
+      SELECT p, list_transform(range({DIM}),
+                               d -> {_SQL_PLANE_COMPONENT}) AS plane
+      FROM (SELECT unnest(range({NUM_PLANES})) AS p)
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN list_dot_product(v, plane) >= 0
+                         THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+    FROM e, planes
+    GROUP BY vec_id
+    """,
+)
+def sim_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (oracle-checked —
+    same md5-derived planes in both engines)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id", bucket_expr(F.col("embedding")).alias("bucket")
+    )
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % {QUERY_MOD} = 0),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             {_SQL_COSINE.format(a="qv", b="e.v")} AS s
+      FROM q JOIN e ON e.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(s, 6) AS score,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against
+    the full table — the fact side never shuffles; scoring is a
+    map-only stage, then a per-query top-k window. Ties broken by
+    neighbor_id."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        em.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("s"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("s", 6).alias("score"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+@query(
+    "sim_ann_lsh_topk",
+    oracle=f"""
+    WITH planes AS (
+      SELECT p, list_transform(range({DIM}),
+                               d -> {_SQL_PLANE_COMPONENT}) AS plane
+      FROM (SELECT unnest(range({NUM_PLANES})) AS p)
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, v,
+             CAST(SUM(CASE WHEN list_dot_product(v, plane) >= 0
+                           THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      FROM e, planes GROUP BY vec_id, v
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed
+          WHERE vec_id % {QUERY_MOD} = 0),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_SQL_COSINE.format(a="qv", b="c.v")} AS s
+      FROM q JOIN bucketed c
+        ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(s, 6) AS score,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: candidates = vectors sharing the query's LSH
+    bucket, scored exactly within the bucket. The candidate join is
+    an equi-join on the bucket id — at 100 TB this prunes the scan to
+    ~n/2^16 per query instead of n. Recall vs brute force is
+    pytest-checked; the bucketing + scoring pipeline itself is
+    oracle-checked."""
+    em = load_table(spark, sf_dir, "embeddings")
+    bucketed = em.select(
+        "vec_id",
+        F.col("embedding"),
+        bucket_expr(F.col("embedding")).alias("bucket"),
+    )
+    queries = bucketed.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("s"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("s", 6).alias("score"),
+            F.col("rn").alias("rank"),
+        )
+    )

@@ -1,0 +1,209 @@
+"""Text-analysis operators over the ``documents`` table.
+
+LLM-pipeline surface (north star; absent from the reference, whose
+only text handling is the dirty-record check at
+``MyKafkaDeserializationSchema.scala:47-60``): token counting
+(whitespace + BPE-ish regex), quality scoring, language-ID heuristic,
+document fingerprinting. Everything is built from codegen'd
+``pyspark.sql.functions`` expressions — no Python in the hot path —
+so at 100 TB these run at parquet-scan speed, embarrassingly
+parallel, zero shuffles except the final aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkatoclickhouse_spark.functions import textfns
+from kafkatoclickhouse_spark.functions.textfns import (
+    BPE_TOKEN_RE,
+    LANG_MARKERS,
+    STOPWORDS,
+)
+from kafkatoclickhouse_spark.registry import query
+from kafkatoclickhouse_spark.tables import load_table
+
+_SQL_WORDS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _sql_token_filter_count(words_expr: str, items: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in items)
+    return (
+        f"CAST(len(list_filter({words_expr}, t -> t IN ({inlist}))) AS BIGINT)"
+    )
+
+
+_SQL_N_STOPWORDS = _sql_token_filter_count(_SQL_WORDS, STOPWORDS)
+
+_TEXT_STATS_ORACLE = """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(LENGTH(text)
+                - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+                AS BIGINT) AS n_punct,
+           {nstop} AS n_stopwords,
+           ROUND(LENGTH(replace(text, ' ', '')) * 1.0
+                 / len(string_split_regex(trim(text), '\\s+')), 6)
+             AS avg_word_len
+    FROM documents
+    """.format(bpe=BPE_TOKEN_RE, nstop=_SQL_N_STOPWORDS)
+
+
+@query("text_stats", oracle=_TEXT_STATS_ORACLE)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/punctuation/stopword statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars"),
+        textfns.ws_token_count(text).alias("n_tokens"),
+        textfns.bpe_token_count(text).alias("n_bpe_tokens"),
+        textfns.punct_count(text).alias("n_punct"),
+        textfns.stopword_count(text).alias("n_stopwords"),
+        F.round(
+            F.length(F.regexp_replace(text, " ", "")).cast("double")
+            / textfns.ws_token_count(text),
+            6,
+        ).alias("avg_word_len"),
+    )
+
+
+_TEXT_QUALITY_BASE = """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+               AS n_toks,
+             CAST(LENGTH(text)
+                  - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+                  AS DOUBLE) AS n_punct,
+             CAST({nstop} AS DOUBLE) AS n_stop
+      FROM documents
+    )
+""".format(nstop=_SQL_N_STOPWORDS)
+
+
+@query(
+    "text_quality",
+    oracle=_TEXT_QUALITY_BASE
+    + """
+    SELECT doc_id,
+           ROUND((least(n_chars / 500.0, 1.0)
+                  + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0
+                        THEN n_punct / n_chars ELSE 0.0 END) * 5.0)
+                  + least((CASE WHEN n_toks > 0
+                        THEN n_stop / n_toks ELSE 0.0 END) * 4.0, 1.0)
+                 ) / 3.0, 6) AS quality
+    FROM base
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality score in [0,1] per document
+    (length / punctuation-ratio / stopword-ratio heuristics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textfns.quality_score(F.col("text")).alias("quality")
+    )
+
+
+def _sql_lang_hits(lang: str) -> str:
+    return _sql_token_filter_count(
+        "string_split_regex(lower(trim(text)), '\\s+')", LANG_MARKERS[lang]
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id,
+             {_sql_lang_hits('en')} AS hits_en,
+             {_sql_lang_hits('de')} AS hits_de,
+             {_sql_lang_hits('fr')} AS hits_fr,
+             {_sql_lang_hits('es')} AS hits_es
+      FROM documents
+    )
+    SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+           CASE
+             WHEN hits_en = 0 AND hits_de = 0 AND hits_fr = 0
+                  AND hits_es = 0 THEN 'und'
+             WHEN hits_en >= hits_de AND hits_en >= hits_fr
+                  AND hits_en >= hits_es THEN 'en'
+             WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+             WHEN hits_fr >= hits_es THEN 'fr'
+             ELSE 'es'
+           END AS predicted_lang
+    FROM hits
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic with a deterministic
+    argmax tie-break (en > de > fr > es), 'und' when no markers hit."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    hits = {
+        lang: textfns.lang_marker_hits(text, lang)
+        for lang in ("en", "de", "fr", "es")
+    }
+    df = docs.select(
+        "doc_id",
+        *[h.alias(f"hits_{lang}") for lang, h in hits.items()],
+    )
+    e, d, fr, es = (F.col(f"hits_{x}") for x in ("en", "de", "fr", "es"))
+    pred = (
+        F.when((e == 0) & (d == 0) & (fr == 0) & (es == 0), "und")
+        .when((e >= d) & (e >= fr) & (e >= es), "en")
+        .when((d >= fr) & (d >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return df.withColumn("predicted_lang", pred)
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 document fingerprint — the exact-dup
+    key used by ``dedup_exact`` (grouping on a 32-char digest instead
+    of full text keeps the 100 TB shuffle narrow)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textfns.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@query(
+    "text_lang_profile",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per labeled language (the kind of rollup a
+    training-data pipeline runs before sampling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(textfns.ws_token_count(F.col("text")))
+        .cast("long")
+        .alias("total_tokens"),
+    )

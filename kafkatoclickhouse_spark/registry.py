@@ -1,0 +1,49 @@
+"""Central query registry.
+
+Every operator the engine claims (SURVEY.md §2.2) registers here a
+named builder ``(spark, sf_dir) -> DataFrame`` and, when the
+semantics are ANSI-SQL-expressible, an exact DuckDB oracle SQL twin.
+The driver harness consumes this via ``__spark_entry__.py``.
+
+Contract (BASELINE.json): oracle results must match on row count,
+schema, and order-insensitive value hash — so every builder aliases
+its computed columns to the same names as its oracle and casts to
+the same logical types, and every aggregate over floating point uses
+the decimal-exact helpers in ``functions.exact`` (bit-stable under
+any partitioning — see that module's docstring).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query builder and optional DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module for registration side effects."""
+    from kafkatoclickhouse_spark.operators import (  # noqa: F401
+        asof as _asof,
+        dedup as _dedup,
+        multimodal as _multimodal,
+        queries as _queries,
+        similarity as _similarity,
+        text as _text,
+    )

@@ -1,0 +1,68 @@
+"""Fixture-table loader: one parquet file per table under an sf dir.
+
+Tables per TESTDATA.md: region nation customer supplier part orders
+lineitem events documents embeddings. ``load_tables`` returns a dict
+of DataFrames and registers each as a temp view so operators can be
+written in either DataFrame or SQL form (same Catalyst plan).
+
+Scans are plain ``spark.read.parquet`` — column pruning and predicate
+pushdown reach the parquet reader automatically, which is the 100 TB
+behavior we want (verify with ``plans.assert_pushed_filters``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as raw
+# ns longs (spark.sql.legacy.parquet.nanosAsLong); converted here to
+# µs timestamps (floor division, same truncation DuckDB applies).
+NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in NANOS_TS_COLUMNS.get(name, ()):
+        if col in df.columns and isinstance(
+            df.schema[col].dataType, T.LongType
+        ):
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load fixture tables and register temp views named after them."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
