@@ -1,0 +1,135 @@
+"""Event-time window queries — batch twins of ``streaming.windows``.
+
+The reference has no event-time semantics (SURVEY §2.2: its only
+window is a processing-time count trigger, `KafakToClickhouse.scala:
+57-61`), so these are engine-new [EXT] operators. Each builder calls
+the SAME ``streaming.windows`` functions that run unbounded under
+Structured Streaming — batch mode makes them oracle-checkable, which
+is exactly the test strategy SURVEY §5 prescribes (streaming paths
+unit-tested batch-first).
+
+Window starts are epoch-aligned in both engines (Spark ``F.window``
+and the oracle's explicit epoch arithmetic), so results match bit-for-
+bit; timestamps are emitted as formatted strings to keep the value
+hash engine-neutral.
+
+Scale: one shuffle on (window, key); watermarking (streaming form)
+bounds state to the late-data horizon. Sliding windows multiply rows
+by size/slide — here 2× — which is the expected cost model, not a
+plan accident.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkatoclickhouse_spark.functions.exact import dsum, sql_dsum
+from kafkatoclickhouse_spark.registry import query
+from kafkatoclickhouse_spark.streaming import windows as sw
+from kafkatoclickhouse_spark.tables import load_table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_DFMT = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "stream_window_tumbling",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, value,
+             TIMESTAMP '1970-01-01'
+               + INTERVAL 1 SECOND * (CAST(floor(epoch(ts)/3600) AS BIGINT)*3600)
+               AS ws
+      FROM events
+    )
+    SELECT strftime(ws, '{_DFMT}') AS window_start,
+           strftime(ws + INTERVAL 1 HOUR, '{_DFMT}') AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM b GROUP BY ws, event_type
+    """,
+)
+def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type over events.ts."""
+    df = load_table(spark, sf_dir, "events")
+    out = sw.tumbling_counts(
+        df, "ts", "1 hour", keys=("event_type",),
+        aggs=(dsum("value", "total_value"),),
+    )
+    return out.select(
+        F.date_format("window_start", _FMT).alias("window_start"),
+        F.date_format("window_end", _FMT).alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "stream_window_sliding",
+    oracle=f"""
+    WITH g AS (
+      SELECT value, CAST(floor(epoch(ts)/1800) AS BIGINT)*1800 AS b
+      FROM events
+    ), w AS (
+      SELECT b AS s, value FROM g
+      UNION ALL
+      SELECT b - 1800 AS s, value FROM g
+    )
+    SELECT strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * s,
+                    '{_DFMT}') AS window_start,
+           strftime(TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * (s + 3600),
+                    '{_DFMT}') AS window_end,
+           COUNT(*) AS n_events
+    FROM w GROUP BY s
+    """,
+)
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: each event in 2 windows.
+    The oracle materializes the same two window starts per event via
+    explicit epoch arithmetic (UNION ALL of the two 30-min grids)."""
+    df = load_table(spark, sf_dir, "events")
+    out = sw.sliding_counts(df, "ts", "1 hour", "30 minutes")
+    return out.select(
+        F.date_format("window_start", _FMT).alias("window_start"),
+        F.date_format("window_end", _FMT).alias("window_end"),
+        "n_events",
+    )
+
+
+@query(
+    "stream_window_session",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 10 MINUTE
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_DFMT}') AS session_start,
+           strftime(MAX(ts) + INTERVAL 10 MINUTE, '{_DFMT}') AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute-gap session windows per user_id. Spark merges an
+    event into a session iff ts − last < gap (strict; window end is
+    exclusive), matched by the oracle's gaps-and-islands form."""
+    df = load_table(spark, sf_dir, "events")
+    out = sw.session_counts(df, "ts", "10 minutes", keys=("user_id",))
+    return out.select(
+        "user_id",
+        F.date_format("session_start", _FMT).alias("session_start"),
+        F.date_format("session_end", _FMT).alias("session_end"),
+        "n_events",
+    )

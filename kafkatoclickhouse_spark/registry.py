@@ -42,6 +42,7 @@ def load_all() -> None:
     from kafkatoclickhouse_spark.operators import (  # noqa: F401
         asof as _asof,
         dedup as _dedup,
+        event_windows as _event_windows,
         multimodal as _multimodal,
         queries as _queries,
         similarity as _similarity,

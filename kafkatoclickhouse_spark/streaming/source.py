@@ -1,0 +1,80 @@
+"""Streaming sources: Kafka (R1) and a file-backed test double.
+
+Reference R1 (`KafakToClickhouse.scala:42-53`, props at
+`utils/GetConfig.scala:22-33`): one FlinkKafkaConsumer over a
+comma-separated topic list, group id, offset-reset policy, auto-commit
+off. Spark's Kafka source covers every one of those knobs natively and
+tracks offsets in its own checkpoint (the correct analogue of
+``enable.auto.commit=false``, `test.properties:4`).
+
+The container has no Kafka broker, so ``kafka_raw_stream`` is the
+production path (exercised nowhere locally, gated by broker
+availability) and ``file_raw_stream`` is the test double: a parquet
+directory whose rows carry the exact Kafka-source shape
+(value/topic/partition/offset), so everything downstream of the
+source is identical code on both paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The subset of the Kafka source's output schema the pipeline consumes.
+# (The real source also emits key/timestamp/timestampType/headers.)
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.StringType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+    ]
+)
+
+
+def kafka_raw_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    group_id: str = "spark-graft",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """R1+R2 production source: subscribe to a comma-separated topic
+    list; project value + metadata columns.
+
+    - offset reset (`auto.offset.reset`, `utils/GetConfig.scala:27`)
+      → ``startingOffsets``.
+    - auto-commit off (`test.properties:4`) → implicit: Spark commits
+      offsets only through its checkpoint.
+    - ``maxOffsetsPerTrigger`` bounds micro-batch size — the Spark
+      knob that plays the role of the reference's count window as a
+      *throughput batching* device (SURVEY §2.1 R5).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+        .option("kafka.group.id", group_id)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option(
+            "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+        )
+    return reader.load().select(
+        F.col("value").cast("string").alias("value"),
+        "topic",
+        "partition",
+        "offset",
+    )
+
+
+def file_raw_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Test double: stream a parquet dir of RAW_SCHEMA rows (written
+    by ``operators.ingest.events_as_raw_json``). Identical shape to
+    ``kafka_raw_stream`` output, so the downstream pipeline is the
+    same code under test as in production."""
+    return spark.readStream.schema(RAW_SCHEMA).parquet(path)

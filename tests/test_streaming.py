@@ -1,0 +1,239 @@
+"""Structured Streaming smoke tests (SURVEY §5: streaming paths are
+unit-tested batch-first, then smoke-tested with file/memory sinks).
+
+Strategy: write the reference-shaped raw feed (Kafka-source shape) to
+a parquet dir, stream it back with availableNow, and assert the
+streaming results equal the batch results of the same transforms —
+one definition, two execution modes.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafkatoclickhouse_spark.operators import ingest
+from kafkatoclickhouse_spark.streaming import count_window as cw
+from kafkatoclickhouse_spark.streaming import pipeline, sink, source
+from kafkatoclickhouse_spark.streaming import windows as sw
+from kafkatoclickhouse_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def raw_feed_dir(spark, sf_dir, tmp_path_factory):
+    """events fixture rendered as the Kafka-source shape, on disk."""
+    path = str(tmp_path_factory.mktemp("rawfeed") / "feed")
+    events = load_table(spark, sf_dir, "events")
+    ingest.events_as_raw_json(events).write.parquet(path)
+    return path
+
+
+def run_stream(stream_df, name, ckpt_dir, output_mode="append"):
+    """availableNow → memory sink; returns the collected batch DF."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(ckpt_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return stream_df.sparkSession.table(name)
+
+
+def test_streaming_ingest_equals_batch(spark, sf_dir, raw_feed_dir, tmp_path):
+    raw = source.file_raw_stream(spark, raw_feed_dir)
+    assert raw.isStreaming
+    clean, _dirty = pipeline.streaming_ingest(raw)
+    got = run_stream(clean, "ingest_stream", tmp_path / "ckpt")
+
+    batch = ingest.ingest_pipeline(load_table(spark, sf_dir, "events"))
+    # typed cast in ingest_pipeline is post-projection; compare on the
+    # shared string-typed columns.
+    cols = ["essCode", "cTime", "dayOfYear", "topicOffset"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, batch.select(cols).collect())
+    )
+
+
+def test_streaming_dedup_within_watermark(spark, raw_feed_dir, tmp_path):
+    raw = source.file_raw_stream(spark, raw_feed_dir)
+    clean, _ = pipeline.streaming_ingest(raw)
+    clean = clean.withColumn("ts", F.to_timestamp("cTime"))
+    doubled = clean.union(clean)  # every record twice
+    deduped = sw.streaming_dedup(
+        doubled, ("essCode", "topicOffset"), ts_col="ts"
+    )
+    got = run_stream(deduped, "dedup_stream", tmp_path / "ckpt")
+    total = got.count()
+    assert got.select("essCode", "topicOffset").distinct().count() == total
+    assert total > 0
+
+
+def test_streaming_count_window(spark, raw_feed_dir, tmp_path):
+    """Count-fired windows have exactly N rows with positions 0..N-1;
+    with an hour-long timeout no partial can flush mid-test, so every
+    emitted window is full and the held-back tails are exactly
+    input − emitted (the reference's count-only trigger semantics)."""
+    n = 20
+    raw = source.file_raw_stream(spark, raw_feed_dir)
+    clean, _ = pipeline.streaming_ingest(raw)
+    windowed = cw.keyed_count_window(
+        clean, key="essCode", n=n, timeout_ms=3_600_000
+    )
+    got = run_stream(windowed, "cw_stream", tmp_path / "ckpt").cache()
+
+    sizes = got.groupBy("essCode", "window_id").count().collect()
+    assert sizes, "no windows fired"
+    for r in sizes:
+        assert r["count"] == n, f"window {r} not full-size"
+    pos_ok = got.groupBy("essCode", "window_id").agg(
+        F.min("window_pos").alias("lo"), F.max("window_pos").alias("hi")
+    )
+    for r in pos_ok.collect():
+        assert (r["lo"], r["hi"]) == (0, n - 1)
+    assert got.filter(F.col("flush_reason") != "count").count() == 0
+    # held-back partial tails: input − emitted = sum of per-key remainders
+    emitted = got.count()
+    total = spark.read.parquet(raw_feed_dir).count()
+    assert total - emitted == sum(
+        (c % n)
+        for c in (
+            r["count"]
+            for r in spark.read.parquet(raw_feed_dir)
+            .selectExpr("get_json_object(value, '$.essCode') AS essCode")
+            .groupBy("essCode")
+            .count()
+            .collect()
+        )
+    )
+
+
+# -- direct unit tests of the state-transition fn (timeout path) -----------
+
+
+class FakeState:
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def get(self):
+        if not self.exists:
+            raise ValueError("no state")
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def remove(self):
+        self.exists = False
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def _pdf(k: int):
+    return pd.DataFrame({"essCode": ["E"] * k, "v": list(range(k))})
+
+
+def test_count_window_fn_buffers_below_n():
+    fn = cw.make_count_window_fn(n=5, timeout_ms=1000)
+    st = FakeState()
+    out = list(fn(("E",), [_pdf(3)], st))
+    assert out == []
+    assert st.exists and st.timeout_ms == 1000
+    nxt, raw = st.get
+    assert nxt == 0 and len(pickle.loads(raw)) == 3
+
+
+def test_count_window_fn_emits_full_windows_keeps_tail():
+    fn = cw.make_count_window_fn(n=5, timeout_ms=1000)
+    st = FakeState()
+    out = list(fn(("E",), [_pdf(12)], st))
+    assert [len(o) for o in out] == [5, 5]
+    assert list(out[0]["window_id"].unique()) == [0]
+    assert list(out[1]["window_id"].unique()) == [1]
+    assert list(out[0]["window_pos"]) == list(range(5))
+    nxt, raw = st.get
+    assert nxt == 2 and len(pickle.loads(raw)) == 2
+
+
+def test_count_window_fn_timeout_flushes_partial():
+    fn = cw.make_count_window_fn(n=5, timeout_ms=1000)
+    st = FakeState()
+    list(fn(("E",), [_pdf(3)], st))
+    st.hasTimedOut = True
+    out = list(fn(("E",), [], st))
+    assert len(out) == 1 and len(out[0]) == 3
+    assert set(out[0]["flush_reason"]) == {"timeout"}
+    assert st.removed
+
+
+def test_count_window_fn_accumulates_across_invocations():
+    fn = cw.make_count_window_fn(n=5, timeout_ms=1000)
+    st = FakeState()
+    assert list(fn(("E",), [_pdf(3)], st)) == []
+    st.hasTimedOut = False
+    out = list(fn(("E",), [_pdf(4)], st))
+    assert [len(o) for o in out] == [5]
+    nxt, raw = st.get
+    assert nxt == 1 and len(pickle.loads(raw)) == 2
+
+
+# -- retry sink -------------------------------------------------------------
+
+
+def test_write_with_retry_succeeds_after_transient_failures(spark):
+    calls = []
+
+    def flaky(df):
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+
+    attempts = sink.write_with_retry(
+        flaky, df=None, max_retries=3, sleep=lambda s: None
+    )
+    assert attempts == 3
+
+
+def test_write_with_retry_reraises_after_exhaustion():
+    def always_fail(df):
+        raise RuntimeError("down")
+
+    with pytest.raises(RuntimeError, match="down"):
+        sink.write_with_retry(
+            always_fail, df=None, max_retries=3, sleep=lambda s: None
+        )
+
+
+def test_foreach_batch_parquet_roundtrip(spark, sf_dir, raw_feed_dir, tmp_path):
+    """End-to-end R1→R7 shape: stream → ingest → retry-wrapped
+    parquet sink via foreachBatch (the JDBC writer swaps in by
+    config; the batching/retry machinery is identical)."""
+    raw = source.file_raw_stream(spark, raw_feed_dir)
+    clean, _ = pipeline.streaming_ingest(raw)
+    out_dir = str(tmp_path / "landed")
+    q = (
+        clean.writeStream.foreachBatch(
+            sink.foreach_batch_writer(sink.parquet_writer(out_dir))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    landed = spark.read.parquet(out_dir)
+    batch = ingest.ingest_pipeline(load_table(spark, sf_dir, "events"))
+    assert landed.count() == batch.count()
