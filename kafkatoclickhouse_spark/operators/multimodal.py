@@ -118,3 +118,99 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     known payload, the driver records a rows-only check)."""
     docs = load_table(spark, sf_dir, "documents")
     return byte_features(with_binary_payload(docs))
+
+
+# -- frame sampling ---------------------------------------------------------
+#
+# Video-style payload access: treat the binary column as a sequence of
+# fixed-size frames and keep every STRIDE-th one. Pure codegen'd
+# expressions (sequence → transform → explode over binary substr) — at
+# 100 TB this is a map-only stage whose output is 1/STRIDE of the
+# payload bytes; no Python, no shuffle.
+
+FRAME_BYTES = 256
+FRAME_STRIDE = 4  # keep frames 0, 4, 8, …
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           md5(substring(text, CAST(i * {FRAME_BYTES} + 1 AS INTEGER),
+               {FRAME_BYTES})) AS frame_md5,
+           CAST(length(substring(text, CAST(i * {FRAME_BYTES} + 1 AS INTEGER),
+               {FRAME_BYTES})) AS INTEGER) AS frame_len
+    FROM documents,
+         (SELECT unnest(range(0, 10000, {FRAME_STRIDE})) AS i)
+    WHERE i * {FRAME_BYTES} < length(text)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ``FRAME_STRIDE``-th fixed-size frame of each payload,
+    emitted as (doc_id, frame_idx, frame md5, frame length). Frames
+    are sliced from the BINARY payload; the oracle slices the source
+    text — identical because the fixture text is pure ASCII (verified:
+    0 multi-byte docs), which is what makes the binary path
+    hash-checkable at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = with_binary_payload(docs)
+    n_frames = F.ceil(
+        F.col("meta.n_bytes").cast("double") / FRAME_BYTES
+    ).cast("int")
+    idx = F.filter(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: i % FRAME_STRIDE == 0,
+    )
+    frame = F.expr(
+        f"substring(payload, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})"
+    )
+    return (
+        mm.select("doc_id", "payload", F.explode(idx).alias("frame_idx"))
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.md5(frame).alias("frame_md5"),
+            F.length(frame).cast("int").alias("frame_len"),
+        )
+    )
+
+
+# -- resize (stub kernel, real plumbing) ------------------------------------
+
+RESIZE_TO = 64  # output "pixels" per payload
+
+
+def _resize_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel shaped like a real image resize: fixed-size
+    output per payload. The interpolation a codec library would do is
+    STUBBED with deterministic strided byte selection (container has
+    no PIL/cv2 — see ``decode_image``); batch shape, Arrow transfer
+    and output schema are exactly what the real kernel uses."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for b in pdf["payload"]:
+            a = np.frombuffer(b, dtype=np.uint8)
+            if a.size == 0:
+                out.append([0] * RESIZE_TO)
+                continue
+            idx = np.linspace(0, a.size - 1, RESIZE_TO).astype(np.int64)
+            out.append(a[idx].astype(np.int32).tolist())
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "resized": out}
+        )
+
+
+@query("multimodal_resize")  # rows-only: strided resample not ANSI-SQL
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size resample of every payload via the Arrow-batched
+    resize kernel; pytest pins exact output on a known payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = with_binary_payload(docs)
+    return mm.select("doc_id", "payload").mapInPandas(
+        _resize_batches, schema="doc_id long, resized array<int>"
+    )

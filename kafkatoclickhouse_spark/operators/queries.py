@@ -489,6 +489,51 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_right",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 9000
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (Catalyst plans it as the mirrored left —
+    the broadcast side stays the small one either way)."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.join(cu, od.o_custkey == cu.c_custkey, "right")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (tiny×tiny only — at scale a cross join of
+    two big tables is a plan bug, which is why Spark demands the
+    explicit ``crossJoin`` call this exercises)."""
+    r1 = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k1"), F.col("r_name").alias("from_region")
+    )
+    r2 = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k2"), F.col("r_name").alias("to_region")
+    )
+    return (
+        r1.crossJoin(r2)
+        .filter(F.col("k1") != F.col("k2"))
+        .select("from_region", "to_region")
+    )
+
+
+@query(
     "join_full_outer",
     oracle="""
     WITH big AS (SELECT * FROM orders WHERE o_totalprice > 350000),

@@ -151,6 +151,120 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NUM_CENTROIDS = 16  # IVF coarse-quantizer cells
+NPROBE = 2  # cells probed per query
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             ORDER BY vec_id LIMIT {NUM_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, v, cid AS cell FROM (
+        SELECT e.vec_id, e.v, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COSINE.format(a="e.v", b="cent.cv")} DESC,
+                          cent.cid) AS rn
+        FROM e, cent)
+      WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % {QUERY_MOD} = 0),
+    probes AS (
+      SELECT query_id, qv, cid AS cell FROM (
+        SELECT q.query_id, q.qv, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_SQL_COSINE.format(a="q.qv", b="cent.cv")} DESC,
+                          cent.cid) AS rn
+        FROM q, cent)
+      WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_SQL_COSINE.format(a="p.qv", b="a.v")} AS s
+      FROM probes p JOIN assign a
+        ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(s, 6) AS score,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: coarse-quantize every vector to its nearest of
+    K centroids (one cell id per vector, computed map-side against
+    broadcast centroids), probe the query's ``NPROBE`` best cells,
+    score exactly within them. The centroid set is a deterministic
+    stand-in for a k-means training pass (first K vectors by id) —
+    the retrieval plan is the real IVF shape: at 100 TB the cell
+    assignment happens once at ingest, the candidate join is an
+    equi-join on cell id that prunes ~(1 − nprobe/K) of the table,
+    and centroids/queries stay broadcast."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        em.orderBy("vec_id")
+        .limit(NUM_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("cs"), "cid")
+    assign = (
+        em.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            cosine(F.col("embedding"), F.col("cv")).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+    )
+    queries = em.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pw = W.partitionBy("query_id").orderBy(F.desc("cs"), "cid")
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "cid",
+            cosine(F.col("qv"), F.col("cv")).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", "qv", F.col("cid").alias("qcell"))
+    )
+    scored = assign.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("embedding")).alias("s"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("s", 6).alias("score"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
 @query(
     "sim_ann_lsh_topk",
     oracle=f"""

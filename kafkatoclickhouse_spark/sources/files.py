@@ -1,0 +1,77 @@
+"""File-format readers/writers with schema-preserving round-trips.
+
+Parquet is the engine's at-rest format (columnar, splittable,
+predicate-pushdown — the only sane choice at 100 TB); CSV and JSON
+are interchange formats. The reader API pins the behaviors that bite
+in production:
+
+- CSV: explicit schema required (inference reads the data twice and
+  guesses types — never acceptable on a 100 TB path); header on;
+  ISO-8601 timestamps.
+- JSON: lines format (splittable — a single JSON array is not);
+  explicit schema for the same reason.
+- Parquet: schema comes from the footer; passing one anyway enables
+  schema-on-read projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read ``path`` as ``fmt`` (parquet | csv | json)."""
+    reader = spark.read
+    if fmt == "csv":
+        if schema is None:
+            raise ValueError("CSV requires an explicit schema")
+        reader = reader.option("header", "true").option(
+            "timestampFormat", TS_FMT
+        )
+    elif fmt == "json":
+        if schema is None:
+            raise ValueError("JSON requires an explicit schema")
+        reader = reader.option("timestampFormat", TS_FMT)
+    elif fmt != "parquet":
+        raise ValueError(f"unsupported format: {fmt}")
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    **options: str,
+) -> None:
+    """Write ``df`` to ``path`` as ``fmt``; ``partition_by`` produces
+    hive-style directory partitioning (the partition-pruning handle
+    for selective reads at scale)."""
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true").option(
+            "timestampFormat", TS_FMT
+        )
+    elif fmt == "json":
+        writer = writer.option("timestampFormat", TS_FMT)
+    elif fmt != "parquet":
+        raise ValueError(f"unsupported format: {fmt}")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.format(fmt).save(path)
