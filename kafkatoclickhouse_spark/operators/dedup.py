@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from kafkatoclickhouse_spark.functions import hashing, textfns
 from kafkatoclickhouse_spark.functions.vector import cosine
 from kafkatoclickhouse_spark.registry import query
-from kafkatoclickhouse_spark.tables import load_table
+from kafkatoclickhouse_spark.tables import fan_out, load_table
 
 SHINGLE_N = 3
 NUM_HASHES = 12
@@ -63,7 +63,9 @@ _SQL_HASH = hashing.sql_portable_hash64("shingle", "{k}").replace(
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: shingling + per-shingle hashing is the expensive map
+    # stage of every dedup below; see tables.fan_out.
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         hashing.word_shingles(F.col("text"), SHINGLE_N).alias("shingles"),
@@ -416,7 +418,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH first (``similarity.hyperplane_buckets``) and join within
     buckets; this query is the verification kernel either way."""
     em = load_table(spark, sf_dir, "embeddings")
-    a = em.select(
+    # fan_out the streamed side of the nested-loop join: each task
+    # scores its slice of A against broadcast B.
+    a = fan_out(em).select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
     )
     b = em.select(

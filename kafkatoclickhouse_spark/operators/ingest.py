@@ -47,7 +47,16 @@ def events_as_raw_json(events: DataFrame, num_partitions: int = 8) -> DataFrame:
     """Derive the reference-shaped Kafka feed from the ``events``
     fixture (FIXTURES.md §B): a `value` JSON string plus Kafka-like
     metadata columns, deterministic from seed=42 data.
+
+    The fan_out models the source's real layout: a Kafka topic is
+    consumed partition-parallel (the reference subscribes multi-topic
+    across 3 brokers, `test.properties:2-3`), so the JSON
+    serialize/parse work downstream must not serialize onto the
+    single split the local parquet fixture arrives as.
     """
+    from kafkatoclickhouse_spark.tables import fan_out
+
+    events = fan_out(events)
     return events.select(
         F.to_json(
             F.struct(

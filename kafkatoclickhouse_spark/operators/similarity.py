@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from kafkatoclickhouse_spark.functions.vector import cosine, dot
 from kafkatoclickhouse_spark.registry import query
-from kafkatoclickhouse_spark.tables import load_table
+from kafkatoclickhouse_spark.tables import fan_out, load_table
 
 QUERY_MOD = 100  # query set = vec_id % 100 == 0
 TOP_K = 10
@@ -131,7 +131,10 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     scored = (
-        em.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        # fan_out: each task scores its slice against the broadcast
+        # query set — the map stage that dominates this plan.
+        fan_out(em)
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -216,7 +219,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aw = W.partitionBy("vec_id").orderBy(F.desc("cs"), "cid")
     assign = (
-        em.crossJoin(F.broadcast(cent))
+        fan_out(em).crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             "embedding",
@@ -304,7 +307,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-checked; the bucketing + scoring pipeline itself is
     oracle-checked."""
     em = load_table(spark, sf_dir, "embeddings")
-    bucketed = em.select(
+    bucketed = fan_out(em).select(
         "vec_id",
         F.col("embedding"),
         bucket_expr(F.col("embedding")).alias("bucket"),

@@ -56,6 +56,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Raise parallelism for a compute-heavy map stage whose input
+    arrived in fewer splits than the session has cores.
+
+    The local fixtures are single-row-group parquet files — one split,
+    one task, 31 idle cores in front of work like per-shingle hashing
+    or pairwise cosine. On a real cluster 100 TB arrives as ~10⁶
+    splits, the branch is false, and NO shuffle is added — this is an
+    input-layout guard, not a tuning knob. (AQE cannot help here: it
+    re-plans shuffles, not under-partitioned scans; and an explicit
+    ``repartition(n)`` is exempt from AQE coalescing, so the fan-out
+    sticks.)
+    """
+    if parallelism is None:
+        parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
