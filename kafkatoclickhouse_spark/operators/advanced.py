@@ -1,0 +1,167 @@
+"""Advanced operator surface: pandas-UDF demo, exact percentiles,
+skew-safe two-phase aggregation, RANGE window frames.
+
+All [EXT] (SURVEY §2.2: the reference has no aggregation, window
+function, or UDF surface at all). The pandas UDF here is deliberately
+a *demo of the sanctioned slow path* — everything it computes is also
+expressible with higher-order functions (``functions.vector.norm``),
+and the docstring says when to choose which.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from kafkatoclickhouse_spark.functions.exact import dsum, sql_dsum
+from kafkatoclickhouse_spark.registry import query
+from kafkatoclickhouse_spark.tables import load_table
+
+
+# -- Arrow-batched scalar pandas UDF ---------------------------------------
+
+
+def _l2_norm_udf():
+    """L2 norm per embedding, sequential accumulation (matches the
+    oracle's list_dot_product fold; numpy's pairwise summation would
+    drift in the last ulps). Built lazily: pandas_udf type parsing
+    needs an active SparkSession."""
+
+    @pandas_udf("double")
+    def l2_norm(vecs: pd.Series) -> pd.Series:
+        return vecs.map(
+            lambda v: sum(float(x) * float(x) for x in v) ** 0.5
+        )
+
+    return l2_norm
+
+
+@query(
+    "udf_pandas_vector_norm",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6)
+             AS l2_norm
+    FROM embeddings
+    """,
+)
+def udf_pandas_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF over the embedding column (ArrowEvalPython
+    in the plan — Arrow batch transfer, never row-at-a-time).
+
+    This exists to pin the UDF surface; the same computation stays
+    fully JVM-side as ``functions.vector.norm`` (used by every
+    similarity operator). Rule of thumb at 100 TB: higher-order
+    functions when the math is expressible, pandas UDF when you need
+    numpy/scipy, never ``F.udf``."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id",
+        F.round(_l2_norm_udf()(F.col("embedding")), 6).alias("l2_norm"),
+    )
+
+
+# -- exact percentiles ------------------------------------------------------
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS price_p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (``percentile``, not the
+    t-digest ``percentile_approx``): both engines sort the same
+    multiset and interpolate identically, so this oracle-matches. At
+    100 TB switch to ``percentile_approx`` — sketch-mergeable,
+    no global sort — and pin it with a tolerance test like
+    approx_count_distinct's."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias(
+            "price_p95"
+        ),
+    )
+
+
+# -- skew-safe two-phase aggregation ---------------------------------------
+
+N_SALTS = 16
+
+
+@query(
+    "agg_salted_two_phase",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value")} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation: groupBy(key, salt) partial →
+    groupBy(key) final. The manual skew pattern for when one key
+    carries 10⁹ rows: phase 1 spreads the hot key over N_SALTS
+    reducers, phase 2 merges N_SALTS tiny partials per key. The
+    result is identical to a direct groupBy (this oracle proves it);
+    decimal-exact sums make it bit-stable under any salting. (With
+    AQE skew handling on — our session default — Catalyst does this
+    re-split automatically for *joins*; aggregation salting is still
+    a hand pattern.)"""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "salt", (F.col("event_id") % N_SALTS).cast("int")
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pc"),
+        F.sum(F.col("value").cast("decimal(24,4)")).alias("ps"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pc").alias("n_events"),
+        F.sum("ps").cast("double").alias("total_value"),
+    )
+
+
+# -- RANGE window frame -----------------------------------------------------
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_near
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per customer, how
+    many of their orders cost within 10 000 below this one. Unlike
+    ROWS frames, peers with equal order value share results."""
+    od = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 0)
+    )
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_near"),
+    )

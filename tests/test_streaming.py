@@ -114,6 +114,33 @@ def test_streaming_count_window(spark, raw_feed_dir, tmp_path):
     )
 
 
+def test_streaming_tumbling_window_agg(spark, sf_dir, raw_feed_dir, tmp_path):
+    """Event-time tumbling window + watermark under Structured
+    Streaming (append mode): every finalized window must carry exactly
+    the batch-mode result; windows still open at end-of-stream are
+    legitimately withheld (watermark = max event time − delay)."""
+    raw = source.file_raw_stream(spark, raw_feed_dir)
+    clean, _ = pipeline.streaming_ingest(raw)
+    clean = clean.withColumn("ts", F.to_timestamp("cTime"))
+    win = sw.tumbling_counts(clean, "ts", "1 hour", keys=("essCode",))
+    got = run_stream(win, "win_stream", tmp_path / "ckpt")
+
+    batch_src = ingest.ingest_pipeline(
+        load_table(spark, sf_dir, "events")
+    ).withColumn("ts", F.to_timestamp("cTime"))
+    expect = {
+        (r["window_start"], r["essCode"]): r["n_events"]
+        for r in sw.tumbling_counts(
+            batch_src, "ts", "1 hour", keys=("essCode",)
+        ).collect()
+    }
+    rows = got.collect()
+    assert rows, "no windows finalized"
+    for r in rows:
+        key = (r["window_start"], r["essCode"])
+        assert expect.get(key) == r["n_events"], key
+
+
 # -- direct unit tests of the state-transition fn (timeout path) -----------
 
 
