@@ -30,15 +30,22 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
+    "q10_returned_items",
     "agg_count_distinct",
+    "agg_percentiles",
+    "agg_salted_two_phase",
     "window_topk_per_group",
     "window_running_sum",
     "asof_join_events",
+    "stream_window_tumbling",
+    "stream_window_session",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "sim_topk_bruteforce",
     "sim_ann_lsh_topk",
+    "sim_ivf_topk",
     "text_stats",
     "text_quality",
 ]

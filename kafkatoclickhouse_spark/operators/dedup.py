@@ -32,7 +32,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kafkatoclickhouse_spark.functions import hashing, textfns
-from kafkatoclickhouse_spark.functions.vector import cosine
+from kafkatoclickhouse_spark.functions.vector import cosine_with_norms, norm
 from kafkatoclickhouse_spark.registry import query
 from kafkatoclickhouse_spark.tables import fan_out, load_table
 
@@ -419,14 +419,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets; this query is the verification kernel either way."""
     em = load_table(spark, sf_dir, "embeddings")
     # fan_out the streamed side of the nested-loop join: each task
-    # scores its slice of A against broadcast B.
+    # scores its slice of A against broadcast B. Norms are computed
+    # once per vector, not once per pair (vector.cosine_with_norms).
     a = fan_out(em).select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("na"),
     )
     b = em.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("nb"),
     )
-    sim = cosine(F.col("va"), F.col("vb"))
+    sim = cosine_with_norms(
+        F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", sim.alias("cos_raw"))

@@ -997,3 +997,110 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(50)
     )
+
+
+@query(
+    "agg_collect_list",
+    oracle="""
+    SELECT n_name,
+           list(c_name ORDER BY c_name) AS customers,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 9500
+    GROUP BY n_name
+    """,
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list into a deterministic (sorted) array per group.
+    collect_list itself is partition-order-dependent; array_sort makes
+    the result stable under any shuffle — the only way a list agg can
+    be hash-checked, or trusted on a real cluster."""
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500)
+    na = _t(spark, sf_dir, "nation")
+    return (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_sort(F.collect_list("c_name")).alias("customers"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "map_funcs_props",
+    oracle="""
+    SELECT event_id,
+           COALESCE(json_extract_string(props, '$.k'), '') AS k_value,
+           list_sort(json_keys(props)) AS prop_keys,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_props
+    FROM events
+    """,
+)
+def map_funcs_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: parse the JSON props into map<string,string>,
+    then element_at / map_keys / size. The map type is the dynamic-
+    schema answer when payload keys vary per row (SURVEY §1.1) —
+    columnar stays possible because keys live in data, not schema."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.coalesce(m["k"], F.lit("")).alias("k_value"),
+        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.size(F.map_keys(m)).alias("n_props"),
+    )
+
+
+@query(
+    "json_tuple_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events
+    """,
+)
+def json_tuple_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple: multi-field extraction in one pass (one parse for
+    N fields, vs N parses with get_json_object — the same
+    parse-once principle the ingest pipeline applies)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.json_tuple(F.col("props"), "k").alias("k_str")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_dsum_dec(f"{sql_dec2('l_extendedprice')} * (1 - {sql_dec2('l_discount')})")}
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items, top 20
+    customers. Fact-fact join shuffles on orderkey; nation broadcasts;
+    top-20 is a TakeOrdered (no global sort materialization).
+    Deterministic tie-break on c_custkey."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    na = _t(spark, sf_dir, "nation")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum_dec(_disc_price(), "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

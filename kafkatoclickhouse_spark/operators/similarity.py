@@ -25,7 +25,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from kafkatoclickhouse_spark.functions.vector import cosine, dot
+from kafkatoclickhouse_spark.functions.vector import (
+    cosine_with_norms,
+    dot,
+    norm,
+)
 from kafkatoclickhouse_spark.registry import query
 from kafkatoclickhouse_spark.tables import fan_out, load_table
 
@@ -128,17 +132,23 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor_id."""
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qn"),
     )
     scored = (
         # fan_out: each task scores its slice against the broadcast
-        # query set — the map stage that dominates this plan.
+        # query set — the map stage that dominates this plan. Norms
+        # are per-vector, not per-pair (vector.cosine_with_norms).
         fan_out(em)
+        .withColumn("en", norm(F.col("embedding")))
         .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("embedding")).alias("s"),
+            cosine_with_norms(
+                F.col("qv"), F.col("embedding"), F.col("qn"), F.col("en")
+            ).alias("s"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
@@ -215,23 +225,34 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         em.orderBy("vec_id")
         .limit(NUM_CENTROIDS)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            norm(F.col("embedding")).alias("cn"),
+        )
     )
     aw = W.partitionBy("vec_id").orderBy(F.desc("cs"), "cid")
     assign = (
-        fan_out(em).crossJoin(F.broadcast(cent))
+        fan_out(em)
+        .withColumn("en", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             "embedding",
+            "en",
             "cid",
-            cosine(F.col("embedding"), F.col("cv")).alias("cs"),
+            cosine_with_norms(
+                F.col("embedding"), F.col("cv"), F.col("en"), F.col("cn")
+            ).alias("cs"),
         )
         .withColumn("rn", F.row_number().over(aw))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+        .select("vec_id", "embedding", "en", F.col("cid").alias("cell"))
     )
     queries = em.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qn"),
     )
     pw = W.partitionBy("query_id").orderBy(F.desc("cs"), "cid")
     probes = (
@@ -239,12 +260,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "qv",
+            "qn",
             "cid",
-            cosine(F.col("qv"), F.col("cv")).alias("cs"),
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cs"),
         )
         .withColumn("rn", F.row_number().over(pw))
         .filter(F.col("rn") <= NPROBE)
-        .select("query_id", "qv", F.col("cid").alias("qcell"))
+        .select("query_id", "qv", "qn", F.col("cid").alias("qcell"))
     )
     scored = assign.join(
         F.broadcast(probes),
@@ -253,7 +277,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("qv"), F.col("embedding")).alias("s"),
+        cosine_with_norms(
+            F.col("qv"), F.col("embedding"), F.col("qn"), F.col("en")
+        ).alias("s"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
     return (
@@ -311,11 +337,13 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding"),
         bucket_expr(F.col("embedding")).alias("bucket"),
+        norm(F.col("embedding")).alias("en"),
     )
     queries = bucketed.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("en").alias("qn"),
     )
     scored = (
         bucketed.join(
@@ -326,7 +354,9 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("embedding")).alias("s"),
+            cosine_with_norms(
+                F.col("qv"), F.col("embedding"), F.col("qn"), F.col("en")
+            ).alias("s"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
