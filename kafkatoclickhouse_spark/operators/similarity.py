@@ -311,11 +311,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed
           WHERE vec_id % {QUERY_MOD} = 0),
+    probes AS (
+      SELECT query_id, qv,
+             CASE WHEN i = {NUM_PLANES} THEN bucket
+                  ELSE xor(bucket, 1 << i) END AS pbucket
+      FROM q, (SELECT unnest(range({NUM_PLANES} + 1)) AS i)
+    ),
     scored AS (
       SELECT query_id, c.vec_id AS neighbor_id,
              {_SQL_COSINE.format(a="qv", b="c.v")} AS s
-      FROM q JOIN bucketed c
-        ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+      FROM probes p JOIN bucketed c
+        ON c.bucket = p.pbucket AND c.vec_id <> p.query_id
     )
     SELECT query_id, neighbor_id, ROUND(s, 6) AS score,
            CAST(rn AS INTEGER) AS rank
@@ -326,12 +332,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k: candidates = vectors sharing the query's LSH
-    bucket, scored exactly within the bucket. The candidate join is
-    an equi-join on the bucket id — at 100 TB this prunes the scan to
-    ~n/2^16 per query instead of n. Recall vs brute force is
-    pytest-checked; the bucketing + scoring pipeline itself is
-    oracle-checked."""
+    """Multi-probe LSH ANN top-k: candidates = vectors in the query's
+    bucket OR any bucket one sign-flip away (Hamming ≤ 1 — the
+    standard multi-probe trick: near neighbors that land just across
+    one hyperplane are recovered without adding hash tables). The
+    candidate join stays an equi-join on bucket id; each neighbor
+    matches at most one probe, so no dedup pass is needed. At 100 TB
+    this probes (P+1)/2^P of the table per query instead of scanning
+    n. Recall vs brute force is pytest-checked; the bucketing +
+    probing + scoring pipeline itself is oracle-checked."""
     em = load_table(spark, sf_dir, "embeddings")
     bucketed = fan_out(em).select(
         "vec_id",
@@ -345,10 +354,23 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("qbucket"),
         F.col("en").alias("qn"),
     )
+    probe_buckets = F.array(
+        F.col("qbucket"),
+        *[
+            F.expr(f"qbucket ^ {1 << p}").cast("long")
+            for p in range(NUM_PLANES)
+        ],
+    )
+    probes = queries.select(
+        "query_id",
+        "qv",
+        "qn",
+        F.explode(probe_buckets).alias("pbucket"),
+    )
     scored = (
         bucketed.join(
-            F.broadcast(queries),
-            (F.col("bucket") == F.col("qbucket"))
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("pbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select(

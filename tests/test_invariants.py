@@ -1,0 +1,169 @@
+"""Deeper invariants: dirty-data routing, ANN recall vs ground
+truth, and hypothesis property tests for the portable primitives."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafkatoclickhouse_spark import registry
+from kafkatoclickhouse_spark.operators import ingest
+from kafkatoclickhouse_spark.streaming import count_window as cw
+
+# -- dirty-data routing (R3: every record lands exactly once) ---------------
+
+DIRTY_CASES = [
+    # (payload JSON, is_clean) — FIXTURES.md §B dirty cases
+    ('{"essCode": "E1", "cTime": "2024-01-01 00:00:00", "power": "1"}', True),
+    ('{"cTime": "2024-01-01 00:00:00"}', False),  # missing essCode
+    ('{"essCode": "E1"}', False),  # missing cTime
+    ('{"power": "5"}', False),  # both missing
+    ('{"essCode": "", "cTime": "2024-01-01 00:00:00"}', False),  # empty≈null
+    ('{"essCode": "E1", "cTime": ""}', False),
+    ("not json at all", False),  # malformed → from_json nulls → dirty
+    ('{"essCode": null, "cTime": "2024-01-01 00:00:00"}', False),
+]
+
+
+def test_split_clean_dirty_partitions_exactly(spark):
+    raw = spark.createDataFrame(
+        [
+            Row(value=v, topic="t", partition=0, offset=i)
+            for i, (v, _) in enumerate(DIRTY_CASES)
+        ]
+    )
+    parsed = ingest.parse_and_enrich(raw)
+    clean, dirty = ingest.split_clean_dirty(parsed)
+    n_clean_expected = sum(ok for _, ok in DIRTY_CASES)
+    assert clean.count() == n_clean_expected
+    assert dirty.count() == len(DIRTY_CASES) - n_clean_expected
+    # offsets partition exactly: nothing lost, nothing duplicated
+    got = sorted(
+        r["topicOffset"]
+        for r in clean.select("topicOffset")
+        .union(dirty.select("topicOffset"))
+        .collect()
+    )
+    assert got == list(range(len(DIRTY_CASES)))
+
+
+# -- ANN recall vs brute-force ground truth --------------------------------
+
+
+@pytest.mark.parametrize("ann_name", ["sim_ann_lsh_topk", "sim_ivf_topk"])
+def test_ann_recall_and_score_exactness(spark, sf_dir, ann_name):
+    """Three properties that make an ANN result trustworthy:
+    1. every returned (query, neighbor) pair carries the EXACT cosine
+       the brute-force path computes (ANN prunes candidates, never
+       distorts scores);
+    2. the high-similarity band (cos ≥ 0.8 — planted near-dups, the
+       pairs ANN exists to find) is recovered at ≥ 80%;
+    3. overall recall@10 clears a sanity floor (0.1) — on near-random
+       vectors single-table LSH/IVF recall is legitimately modest;
+       raising it means more probes/tables, a recall-vs-cost dial,
+       not a correctness fix."""
+    truth = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in registry.QUERIES["sim_topk_bruteforce"](
+            spark, sf_dir
+        ).collect()
+    }
+    ann = registry.QUERIES[ann_name](spark, sf_dir).collect()
+    assert ann
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in ann
+    }
+    for pair, score in exact.items():
+        if pair in truth:
+            assert abs(truth[pair] - score) < 1e-9, pair
+    near_dups = {p for p, s in truth.items() if s >= 0.8}
+    if near_dups:
+        found = sum(1 for p in near_dups if p in exact)
+        assert found / len(near_dups) >= 0.8, (
+            f"{ann_name} found {found}/{len(near_dups)} near-dup pairs"
+        )
+    recall = sum(1 for p in exact if p in truth) / len(truth)
+    assert recall >= 0.1, f"{ann_name} recall@10 = {recall:.2f}"
+
+
+# -- hypothesis: portable primitives ---------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=9), min_size=1, max_size=40
+    ),
+    st.integers(min_value=2, max_value=7),
+)
+def test_count_window_conservation(values, n):
+    """Under ANY split of the input into micro-batches, emitted full
+    windows + retained tail exactly partition the input in order."""
+    fn = cw.make_count_window_fn(n=n, timeout_ms=1000)
+
+    class S:
+        exists = False
+        hasTimedOut = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self.exists = False
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    st_ = S()
+    emitted = []
+    # split input into two arbitrary chunks
+    cut = len(values) // 2
+    for chunk in (values[:cut], values[cut:]):
+        if not chunk:
+            continue
+        pdf = pd.DataFrame({"essCode": ["E"] * len(chunk), "v": chunk})
+        for out in fn(("E",), [pdf], st_):
+            emitted.extend(out["v"].tolist())
+            assert len(out) == n  # only full windows fire on data
+    st_.hasTimedOut = True
+    for out in fn(("E",), [], st_):
+        emitted.extend(out["v"].tolist())
+        assert len(out) < n or n == 1  # timeout flushes the partial
+    assert emitted == values  # order-preserving, lossless
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=80,
+    )
+)
+def test_fingerprint_whitespace_invariance(spark, s):
+    """fingerprint(text) is invariant under leading/trailing blanks
+    and internal whitespace runs — the normalization contract
+    dedup_exact relies on."""
+    from kafkatoclickhouse_spark.functions import textfns
+
+    df = spark.createDataFrame(
+        [Row(a=s, b=f"  {s}  "), Row(a=s, b=s.replace(" ", "   "))]
+    )
+    rows = df.select(
+        textfns.fingerprint(F.col("a")).alias("fa"),
+        textfns.fingerprint(F.col("b")).alias("fb"),
+    ).collect()
+    for r in rows:
+        assert r["fa"] == r["fb"]
