@@ -25,15 +25,17 @@ def streaming_ingest(
     raw: DataFrame,
     group_id: str = "spark-graft",
     with_stime: bool = False,
+    check_fields: tuple[str, ...] = ingest.REQUIRED_FIELDS,
 ) -> tuple[DataFrame, DataFrame]:
     """raw (Kafka-shaped) stream → (clean enriched stream, dead-letter
     stream). Mirrors the reference chain deserialize→filter→enrich→
     project (`KafakToClickhouse.scala:53-58`,
     `MyWindowFunction.scala:40-47`); dirty records become a DataFrame
     for a dead-letter sink instead of stdout
-    (`MyKafkaDeserializationSchema.scala:54`, SURVEY §4.3)."""
+    (`MyKafkaDeserializationSchema.scala:54`, SURVEY §4.3).
+    ``check_fields`` ≈ the reference's ``check.field`` property."""
     parsed = ingest.parse_and_enrich(raw, group_id=group_id)
-    clean, dirty = ingest.split_clean_dirty(parsed)
+    clean, dirty = ingest.split_clean_dirty(parsed, tuple(check_fields))
     enriched = ingest.enrich(clean)
     out = ingest.project_to_sink(
         enriched,

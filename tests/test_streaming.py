@@ -245,6 +245,40 @@ def test_write_with_retry_reraises_after_exhaustion():
         )
 
 
+def test_full_job_from_properties(spark, sf_dir, raw_feed_dir, tmp_path):
+    """The reference topology end-to-end from a .properties file:
+    config → source → validate → count window → retry sink, with
+    checkpointing. Every emitted window batch is full-size (hour-long
+    timeout ⇒ no partial flush mid-test) and grouped per key."""
+    from kafkatoclickhouse_spark import config as cfgmod
+    from kafkatoclickhouse_spark.streaming import job
+
+    props = cfgmod.load_properties("configs/example.properties")
+    cfg = cfgmod.PipelineConfig.from_properties(props)
+    assert cfg.window_size == 20
+    assert cfg.check_fields == ["cTime", "essCode"]
+    cfg.checkpoint_dir = str(tmp_path / "ckpt")
+
+    out_dir = str(tmp_path / "landed")
+    raw = source.file_raw_stream(spark, raw_feed_dir)
+    q = job.start(
+        spark,
+        cfg,
+        write_fn=sink.parquet_writer(out_dir),
+        raw=raw,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    landed = spark.read.parquet(out_dir)
+    sizes = landed.groupBy("essCode", "window_id").count().collect()
+    assert sizes
+    # full windows only, except tails that a late micro-batch timeout
+    # may have flushed (flush_reason records which)
+    for r in landed.groupBy("essCode", "window_id", "flush_reason").count().collect():
+        if r["flush_reason"] == "count":
+            assert r["count"] == cfg.window_size
+
+
 def test_foreach_batch_parquet_roundtrip(spark, sf_dir, raw_feed_dir, tmp_path):
     """End-to-end R1→R7 shape: stream → ingest → retry-wrapped
     parquet sink via foreachBatch (the JDBC writer swaps in by
