@@ -48,4 +48,5 @@ def load_all() -> None:
         queries as _queries,
         similarity as _similarity,
         text as _text,
+        tpch as _tpch,
     )
