@@ -31,6 +31,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_nation_revenue",
     "q10_returned_items",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
     "agg_count_distinct",
     "agg_percentiles",
     "agg_salted_two_phase",

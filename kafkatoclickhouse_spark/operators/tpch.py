@@ -205,9 +205,10 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     oracle="""
-    SELECT CAST(100.00 * SUM(CASE WHEN p_type = 'PROMO'
-                                  THEN {dp} ELSE CAST(0 AS DECIMAL(12,2)) END)
-                / SUM({dp}) AS DOUBLE) AS promo_revenue
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                 THEN {dp} ELSE CAST(0 AS DECIMAL(12,2)) END)
+                        AS DOUBLE)
+                 / CAST(SUM({dp}) AS DOUBLE) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -216,8 +217,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: conditional-aggregate ratio. part is broadcast so
     the filtered lineitem never shuffles; both sums ride one
-    partial+final pass; the division happens once on two exact
-    decimals (then cast) so the ratio is engine-stable."""
+    partial+final pass. Each exact-decimal sum casts to double BEFORE
+    the division — decimal-division scale/rounding rules differ per
+    engine, IEEE double division doesn't."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -230,9 +232,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
         .agg(
-            (100.0 * F.sum(promo) / F.sum(dp))
-            .cast("double")
-            .alias("promo_revenue")
+            (
+                100.0
+                * F.sum(promo).cast("double")
+                / F.sum(dp).cast("double")
+            ).alias("promo_revenue")
         )
     )
 

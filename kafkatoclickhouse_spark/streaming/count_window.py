@@ -57,10 +57,11 @@ def _annotate(
     return out
 
 
-def make_count_window_fn(n: int, timeout_ms: int):
+def make_count_window_fn(n: int, timeout_ms: int | None):
     """The per-key state-transition function, exposed for direct unit
     testing with a stub GroupState (timeout paths can't fire under an
-    availableNow test trigger)."""
+    availableNow test trigger). ``timeout_ms=None`` disables the
+    partial-flush timer (see :func:`keyed_count_window`)."""
 
     def fn(
         key: tuple,
@@ -93,7 +94,8 @@ def make_count_window_fn(n: int, timeout_ms: int):
         next_window += n_full
         tail = buf.iloc[n_full * n :].reset_index(drop=True)
         state.update((next_window, pickle.dumps(tail)))
-        state.setTimeoutDuration(timeout_ms)
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
 
     return fn
 
@@ -102,11 +104,21 @@ def keyed_count_window(
     df: DataFrame,
     key: str = "essCode",
     n: int = DEFAULT_WINDOW_SIZE,
-    timeout_ms: int = 60_000,
+    timeout_ms: int | None = 60_000,
 ) -> DataFrame:
     """Streaming per-key count window: rows of ``df`` annotated with
     (window_id, window_pos, flush_reason), emitted only when a window
     fires (count reached, or timeout for partials).
+
+    ``timeout_ms=None`` disables the partial-flush timer. Required
+    for finite (``availableNow``) runs: with ``ProcessingTimeTimeout``
+    Spark schedules no-data micro-batches forever to fire pending
+    timers (``FlatMapGroupsWithStateExec.shouldRunAnotherBatch`` is
+    unconditionally true for processing-time timeouts), so the query
+    never terminates. A drain-the-backlog run holds partial tails in
+    checkpointed state instead — the reference's own count-only
+    semantics. Continuous streams keep the timer: it is the fix for
+    the reference's forever-stuck partial windows (SURVEY §4.3).
 
     Works on a streaming DataFrame grouped by ``key``; output mode
     append. Downstream, ``sink.foreach_batch_writer`` groups on
@@ -119,5 +131,7 @@ def keyed_count_window(
         outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="ProcessingTimeTimeout",
+        timeoutConf=(
+            "NoTimeout" if timeout_ms is None else "ProcessingTimeTimeout"
+        ),
     )

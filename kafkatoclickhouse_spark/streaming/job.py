@@ -31,10 +31,17 @@ def build_topology(
     spark: SparkSession,
     cfg: PipelineConfig,
     raw: DataFrame | None = None,
+    finite: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(windowed output stream, dead-letter stream). Pass ``raw`` to
     substitute the Kafka source (tests use the file-backed double;
-    the shapes are identical — see ``source.RAW_SCHEMA``)."""
+    the shapes are identical — see ``source.RAW_SCHEMA``).
+
+    ``finite=True`` (availableNow drains) disables the partial-window
+    timeout flush — with a processing-time timer pending, Spark keeps
+    scheduling no-data micro-batches and the query never terminates
+    (see ``count_window.keyed_count_window``); tails stay in
+    checkpointed state for the next run."""
     if raw is None:
         raw = source.kafka_raw_stream(
             spark,
@@ -49,7 +56,10 @@ def build_topology(
         check_fields=tuple(cfg.check_fields),
     )
     windowed = count_window.keyed_count_window(
-        clean, key="essCode", n=cfg.window_size
+        clean,
+        key="essCode",
+        n=cfg.window_size,
+        timeout_ms=None if finite else 60_000,
     )
     return windowed, dirty
 
@@ -66,7 +76,7 @@ def start(
     ``write_fn`` defaults to the JDBC writer built from the config's
     clickhouse.* keys; any ``(DataFrame) -> None`` substitutes (tests
     pass a parquet writer)."""
-    windowed, _dirty = build_topology(spark, cfg, raw=raw)
+    windowed, _dirty = build_topology(spark, cfg, raw=raw, finite=available_now)
     if write_fn is None:
         write_fn = sink.jdbc_writer(
             cfg.jdbc_url,

@@ -77,14 +77,15 @@ def test_streaming_dedup_within_watermark(spark, raw_feed_dir, tmp_path):
 
 def test_streaming_count_window(spark, raw_feed_dir, tmp_path):
     """Count-fired windows have exactly N rows with positions 0..N-1;
-    with an hour-long timeout no partial can flush mid-test, so every
-    emitted window is full and the held-back tails are exactly
-    input − emitted (the reference's count-only trigger semantics)."""
+    with the timeout timer disabled (the finite-run mode) no partial
+    can flush, so every emitted window is full and the held-back tails
+    are exactly input − emitted (the reference's count-only trigger
+    semantics — and the availableNow query actually terminates)."""
     n = 20
     raw = source.file_raw_stream(spark, raw_feed_dir)
     clean, _ = pipeline.streaming_ingest(raw)
     windowed = cw.keyed_count_window(
-        clean, key="essCode", n=n, timeout_ms=3_600_000
+        clean, key="essCode", n=n, timeout_ms=None
     )
     got = run_stream(windowed, "cw_stream", tmp_path / "ckpt").cache()
 
@@ -248,8 +249,9 @@ def test_write_with_retry_reraises_after_exhaustion():
 def test_full_job_from_properties(spark, sf_dir, raw_feed_dir, tmp_path):
     """The reference topology end-to-end from a .properties file:
     config → source → validate → count window → retry sink, with
-    checkpointing. Every emitted window batch is full-size (hour-long
-    timeout ⇒ no partial flush mid-test) and grouped per key."""
+    checkpointing. An availableNow drain runs in finite mode (no
+    timeout timer ⇒ terminates, no partial flush); every emitted
+    window batch is full-size and grouped per key."""
     from kafkatoclickhouse_spark import config as cfgmod
     from kafkatoclickhouse_spark.streaming import job
 
