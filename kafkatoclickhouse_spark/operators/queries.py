@@ -803,6 +803,34 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "filter_predicates",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND c_name LIKE 'Customer%7'
+      AND c_acctbal BETWEEN -500.0 AND 7500.0
+      AND NOT (c_nationkey IS NOT DISTINCT FROM 13)
+      AND c_acctbal IS NOT NULL
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full predicate surface of SURVEY §2.2's filter row in one
+    query: isin, LIKE, BETWEEN, null-safe equality (eqNullSafe ≡
+    IS NOT DISTINCT FROM), IS NOT NULL — all pushable; every one of
+    these lands in the parquet scan's PushedFilters so at 100 TB the
+    scan, not the engine, does the filtering."""
+    cu = _t(spark, sf_dir, "customer")
+    return cu.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        & F.col("c_name").like("Customer%7")
+        & F.col("c_acctbal").between(-500.0, 7500.0)
+        & ~F.col("c_nationkey").eqNullSafe(F.lit(13))
+        & F.col("c_acctbal").isNotNull()
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@query(
     "scalar_string_funcs",
     oracle="""
     SELECT p_partkey,

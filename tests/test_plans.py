@@ -63,6 +63,37 @@ def test_dimension_joins_broadcast(spark, sf_dir, name):
     plans.assert_broadcast_join(registry.QUERIES[name](spark, sf_dir))
 
 
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown showcase: every one of its predicates must
+    reach the parquet scan, and only its 4 columns are read."""
+    df = registry.QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    plans.assert_pushed_filters(
+        df,
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    )
+    schemas = plans.read_schemas(df)
+    for col in ("l_orderkey", "l_returnflag", "l_partkey"):
+        assert col not in schemas, f"q6 reads {col}:\n{schemas}"
+
+
+def test_filter_predicates_all_pushed(spark, sf_dir):
+    df = registry.QUERIES["filter_predicates"](spark, sf_dir)
+    plans.assert_pushed_filters(
+        df, "In(c_mktsegment", "StringStartsWith(c_name", "c_acctbal"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q7_nation_volume", "q14_promo_revenue", "q18_large_volume_customer"],
+)
+def test_tpch_dimension_joins_broadcast(spark, sf_dir, name):
+    plans.assert_broadcast_join(registry.QUERIES[name](spark, sf_dir))
+
+
 def test_minhash_shuffle_is_one_row_per_doc(spark, sf_dir):
     """The minhash signature agg must be partial (map-side combine):
     plan shows a HashAggregate pair around the exchange, so the
