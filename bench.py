@@ -35,6 +35,8 @@ HEADLINE = [
     "q7_nation_volume",
     "q13_customer_distribution",
     "q18_large_volume_customer",
+    "q9_product_profit",
+    "q21_sole_late_supplier",
     "agg_count_distinct",
     "agg_percentiles",
     "agg_salted_two_phase",

@@ -5,6 +5,8 @@
                 → sink projection
     relational  joins / aggregations / window functions / set ops /
                 scalar-array-JSON functions ([EXT] surface)
+    tpch/tpch2  the full 22-query TPC-H decision-support sweep,
+                adapted to the fixture schema
     asof        as-of and range joins
     dedup       exact + MinHash-LSH + SimHash + n-gram Jaccard +
                 embedding near-duplicate detection

@@ -49,4 +49,5 @@ def load_all() -> None:
         similarity as _similarity,
         text as _text,
         tpch as _tpch,
+        tpch2 as _tpch2,
     )

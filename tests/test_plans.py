@@ -94,6 +94,37 @@ def test_tpch_dimension_joins_broadcast(spark, sf_dir, name):
     plans.assert_broadcast_join(registry.QUERIES[name](spark, sf_dir))
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q9_product_profit",
+        "q16_supplier_part_counts",
+        "q20_dominant_supplier",
+        "q21_sole_late_supplier",
+    ],
+)
+def test_tpch2_dimension_joins_broadcast(spark, sf_dir, name):
+    plans.assert_broadcast_join(registry.QUERIES[name](spark, sf_dir))
+
+
+def test_q15_quarter_filter_pushed(spark, sf_dir):
+    """Q15's one-quarter shipdate range must reach the lineitem scan
+    — at 100 TB this prunes ~96% of a date-partitioned fact table."""
+    df = registry.QUERIES["q15_top_supplier"](spark, sf_dir)
+    plans.assert_pushed_filters(
+        df, "GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate"
+    )
+
+
+def test_q12_shipdate_pushed(spark, sf_dir):
+    df = registry.QUERIES["q12_priority_class"](spark, sf_dir)
+    plans.assert_pushed_filters(
+        df, "GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate"
+    )
+
+
 def test_minhash_shuffle_is_one_row_per_doc(spark, sf_dir):
     """The minhash signature agg must be partial (map-side combine):
     plan shows a HashAggregate pair around the exchange, so the
