@@ -39,6 +39,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every operator module for registration side effects."""
+    from kafkatoclickhouse_spark import sql as _sql  # noqa: F401
     from kafkatoclickhouse_spark.operators import (  # noqa: F401
         advanced as _advanced,
         asof as _asof,

@@ -1,0 +1,99 @@
+"""SQL entry point: run ANSI SQL directly against the fixture tables.
+
+The DataFrame operators and this SQL surface compile to the same
+Catalyst logical plans — ``load_tables`` registers every fixture
+parquet as a temp view, so a user can express any engine query in
+SQL instead of the DataFrame API and get identical physical plans
+(broadcast joins, scan pushdown, whole-stage codegen).
+
+The registered queries below make that claim checkable: each one's
+*implementation* is ``spark.sql(SQL)`` and its *oracle* is the very
+same SQL string run by DuckDB — one dialect-portable ANSI statement,
+two engines, hash-identical results. (Portability rules baked into
+the statements: ``ROW_NUMBER()`` cast to INTEGER because DuckDB
+returns BIGINT where Spark returns INT; money math enters
+DECIMAL(12,2) before multiplying and sums cast to DOUBLE — same
+determinism rules as ``functions.exact``; derived tables carry an
+alias, which older Spark requires.)
+
+The reference has no SQL layer at all (verified in SURVEY §1 — the
+whole program is one hand-built Flink dataflow,
+``/root/reference/src/main/scala/KafakToClickhouse.scala:48-63``),
+so this module is engine-new surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafkatoclickhouse_spark.registry import query
+from kafkatoclickhouse_spark.tables import load_tables
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+SQL_SEGMENT_TOPK = """
+SELECT c_mktsegment, c_name, c_acctbal, rnk FROM (
+  SELECT c_mktsegment, c_name, c_acctbal,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal DESC, c_custkey)
+              AS INTEGER) AS rnk
+  FROM customer) t
+WHERE rnk <= 5
+"""
+
+SQL_EXISTS_RETURNS = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Register the fixture views and run one SQL statement.
+
+    View registration is idempotent (createOrReplaceTempView) and
+    driver-side only — no data is read until the returned plan
+    executes, so repeated calls cost nothing but catalog updates.
+    """
+    load_tables(spark, sf_dir)
+    return spark.sql(sql)
+
+
+@query("sql_nation_revenue", oracle=SQL_NATION_REVENUE)
+def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate expressed as pure SQL: one string drives both
+    engines. Catalyst plans it identically to the DataFrame form —
+    nation/customer broadcast, lineitem⋈orders the only exchange."""
+    return run_sql(spark, sf_dir, SQL_NATION_REVENUE)
+
+
+@query("sql_segment_topk", oracle=SQL_SEGMENT_TOPK)
+def sql_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL window function with rank filter (top-5 per segment).
+    The rnk <= 5 predicate becomes a WindowGroupLimit at plan time
+    — Spark pushes the limit into the sort, so each partition keeps
+    5 rows instead of sorting everything."""
+    return run_sql(spark, sf_dir, SQL_SEGMENT_TOPK)
+
+
+@query("sql_exists_returns", oracle=SQL_EXISTS_RETURNS)
+def sql_exists_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS in SQL — Catalyst decorrelates it to a
+    left-semi join on orderkey with the returnflag filter pushed to
+    the lineitem scan (same plan the hand-written q4 shape builds)."""
+    return run_sql(spark, sf_dir, SQL_EXISTS_RETURNS)
