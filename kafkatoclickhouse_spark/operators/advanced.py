@@ -136,6 +136,60 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- skew-safe salted join --------------------------------------------------
+
+
+@query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           {sql_dsum("l_extendedprice")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join: the fact side gets a deterministic salt
+    in [0, N_SALTS) from columns that vary WITHIN a join key
+    (crc32 of orderkey#linenumber), the other side is replicated
+    ×N_SALTS, and the join key becomes (orderkey, salt) — so a hot
+    orderkey's rows land on N_SALTS reducers instead of one. The
+    result is identical to the unsalted join (this oracle proves
+    it). This is the manual form of what AQE skew-join splitting
+    does at runtime — kept as an explicit operator for engines/jobs
+    where the replicated side is too big to broadcast but a known
+    hot key would stall a single reducer. Salting multiplies the
+    replicated side's shuffle volume by N_SALTS: at 100 TB pick
+    N_SALTS = ceil(hot-key rows / target partition rows), not more."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    salted_li = li.withColumn(
+        "salt",
+        F.pmod(
+            F.crc32(
+                F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber"))
+            ),
+            F.lit(N_SALTS),
+        ).cast("int"),
+    )
+    replicated_od = od.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
+    )
+    return (
+        salted_li.join(
+            replicated_od,
+            (salted_li.l_orderkey == replicated_od.o_orderkey)
+            & (salted_li.salt == replicated_od.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_extendedprice", "revenue"),
+        )
+    )
+
+
 # -- RANGE window frame -----------------------------------------------------
 
 
