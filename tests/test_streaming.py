@@ -300,3 +300,53 @@ def test_foreach_batch_parquet_roundtrip(spark, sf_dir, raw_feed_dir, tmp_path):
     landed = spark.read.parquet(out_dir)
     batch = ingest.ingest_pipeline(load_table(spark, sf_dir, "events"))
     assert landed.count() == batch.count()
+
+
+def test_idempotent_writer_skips_replayed_batch(tmp_path):
+    """The effectively-once contract: a batch_id already in the
+    ledger is not rewritten (replay after sink-success/pre-commit
+    crash); a new batch_id is."""
+    calls = []
+    w = sink.idempotent_foreach_batch_writer(
+        lambda df: calls.append(1), str(tmp_path / "ledger")
+    )
+    w(None, 7)
+    w(None, 7)  # replay of committed batch — must be a no-op
+    w(None, 8)
+    assert len(calls) == 2
+
+
+def test_idempotent_writer_retries_uncommitted_batch(tmp_path):
+    """A batch whose write FAILED leaves no marker — the replay must
+    attempt the write again (at-least-once, not at-most-once)."""
+    calls = []
+
+    def flaky(df):
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("sink down")
+
+    w = sink.idempotent_foreach_batch_writer(
+        flaky, str(tmp_path / "ledger"), max_retries=1
+    )
+    with pytest.raises(RuntimeError):
+        w(None, 3)
+    w(None, 3)  # replay after failure — must write
+    assert len(calls) == 2
+    w(None, 3)  # replay after success — must skip
+    assert len(calls) == 2
+
+
+def test_overwrite_by_batch_writer_is_replay_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Replaying a batch into the batch_id=N partition overwrites
+    identical files — total row count unchanged, no duplicates."""
+    out = str(tmp_path / "landed")
+    df = load_table(spark, sf_dir, "region")
+    w = sink.overwrite_by_batch_parquet_writer(out)
+    w(df, 0)
+    w(df, 1)
+    n = spark.read.parquet(out).count()
+    w(df, 1)  # replay
+    assert spark.read.parquet(out).count() == n == 2 * df.count()
