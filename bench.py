@@ -45,6 +45,7 @@ HEADLINE = [
     "asof_join_events",
     "stream_window_tumbling",
     "stream_window_session",
+    "rollup_time_hierarchy",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

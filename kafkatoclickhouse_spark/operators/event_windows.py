@@ -133,3 +133,70 @@ def stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", _FMT).alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "rollup_time_hierarchy",
+    oracle=f"""
+    SELECT 'minute' AS grain,
+           strftime(date_trunc('minute', ts), '{_DFMT}') AS bucket,
+           COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM events GROUP BY date_trunc('minute', ts)
+    UNION ALL
+    SELECT 'hour', strftime(date_trunc('hour', ts), '{_DFMT}'),
+           COUNT(*), {sql_dsum('value')}
+    FROM events GROUP BY date_trunc('hour', ts)
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', ts), '{_DFMT}'),
+           COUNT(*), {sql_dsum('value')}
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: minute, hour,
+    and day grains in one result, where each coarser grain is
+    RE-AGGREGATED FROM THE FINER GRAIN'S PARTIALS — the fact table
+    is scanned exactly once. The oracle computes every grain from
+    raw events, so the hash match proves re-aggregation loses
+    nothing: counts sum, and the decimal partial sums stay decimal
+    between levels (only the output casts to double).
+
+    At 100 TB this is the only viable shape for dashboard
+    hierarchies: the minute aggregate is ~10⁴× smaller than raw
+    events, so hour/day derive from megabytes instead of re-reading
+    terabytes. In a hot/cold design the minute grain is the stored
+    continuous aggregate (foreachBatch-updated); this operator is
+    its batch/backfill twin."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket_ts")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(24,4)")).alias("dv"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket_ts").alias("bucket_ts")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("dv").cast("decimal(24,4)").alias("dv"),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket_ts").alias("bucket_ts")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("dv").cast("decimal(24,4)").alias("dv"),
+    )
+
+    def finish(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format("bucket_ts", _FMT).alias("bucket"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("dv").cast("double").alias("total_value"),
+        )
+
+    return (
+        finish(minute, "minute")
+        .unionAll(finish(hour, "hour"))
+        .unionAll(finish(day, "day"))
+    )
