@@ -55,6 +55,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "text_stats",
     "text_quality",
+    "corpus_clean_pipeline",
 ]
 
 

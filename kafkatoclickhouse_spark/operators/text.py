@@ -207,3 +207,71 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_tokens"),
     )
+
+
+@query(
+    "corpus_clean_pipeline",
+    oracle=_TEXT_QUALITY_BASE
+    + """
+    , scored AS (
+      SELECT doc_id,
+             ROUND((least(n_chars / 500.0, 1.0)
+                    + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0
+                          THEN n_punct / n_chars ELSE 0.0 END) * 5.0)
+                    + least((CASE WHEN n_toks > 0
+                          THEN n_stop / n_toks ELSE 0.0 END) * 4.0, 1.0)
+                   ) / 3.0, 6) AS quality
+      FROM base
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.source, d.text, s.quality
+      FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+      WHERE s.quality >= 0.5 AND LENGTH(d.text) >= 100
+    )
+    SELECT doc_id, lang, source, quality FROM (
+      SELECT doc_id, lang, source, quality,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               ORDER BY doc_id
+             ) AS rn
+      FROM kept
+    ) WHERE rn = 1
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-corpus cleaning chain, composed from
+    this module's scoring and ``dedup``'s canonical-survivor
+    semantics in ONE declarative plan: score quality → drop
+    low-quality/short docs → exact-dedup the survivors (min doc_id
+    per normalized-text fingerprint wins).
+
+    Because it is one plan, Catalyst fuses scoring and filtering
+    into the parquet scan stage (no materialization between
+    "steps"), and the only shuffle is the dedup window's hash on
+    the 32-char fingerprint — the document bodies never shuffle at
+    all once the projection prunes them after fingerprinting. At
+    100 TB the quality filter runs at scan speed and typically
+    drops 20-60% of raw crawl before the dedup exchange — filter
+    placement IS the cost model for corpus pipelines."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        textfns.quality_score(F.col("text")).alias("quality"),
+    ).filter((F.col("quality") >= 0.5) & (F.length("text") >= 100))
+    w = W.partitionBy(textfns.fingerprint(F.col("text"))).orderBy("doc_id")
+    return (
+        kept.select(
+            "doc_id",
+            "lang",
+            "source",
+            "quality",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
