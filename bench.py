@@ -56,6 +56,8 @@ HEADLINE = [
     "text_stats",
     "text_quality",
     "corpus_clean_pipeline",
+    "text_tfidf_topterms",
+    "interval_join_events",
 ]
 
 

@@ -219,3 +219,37 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.count("*").over(w).alias("n_near"),
     )
+
+
+# -- distribution window functions ------------------------------------------
+
+
+@query(
+    "window_distribution_ranks",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile/percent_rank/cume_dist
+    per nation over account balance. ntile's bucket assignment
+    depends on peer order, so the window orders by
+    (c_acctbal, c_custkey): the unique tiebreak is what makes the
+    result deterministic under any partitioning (and therefore
+    hash-checkable — same rule as collect_list's sort)."""
+    cu = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cu.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

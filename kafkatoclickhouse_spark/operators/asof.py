@@ -120,6 +120,41 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interval_join_events",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           p.event_id AS purchase_id,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-bounded) join: every purchase by the same user
+    within one hour after a click — the batch twin of a watermarked
+    stream-stream join (``streaming/joins.py`` builds the streaming
+    form of exactly this plan; Structured Streaming uses the same
+    time bound to age out join state).
+
+    The equi-key (user_id) drives a hash shuffle, so the time bound
+    is evaluated post-match, not as a nested loop — this scales like
+    a plain equi-join. The one-sided fixture filters are pushed to
+    the two parquet scans. Built from the same plan definition as
+    the streaming form (one definition, two execution modes; the
+    watermark is a no-op here on the bounded frame)."""
+    from kafkatoclickhouse_spark.streaming import joins as sj
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks, purchases = sj.split_clicks_purchases(ev)
+    return sj.click_purchase_attribution(clicks, purchases)
+
+
+@query(
     "range_join_value_bands",
     oracle="""
     SELECT e.event_id, b.band_id

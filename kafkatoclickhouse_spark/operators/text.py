@@ -210,6 +210,89 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ),
+    dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf,
+             t.tf * (ln((1.0 + nd.n_docs) / (1.0 + d.df)) + 1.0)
+               AS raw_score
+      FROM tf t JOIN dfreq d USING (token) CROSS JOIN nd
+    )
+    SELECT doc_id, token, tf, ROUND(raw_score, 6) AS tfidf,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT doc_id, token, tf, raw_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY raw_score DESC, token
+             ) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring with smooth idf (ln((1+N)/(1+df)) + 1, the
+    scikit-learn convention) and the top 3 terms per document.
+
+    Shuffle shape at scale: one exchange on (doc_id, token) for TF,
+    one on token for DF, then DF joins back to TF on token (a
+    shuffle join — df is |vocabulary| rows, often broadcastable, but
+    not assumed here), and the corpus document count joins in as a
+    broadcast scalar. Ranking ties break on token, so top-k is
+    deterministic and hash-checkable. Both engines evaluate the
+    identical double expression (ln of the same ratio), so ordering
+    by the unrounded score agrees bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "raw_score",
+            F.col("tf")
+            * (
+                F.log(
+                    (F.lit(1.0) + F.col("n_docs"))
+                    / (F.lit(1.0) + F.col("df"))
+                )
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("raw_score"), "token")
+    return (
+        scored.select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round("raw_score", 6).alias("tfidf"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
     "corpus_clean_pipeline",
     oracle=_TEXT_QUALITY_BASE
     + """

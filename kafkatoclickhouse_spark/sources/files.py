@@ -75,3 +75,34 @@ def write_table(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.format(fmt).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Write ``df`` as a bucketed (and optionally sort-bucketed)
+    catalog table: rows are hash-distributed into ``n_buckets`` files
+    per partition on ``bucket_cols``, and the bucketing is recorded
+    in the table metadata.
+
+    This is the pre-shuffle pattern for repeated big joins: two
+    tables bucketed on the same key with the same bucket count join
+    with NO exchange on either side (and with ``sort_cols`` set, no
+    sort either) — the shuffle is paid once at write time instead of
+    on every query. At 100 TB pick n_buckets so one bucket of the
+    larger table fits an executor's memory; both sides must use the
+    SAME count or Spark shuffles the mismatched side anyway.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -125,6 +125,48 @@ def test_q12_shipdate_pushed(spark, sf_dir):
     )
 
 
+def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with the same bucket count
+    must join with NO Exchange on either side — the pre-shuffle
+    pattern that pays the fact-fact shuffle once at write time. The
+    joined result must equal the plain (shuffled) join."""
+    from pyspark.sql import functions as F
+
+    from kafkatoclickhouse_spark.sources import files
+    from kafkatoclickhouse_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    files.write_bucketed(
+        li, "li_bucketed", str(tmp_path / "li_b"), ("l_orderkey",), 8
+    )
+    files.write_bucketed(
+        od, "od_bucketed", str(tmp_path / "od_b"), ("o_orderkey",), 8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bucketed").join(
+            spark.table("od_bucketed"),
+            F.expr("l_orderkey = o_orderkey"),
+        )
+        plan = plans.plan_string(joined, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, (
+            f"bucketed join still shuffles:\n{plan}"
+        )
+        n_plain = li.join(od, li.l_orderkey == od.o_orderkey).count()
+        assert joined.count() == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS od_bucketed")
+
+
 def test_minhash_shuffle_is_one_row_per_doc(spark, sf_dir):
     """The minhash signature agg must be partial (map-side combine):
     plan shows a HashAggregate pair around the exchange, so the

@@ -142,6 +142,30 @@ def test_streaming_tumbling_window_agg(spark, sf_dir, raw_feed_dir, tmp_path):
         assert expect.get(key) == r["n_events"], key
 
 
+def test_streaming_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join (click→purchase
+    attribution): the streaming result over a file feed must equal
+    the oracle-checked batch twin ``interval_join_events`` on the
+    same data. Inner join + availableNow finalizes every pair, so
+    equality is exact, not subset."""
+    from kafkatoclickhouse_spark import registry
+    from kafkatoclickhouse_spark.streaming import joins as sj
+
+    events = load_table(spark, sf_dir, "events")
+    feed = str(tmp_path / "events_feed")
+    events.write.parquet(feed)
+    stream = spark.readStream.schema(events.schema).parquet(feed)
+    clicks, purchases = sj.split_clicks_purchases(stream)
+    joined = sj.click_purchase_attribution(clicks, purchases)
+    assert joined.isStreaming
+    got = run_stream(joined, "sj_stream", tmp_path / "sj_ckpt")
+
+    batch = registry.QUERIES["interval_join_events"](spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
 # -- direct unit tests of the state-transition fn (timeout path) -----------
 
 
