@@ -300,13 +300,10 @@ def _sql_ngram_pairs() -> str:
     """
 
 
-@query("dedup_ngram_jaccard", oracle=_sql_ngram_pairs())
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ 0.8 via shingle equi-join —
-    the ground truth the LSH recall tests compare against. The
-    shingle join is an equi-join (shuffle on shingle), not a cross
-    join, but its worst case is quadratic in shingle frequency;
-    at 100 TB use ``dedup_minhash_lsh``."""
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every pair with exact word-3-gram
+    Jaccard ≥ 0.8, doc_a < doc_b — shared by ``dedup_ngram_jaccard``
+    and the connected-components clustering in ``graph.py``."""
     shingled = _shingled(spark, sf_dir).cache()
     exploded = shingled.select(
         "doc_id", F.explode("shingles").alias("shingle")
@@ -337,6 +334,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query("dedup_ngram_jaccard", oracle=_sql_ngram_pairs())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ 0.8 via shingle equi-join —
+    the ground truth the LSH recall tests compare against. The
+    shingle join is an equi-join (shuffle on shingle), not a cross
+    join, but its worst case is quadratic in shingle frequency;
+    at 100 TB use ``dedup_minhash_lsh``."""
+    return ngram_jaccard_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,7 @@ def load_all() -> None:
         asof as _asof,
         dedup as _dedup,
         event_windows as _event_windows,
+        graph as _graph,
         multimodal as _multimodal,
         queries as _queries,
         similarity as _similarity,

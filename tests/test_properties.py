@@ -90,3 +90,39 @@ def test_text_stats_counts_nonnegative(spark, sf_dir):
         for k, v in r.asDict().items():
             if isinstance(v, (int, float)):
                 assert v >= 0, f"{k}={v}"
+
+
+def test_connected_components_path_graph(spark):
+    """Min-label propagation must cross a diameter-9 path (the worst
+    shape for label propagation — duplicate clusters are near-cliques
+    and converge in 2-3 rounds, a chain needs the full walk) and
+    leave isolated vertices as their own components."""
+    from kafkatoclickhouse_spark.operators.graph import connected_components
+
+    verts = spark.range(0, 13).select(F.col("id"))
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(verts, chain).collect()
+    }
+    expect = {(i, 0) for i in range(10)} | {(i, i) for i in (10, 11, 12)}
+    assert got == expect
+
+
+def test_cluster_assignment_consistent_with_pairs(spark, sf_dir):
+    """Every near-dup pair must land in one cluster; every canonical
+    id must be a member of its own cluster."""
+    pairs = registry.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in registry.QUERIES["dedup_duplicate_clusters"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert pairs
+    for p in pairs:
+        assert clusters[p["doc_a"]] == clusters[p["doc_b"]], p
+    for doc, c in clusters.items():
+        assert clusters[c] == c, (doc, c)
