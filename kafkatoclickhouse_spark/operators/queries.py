@@ -273,6 +273,29 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_hll_mergeable")  # no oracle: HLL sketch, engine-specific
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit mergeable HLL sketches (Datasketches, Spark 3.5+):
+    per-(event_type, shard) partial sketches union into a per-type
+    cardinality estimate. This is the two-level pattern behind every
+    distributed COUNT(DISTINCT) at 100 TB — partials are tiny fixed-
+    size binaries that merge associatively, so the rollup can cross
+    days/partitions/clusters without ever reshuffling raw keys
+    (unlike approx_count_distinct, the sketch itself is storable:
+    write the partials, re-aggregate them tomorrow). Checked by
+    pytest against a 5% envelope vs exact."""
+    ev = _t(spark, sf_dir, "events")
+    shards = ev.withColumn(
+        "shard", (F.col("event_id") % 8).cast("int")
+    )
+    partials = shards.groupBy("event_type", "shard").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+
+
 @query(
     "agg_rollup",
     oracle="""
@@ -945,6 +968,35 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.select("event_id", k.alias("k_value")).filter(
         F.col("k_value") > 50
+    )
+
+
+@query(
+    "json_variant_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+             AS k_mod,
+           COUNT(*) AS n,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS max_k
+    FROM events GROUP BY 1
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-free JSON via VariantType (Spark 4): ``parse_json``
+    once into the binary variant encoding, then typed path access
+    with ``variant_get``. For dynamic payloads (the reference's
+    model — fastjson over schemaless records, SURVEY §1.1) variant
+    beats both string re-parsing per access (get_json_object) and a
+    frozen StructType: the binary encoding parses once, fields
+    shred to columns at the parquet layer, and unknown future fields
+    survive ingestion."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select((k % 5).alias("k_mod"), k.alias("k"))
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("n"), F.max("k").alias("max_k"))
     )
 
 

@@ -12,6 +12,9 @@ in production:
   explicit schema for the same reason.
 - Parquet: schema comes from the footer; passing one anyway enables
   schema-on-read projection.
+- ORC: same columnar/pushdown properties as parquet (footer schema,
+  predicate pushdown, splittable) — supported for interop with
+  Hive-era warehouses.
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ def read_table(
         if schema is None:
             raise ValueError("JSON requires an explicit schema")
         reader = reader.option("timestampFormat", TS_FMT)
-    elif fmt != "parquet":
+    elif fmt not in ("parquet", "orc"):
         raise ValueError(f"unsupported format: {fmt}")
     if schema is not None:
         reader = reader.schema(schema)
@@ -68,7 +71,7 @@ def write_table(
         )
     elif fmt == "json":
         writer = writer.option("timestampFormat", TS_FMT)
-    elif fmt != "parquet":
+    elif fmt not in ("parquet", "orc"):
         raise ValueError(f"unsupported format: {fmt}")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -126,3 +126,35 @@ def test_cluster_assignment_consistent_with_pairs(spark, sf_dir):
         assert clusters[p["doc_a"]] == clusters[p["doc_b"]], p
     for doc, c in clusters.items():
         assert clusters[c] == c, (doc, c)
+
+
+def test_hll_mergeable_close_to_exact(spark, sf_dir):
+    """Sharded-sketch union must estimate within the Datasketches
+    HLL error envelope of exact per-type user cardinality — and the
+    union of partials must equal a single unsharded sketch exactly
+    (mergeability is lossless by construction)."""
+    rows = registry.QUERIES["agg_hll_mergeable"](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    unsharded = {
+        r["event_type"]: r["approx_users"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+                "approx_users"
+            )
+        )
+        .collect()
+    }
+    for r in rows:
+        e = exact[r["event_type"]]
+        assert abs(r["approx_users"] - e) <= max(1, 0.05 * e), (r, e)
+        assert r["approx_users"] == unsharded[r["event_type"]], (
+            "sharded union != single sketch"
+        )

@@ -12,14 +12,14 @@ from kafkatoclickhouse_spark.sources import read_table, write_table
 from kafkatoclickhouse_spark.tables import load_table
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
 def test_documents_roundtrip(spark, sf_dir, tmp_path, fmt):
     docs = load_table(spark, sf_dir, "documents")
     path = str(tmp_path / f"docs_{fmt}")
     write_table(docs, path, fmt)
     back = read_table(
         spark, path, fmt,
-        schema=None if fmt == "parquet" else docs.schema,
+        schema=None if fmt in ("parquet", "orc") else docs.schema,
     )
     assert back.schema == docs.schema
     assert sorted(map(tuple, back.collect())) == sorted(
@@ -27,14 +27,14 @@ def test_documents_roundtrip(spark, sf_dir, tmp_path, fmt):
     )
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
 def test_orders_roundtrip_with_timestamps(spark, sf_dir, tmp_path, fmt):
     orders = load_table(spark, sf_dir, "orders")
     path = str(tmp_path / f"orders_{fmt}")
     write_table(orders, path, fmt)
     back = read_table(
         spark, path, fmt,
-        schema=None if fmt == "parquet" else orders.schema,
+        schema=None if fmt in ("parquet", "orc") else orders.schema,
     )
     assert back.schema == orders.schema
     assert sorted(map(tuple, back.collect())) == sorted(

@@ -374,3 +374,31 @@ def test_overwrite_by_batch_writer_is_replay_idempotent(
     n = spark.read.parquet(out).count()
     w(df, 1)  # replay
     assert spark.read.parquet(out).count() == n == 2 * df.count()
+
+
+def test_stream_static_broadcast_join(spark, sf_dir, tmp_path):
+    """Stream-static join: a streaming feed enriched against a
+    bounded dimension (broadcast — the dim never shuffles, no state
+    needed; the static side is re-planned per micro-batch). Result
+    must equal the same join in batch mode."""
+    events = load_table(spark, sf_dir, "events")
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    feed = str(tmp_path / "ss_feed")
+    events.write.parquet(feed)
+    stream = spark.readStream.schema(events.schema).parquet(feed)
+    joined = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "tier"
+    )
+    assert joined.isStreaming
+    got = run_stream(joined, "ss_join", tmp_path / "ss_ckpt")
+
+    expect = events.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "tier"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
