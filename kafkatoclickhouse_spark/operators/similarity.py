@@ -392,3 +392,57 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label centroids (the IVF coarse-quantizer building block)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_label_centroids",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label,
+             CAST(r.range AS INTEGER) AS pos,
+             FLOOR(CAST(embedding[CAST(r.range AS INTEGER) + 1] AS DOUBLE)
+                   * 1000000) AS xq
+      FROM embeddings, range({DIM}) r
+    )
+    SELECT label, pos,
+           ROUND(CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             AS centroid,
+           COUNT(*) AS n_vectors
+    FROM ex GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors, emitted flat as (label, pos,
+    centroid) — the coarse-quantizer/cluster-mean kernel behind IVF
+    and k-means, as ONE declarative plan: posexplode the array so
+    the shuffle carries scalars keyed by (label, dimension), then a
+    partial-aggregating groupBy. No collect_list of whole vectors
+    ever materializes — per-reducer state is one running sum per
+    (label, pos), which is the shape that survives 10^9 vectors.
+
+    Determinism: components are fixed-point-quantized (floor to
+    1e-6) BEFORE summing, so the sum is an exact integer total —
+    order-insensitive under any partitioning and bit-identical in
+    the oracle. (A double sum of arbitrary floats would drift with
+    partition count; the decimal-cast trick used for 2dp money
+    columns can't cover arbitrary mantissas without hitting rounding
+    half-boundaries.)"""
+    em = fan_out(load_table(spark, sf_dir, "embeddings"))
+    ex = em.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * F.lit(1000000.0)).alias("xq"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum("xq").cast("double") / F.count("*") / F.lit(1000000.0), 6
+        ).alias("centroid"),
+        F.count("*").alias("n_vectors"),
+    )
