@@ -402,3 +402,43 @@ def test_stream_static_broadcast_join(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Stop/restart parity (reference R9: externalized checkpoints +
+    restart policy): a restarted query must resume from the offsets
+    in its checkpoint — the second run processes only the files that
+    arrived after the first run, and the landed output across both
+    runs is the full feed exactly once."""
+    from kafkatoclickhouse_spark.streaming import sink as sk
+
+    events = load_table(spark, sf_dir, "events")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first.write.parquet(feed)
+
+    def run_once():
+        stream = spark.readStream.schema(events.schema).parquet(feed)
+        q = (
+            stream.writeStream.foreachBatch(
+                sk.overwrite_by_batch_parquet_writer(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    assert spark.read.parquet(out).count() == first.count()
+
+    second.write.mode("append").parquet(feed)
+    run_once()
+    landed = spark.read.parquet(out).drop("batch_id")
+    assert landed.count() == events.count()
+    assert sorted(map(tuple, landed.select(*events.columns).collect())) == (
+        sorted(map(tuple, events.collect()))
+    )
