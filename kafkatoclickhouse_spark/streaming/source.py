@@ -72,6 +72,38 @@ def kafka_raw_stream(
     )
 
 
+def kafka_raw_batch(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    ending_offsets: str = "latest",
+) -> DataFrame:
+    """Bounded (batch) read of the same topics — the backfill /
+    reprocessing path. One code path downstream serves both: Spark's
+    batch Kafka relation emits the identical schema, so
+    ``parse_and_enrich`` and everything after it is reused verbatim.
+    Offset ranges make the read deterministic and resumable by
+    range-splitting (``startingOffsets``/``endingOffsets`` accept
+    per-partition JSON). Requires the spark-sql-kafka connector on
+    the classpath, like :func:`kafka_raw_stream` (broker-gated —
+    neither broker nor connector exists in the test container)."""
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .option("endingOffsets", ending_offsets)
+        .load()
+        .select(
+            F.col("value").cast("string").alias("value"),
+            "topic",
+            "partition",
+            "offset",
+        )
+    )
+
+
 def file_raw_stream(spark: SparkSession, path: str) -> DataFrame:
     """Test double: stream a parquet dir of RAW_SCHEMA rows (written
     by ``operators.ingest.events_as_raw_json``). Identical shape to

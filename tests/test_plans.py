@@ -209,3 +209,14 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     # and it actually prunes: only the -03 partitions are read.
     months = {r["o_month"] for r in joined.collect()}
     assert months and all(m.endswith("-03") for m in months)
+
+
+def test_topk_window_prunes_map_side(spark, sf_dir):
+    """rank-limit top-k must plan WindowGroupLimit on BOTH sides of
+    the exchange: each map task keeps at most k rows per group before
+    shuffling, so the exchange carries O(k × groups × tasks) rows —
+    not the whole table. This is what makes window top-k viable on a
+    100 TB fact table."""
+    df = registry.QUERIES["window_topk_per_group"](spark, sf_dir)
+    plan = plans.plan_string(df, "simple")
+    assert plan.count("WindowGroupLimit") >= 2, plan
