@@ -410,7 +410,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings, range({DIM}) r
     )
     SELECT label, pos,
-           ROUND(CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+           FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) / 1000000.0
              AS centroid,
            COUNT(*) AS n_vectors
     FROM ex GROUP BY label, pos
@@ -431,7 +431,11 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle. (A double sum of arbitrary floats would drift with
     partition count; the decimal-cast trick used for 2dp money
     columns can't cover arbitrary mantissas without hitting rounding
-    half-boundaries.)"""
+    half-boundaries.) The mean is floored back to the 1e-6 grid —
+    floor, not round, because the integer-sum ÷ count quotient CAN
+    land exactly on a decimal half, where Spark (half-up on the
+    shortest decimal repr) and other engines (IEEE half-even)
+    legitimately disagree; floor has no tie to break."""
     em = fan_out(load_table(spark, sf_dir, "embeddings"))
     ex = em.select(
         "label", F.posexplode("embedding").alias("pos", "x")
@@ -441,8 +445,9 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("x").cast("double") * F.lit(1000000.0)).alias("xq"),
     )
     return ex.groupBy("label", "pos").agg(
-        F.round(
-            F.sum("xq").cast("double") / F.count("*") / F.lit(1000000.0), 6
+        (
+            F.floor(F.sum("xq").cast("double") / F.count("*")).cast("double")
+            / F.lit(1000000.0)
         ).alias("centroid"),
         F.count("*").alias("n_vectors"),
     )
