@@ -135,3 +135,82 @@ def keyed_count_window(
             "NoTimeout" if timeout_ms is None else "ProcessingTimeTimeout"
         ),
     )
+
+
+# -- transformWithState twin (Spark 4 arbitrary-state API) ------------------
+#
+# Same semantics on the successor API: typed per-key state handles
+# (ValueState here; List/Map state and TTL are available), explicit
+# timer registration instead of a single timeout, and a RocksDB-only
+# state store. New jobs should start here; applyInPandasWithState
+# above is kept as the widely-deployed form and as the semantics
+# reference (its transition fn is unit-testable without a stream).
+# Runtime dependency: the transformWithState state protocol needs
+# the ``protobuf`` package on driver and executors (absent from this
+# test container, so the parity test self-skips; the operator needs
+# no other setup).
+
+
+def make_count_window_processor(n: int):
+    """StatefulProcessor with the same emit rules as
+    :func:`make_count_window_fn` (count-fired windows only; tails
+    stay in state — timer-based partial flush would register a
+    processing-time timer in ``handleInputRows`` and emit in
+    ``handleExpiredTimer``, omitted so finite availableNow runs
+    terminate, exactly like ``timeout_ms=None``)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class CountWindowProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("win", STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterable[pd.DataFrame], timer_values
+        ) -> Iterator[pd.DataFrame]:
+            if self._state.exists():
+                next_window, raw = self._state.get()
+                parts = [pickle.loads(raw)]
+            else:
+                next_window, parts = 0, []
+            parts.extend(rows)
+            buf = (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame()
+            )
+            n_full = len(buf) // n
+            for i in range(n_full):
+                yield _annotate(
+                    buf.iloc[i * n : (i + 1) * n], next_window + i, "count"
+                )
+            next_window += n_full
+            tail = buf.iloc[n_full * n :].reset_index(drop=True)
+            self._state.update((next_window, pickle.dumps(tail)))
+
+        def close(self) -> None:
+            pass
+
+    return CountWindowProcessor()
+
+
+def keyed_count_window_tws(
+    df: DataFrame,
+    key: str = "essCode",
+    n: int = DEFAULT_WINDOW_SIZE,
+) -> DataFrame:
+    """:func:`keyed_count_window` on ``transformWithStateInPandas``.
+    Requires the RocksDB state store provider (the API rejects the
+    default HDFS-backed one):
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+    """
+    out_schema = T.StructType(list(df.schema.fields) + ANNOTATION_FIELDS)
+    return df.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=make_count_window_processor(n),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )

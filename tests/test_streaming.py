@@ -442,3 +442,49 @@ def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, landed.select(*events.columns).collect())) == (
         sorted(map(tuple, events.collect()))
     )
+
+
+def test_count_window_transform_with_state_matches_legacy(
+    spark, raw_feed_dir, tmp_path
+):
+    """The transformWithState (Spark 4 API, RocksDB state store)
+    count window must emit exactly the same windows as the
+    applyInPandasWithState implementation on the same feed.
+
+    Gated: transformWithState's state-server protocol needs
+    protobuf, which this container lacks (the operator itself is
+    plain PySpark — on any cluster with protobuf installed this test
+    runs)."""
+    pytest.importorskip("google.protobuf")
+    n = 20
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        raw = source.file_raw_stream(spark, raw_feed_dir)
+        clean, _ = pipeline.streaming_ingest(raw)
+        windowed = cw.keyed_count_window_tws(clean, key="essCode", n=n)
+        got = run_stream(windowed, "tws_stream", tmp_path / "tws_ckpt")
+        rows = got.select(
+            "essCode", "topicOffset", "window_id", "window_pos",
+            "flush_reason",
+        ).collect()
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", prev
+        )
+    assert rows, "no windows fired"
+
+    raw2 = source.file_raw_stream(spark, raw_feed_dir)
+    clean2, _ = pipeline.streaming_ingest(raw2)
+    legacy = run_stream(
+        cw.keyed_count_window(clean2, key="essCode", n=n, timeout_ms=None),
+        "tws_legacy_stream",
+        tmp_path / "tws_legacy_ckpt",
+    ).select(
+        "essCode", "topicOffset", "window_id", "window_pos", "flush_reason"
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, legacy.collect()))
