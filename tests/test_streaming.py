@@ -488,3 +488,65 @@ def test_count_window_transform_with_state_matches_legacy(
         "essCode", "topicOffset", "window_id", "window_pos", "flush_reason"
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, legacy.collect()))
+
+
+def test_watermark_drops_late_data_across_restarts(spark, sf_dir, tmp_path):
+    """Watermark semantics end-to-end: after a first run advances the
+    watermark to (max event time − delay), a second run over the same
+    checkpoint that delivers VERY late events (hours behind the
+    watermark) must not re-open finalized windows — the late rows are
+    dropped, and windows already emitted are never emitted again
+    (append mode emits each finalized window exactly once)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    max_ts = events.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - pd.Timedelta(days=2)
+    on_time = events.filter(F.col("ts") >= F.lit(cutoff))
+    late = events.filter(F.col("ts") < F.lit(cutoff))  # ≥2 days late
+    assert on_time.count() and late.count()
+
+    from kafkatoclickhouse_spark.streaming import sink as sk
+
+    feed = str(tmp_path / "wm_feed")
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+    on_time.write.parquet(feed)
+
+    def run_once():
+        stream = spark.readStream.schema(on_time.schema).parquet(feed)
+        win = sw.tumbling_counts(
+            stream, "ts", "1 hour", keys=("event_type",),
+            watermark="10 minutes",
+        )
+        q = (
+            win.writeStream.foreachBatch(
+                sk.overwrite_by_batch_parquet_writer(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    r1 = spark.read.parquet(out).cache()
+    first = r1.collect()
+    assert first, "no windows finalized in run 1"
+    run1_batches = {r["batch_id"] for r in first}
+
+    late.write.mode("append").parquet(feed)
+    run_once()
+    second_rows = (
+        spark.read.parquet(out)
+        .filter(~F.col("batch_id").isin(*run1_batches))
+        .collect()
+    )
+    first_windows = {(r["window_start"], r["event_type"]) for r in first}
+    for r in second_rows:
+        key = (r["window_start"], r["event_type"])
+        assert key not in first_windows, f"window re-emitted: {key}"
+        assert r["window_start"] >= cutoff - pd.Timedelta(hours=1), (
+            f"late window emitted: {r}"
+        )
