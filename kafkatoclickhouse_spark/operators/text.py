@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafkatoclickhouse_spark.functions import textfns
+from kafkatoclickhouse_spark.functions import hashing, textfns
 from kafkatoclickhouse_spark.functions.textfns import (
     BPE_TOKEN_RE,
     LANG_MARKERS,
@@ -357,4 +357,132 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus splitting & sequence packing
+# ---------------------------------------------------------------------------
+
+SPLIT_SEED = 7
+HOLDOUT_PCT = 10  # doc buckets 90-99 → holdout
+
+CHUNK_TOKENS = 2048
+PREFIX_BUCKET = 1000  # doc_ids per range bucket of the prefix sum
+
+
+@query(
+    "corpus_split_assign",
+    oracle=f"""
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < {100 - HOLDOUT_PCT} THEN 'train'
+                ELSE 'holdout' END AS split
+    FROM (
+      SELECT doc_id, lang,
+             CAST({{h}} % 100 AS INTEGER) AS bucket
+      FROM documents
+    )
+    """.format(
+        h=hashing.sql_portable_hash64("CAST(doc_id AS VARCHAR)", SPLIT_SEED)
+    ),
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout assignment by content-independent
+    hash of the document id — the reproducible-split primitive every
+    training pipeline needs. Hash-based (not ``randomSplit``) so the
+    assignment is stable across runs, engines, partitionings, and
+    re-ingestions of the same corpus: the holdout set never bleeds
+    into training when the pipeline re-runs. Map-only at any scale
+    (no shuffle, no state); the portable md5 family makes the oracle
+    bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        hashing.portable_hash64(
+            F.col("doc_id").cast("string"), SPLIT_SEED
+        ),
+        F.lit(100),
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 100 - HOLDOUT_PCT, "train")
+        .otherwise("holdout")
+        .alias("split"),
+    )
+
+
+@query(
+    "corpus_pack_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_toks
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_toks,
+             COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS token_offset
+      FROM t
+    )
+    SELECT doc_id, n_toks, token_offset,
+           token_offset // {CHUNK_TOKENS} AS chunk_id
+    FROM o
+    """,
+)
+def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate the corpus in doc_id order and
+    assign each document the {chunk}-token context window its first
+    token lands in — the concat-and-chunk layout LLM pretraining
+    uses. The global token offset is a prefix sum, computed WITHOUT
+    a single-partition global window (the naive ORDER BY window
+    serializes the whole table through one reducer): doc_ids are
+    range-bucketed, each bucket computes its local running sum in
+    parallel, the per-bucket totals (one row per bucket — the only
+    single-partition step, at 1/{bucket}th the data) turn into
+    exclusive bucket offsets, and a broadcast join adds them back.
+    Two narrow shuffles + one broadcast at any corpus size; the
+    oracle is the naive global window, proving the decomposition
+    exact.""".format(chunk=CHUNK_TOKENS, bucket=PREFIX_BUCKET)
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        textfns.ws_token_count(F.col("text")).alias("n_toks"),
+        F.floor(F.col("doc_id") / PREFIX_BUCKET).alias("bucket"),
+    )
+    w_local = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = t.withColumn("local_cum", F.sum("n_toks").over(w_local))
+    totals = t.groupBy("bucket").agg(F.sum("n_toks").alias("bucket_total"))
+    w_buckets = (
+        W.orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prefixes = totals.select(
+        "bucket",
+        (F.sum("bucket_total").over(w_buckets) - F.col("bucket_total")).alias(
+            "bucket_prefix"
+        ),
+    )
+    return (
+        local.join(F.broadcast(prefixes), "bucket")
+        .select(
+            "doc_id",
+            "n_toks",
+            (
+                F.col("bucket_prefix") + F.col("local_cum") - F.col("n_toks")
+            ).alias("token_offset"),
+            F.floor(
+                (F.col("bucket_prefix") + F.col("local_cum") - F.col("n_toks"))
+                / CHUNK_TOKENS
+            ).alias("chunk_id"),
+        )
     )

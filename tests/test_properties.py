@@ -158,3 +158,34 @@ def test_hll_mergeable_close_to_exact(spark, sf_dir):
         assert r["approx_users"] == unsharded[r["event_type"]], (
             "sharded union != single sketch"
         )
+
+
+def test_corpus_split_stable_and_proportional(spark, sf_dir):
+    """The hash split must be (a) deterministic across invocations,
+    (b) roughly 90/10 (within 5 points at fixture size), and (c) a
+    total partition of the corpus."""
+    rows1 = registry.QUERIES["corpus_split_assign"](spark, sf_dir).collect()
+    rows2 = registry.QUERIES["corpus_split_assign"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    n = len(rows1)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert n == n_docs
+    holdout = sum(1 for r in rows1 if r["split"] == "holdout")
+    assert abs(holdout / n - 0.10) < 0.05, holdout / n
+
+
+def test_pack_chunks_offsets_contiguous(spark, sf_dir):
+    """Token offsets must tile the concatenated corpus exactly: in
+    doc_id order each doc starts where the previous ended, and
+    chunk_ids are non-decreasing."""
+    rows = sorted(
+        registry.QUERIES["corpus_pack_chunks"](spark, sf_dir).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    expect = 0
+    last_chunk = 0
+    for r in rows:
+        assert r["token_offset"] == expect, (r, expect)
+        expect += r["n_toks"]
+        assert r["chunk_id"] >= last_chunk
+        last_chunk = r["chunk_id"]
