@@ -220,3 +220,14 @@ def test_topk_window_prunes_map_side(spark, sf_dir):
     df = registry.QUERIES["window_topk_per_group"](spark, sf_dir)
     plan = plans.plan_string(df, "simple")
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_sort_limit_is_top_n_not_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
+    top-N, then merge N×partitions rows on the driver) — never a full
+    range-partitioned global sort, which at 100 TB shuffles the whole
+    table to answer a 10-row question."""
+    df = registry.QUERIES["sort_limit_topn"](spark, sf_dir)
+    plan = plans.plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan

@@ -78,3 +78,27 @@ def test_resize_empty_payload():
     pdf = pd.DataFrame({"doc_id": [1], "payload": [b""]})
     out = pd.concat(multimodal._resize_batches(iter([pdf])))
     assert out["resized"].iloc[0] == [0] * multimodal.RESIZE_TO
+
+
+def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Schema evolution on the at-rest format: files written before a
+    column existed must union cleanly with newer files (mergeSchema),
+    old rows reading NULL for the added column — the contract that
+    lets a 100 TB table gain columns without rewriting history."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    path = str(tmp_path / "evolving")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0)
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", F.lit(0.5)
+    )
+    v1.write.parquet(path + "/v=1")
+    v2.write.parquet(path + "/v=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) >= {"doc_id", "lang", "quality"}
+    assert merged.count() == docs.count()
+    nulls = merged.filter(F.col("quality").isNull()).count()
+    assert nulls == v1.count()
