@@ -116,6 +116,29 @@ def split_clean_dirty(
     return df.filter(pred), df.filter(~pred)
 
 
+def observed_clean(
+    df: DataFrame,
+    fields: tuple[str, ...] = REQUIRED_FIELDS,
+    observation: object | None = None,
+) -> DataFrame:
+    """The clean stream with validation metrics attached via
+    ``df.observe``: total/dirty counts accumulate as a side effect of
+    whatever action runs the frame — ONE pass over the data, no
+    second counting job (at 100 TB a separate ``dirty.count()`` job
+    re-reads the source). Pass a ``pyspark.sql.Observation`` for
+    batch (read ``observation.get`` after an action) or a string
+    name for streaming (metrics arrive in each progress event's
+    ``observedMetrics``). The reference's only "metric" is a println
+    per dirty record (`MyKafkaDeserializationSchema.scala:54`)."""
+    pred = validation_predicate(fields)
+    observed = df.observe(
+        observation if observation is not None else "ingest_validation",
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((~pred).cast("long")).alias("n_dirty"),
+    )
+    return observed.filter(pred)
+
+
 def enrich(df: DataFrame) -> DataFrame:
     """R6 derivations (`MyWindowFunction.scala:40-42`):
     ``dayOfYear`` = first 10 chars of cTime (the date part — the

@@ -167,3 +167,27 @@ def test_fingerprint_whitespace_invariance(spark, s):
     ).collect()
     for r in rows:
         assert r["fa"] == r["fb"]
+
+
+def test_observed_clean_counts_in_one_pass(spark):
+    """df.observe metrics: total/dirty counts must materialize as a
+    side effect of the SAME action that consumes the clean stream —
+    no second job over the source — and agree with the explicit
+    split."""
+    from pyspark.sql import Observation
+
+    raw = spark.createDataFrame(
+        [
+            Row(value=v, topic="t", partition=0, offset=i)
+            for i, (v, _) in enumerate(DIRTY_CASES)
+        ]
+    )
+    parsed = ingest.parse_and_enrich(raw)
+    obs = Observation("ingest_validation")
+    clean = ingest.observed_clean(parsed, observation=obs)
+    n_clean = clean.count()  # the one action; metrics ride along
+    metrics = obs.get
+    n_clean_expected = sum(ok for _, ok in DIRTY_CASES)
+    assert n_clean == n_clean_expected
+    assert metrics["n_total"] == len(DIRTY_CASES)
+    assert metrics["n_dirty"] == len(DIRTY_CASES) - n_clean_expected

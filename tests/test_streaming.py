@@ -550,3 +550,38 @@ def test_watermark_drops_late_data_across_restarts(spark, sf_dir, tmp_path):
         assert r["window_start"] >= cutoff - pd.Timedelta(hours=1), (
             f"late window emitted: {r}"
         )
+
+
+def test_listener_sees_observed_validation_metrics(
+    spark, raw_feed_dir, tmp_path
+):
+    """A StreamingQueryListener must receive per-batch progress with
+    the observe() validation counters attached — throughput and data
+    quality from the same events, zero extra jobs."""
+    import time
+
+    from kafkatoclickhouse_spark.streaming.metrics import ProgressCollector
+
+    collector = ProgressCollector()
+    spark.streams.addListener(collector)
+    try:
+        raw = source.file_raw_stream(spark, raw_feed_dir)
+        parsed = ingest.parse_and_enrich(raw)
+        clean = ingest.observed_clean(parsed)
+        run_stream(clean, "obs_stream", tmp_path / "obs_ckpt")
+        # listener events are delivered async; allow them to drain
+        deadline = time.time() + 30
+        while time.time() < deadline and not collector.observed(
+            "ingest_validation"
+        ):
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(collector)
+    metrics = collector.observed("ingest_validation")
+    assert metrics, "no observed metrics in progress events"
+    total = sum(m["n_total"] for m in metrics)
+    dirty = sum(m["n_dirty"] or 0 for m in metrics)
+    feed_rows = spark.read.parquet(raw_feed_dir).count()
+    assert total == feed_rows
+    assert dirty == 0  # the fixture feed is all-clean
+    assert any(n > 0 for n, _ in collector.rates())
