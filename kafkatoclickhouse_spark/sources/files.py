@@ -80,6 +80,29 @@ def write_table(
     writer.format(fmt).save(path)
 
 
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int,
+) -> None:
+    """Write parquet range-clustered on ``cluster_col``: rows are
+    range-partitioned (sampled split points) and sorted within each
+    file, so every file — and every row group inside it — covers a
+    narrow, non-overlapping value range. Point/range predicates on
+    the cluster column then skip whole files via footer min/max stats
+    before any row is read: the lightweight cousin of Hive-style
+    directory partitioning, right when the column is too
+    high-cardinality to be a directory key (ids, timestamps). The
+    cost is one range-exchange at write time."""
+    (
+        df.repartitionByRange(n_files, cluster_col)
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

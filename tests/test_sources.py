@@ -102,3 +102,35 @@ def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
     assert merged.count() == docs.count()
     nulls = merged.filter(F.col("quality").isNull()).count()
     assert nulls == v1.count()
+
+
+def test_range_clustered_write_has_disjoint_file_ranges(
+    spark, sf_dir, tmp_path
+):
+    """Range-clustered files must cover non-overlapping key ranges
+    (that disjointness is exactly what lets footer min/max stats skip
+    files for selective predicates), and the clustered copy must hold
+    the same rows."""
+    import glob
+
+    from kafkatoclickhouse_spark.sources.files import write_range_clustered
+
+    od = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_clustered")
+    write_range_clustered(od, path, "o_orderkey", n_files=8)
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) > 1
+    ranges = []
+    for f in files:
+        row = (
+            spark.read.parquet(f)
+            .selectExpr("min(o_orderkey) AS lo", "max(o_orderkey) AS hi")
+            .first()
+        )
+        if row["lo"] is not None:
+            ranges.append((row["lo"], row["hi"]))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next, ranges
+    assert spark.read.parquet(path).count() == od.count()
