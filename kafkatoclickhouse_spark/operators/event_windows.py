@@ -200,3 +200,90 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(finish(hour, "hour"))
         .unionAll(finish(day, "day"))
     )
+
+
+@query(
+    "timeseries_gapfill_ffill",
+    oracle=f"""
+    WITH src AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, value
+      FROM events WHERE user_id % 50 = 0
+    ),
+    hourly AS (
+      SELECT user_id, bucket,
+             {sql_dsum('value')} AS v_sum,
+             COUNT(*) AS n_events
+      FROM src GROUP BY user_id, bucket
+    ),
+    bounds AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM src GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    )
+    SELECT g.user_id,
+           strftime(g.bucket, '{_DFMT}') AS bucket,
+           COALESCE(h.n_events, 0) AS n_events,
+           h.v_sum AS v_sum,
+           last_value(h.v_sum IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_ffill
+    FROM grid g
+    LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.bucket = h.bucket
+    """,
+)
+def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample with forward fill — the hypertable
+    ``time_bucket_gapfill`` + ``locf`` pattern: per entity, a dense
+    hourly grid spanning its observed range (sequence + explode —
+    generated, not stored), left-joined against the actual hourly
+    aggregates, silent hours carried forward from the last observed
+    value (``last`` with ignorenulls over an ordered per-key window).
+
+    Scale shape: the grid is rows × (span/grain) and is generated
+    partition-local from one (min, max) row per key — no shuffle to
+    build it; the join and the fill window both key on user_id, so
+    AQE reuses one exchange. The dense output is what downstream
+    models (anomaly detection, feature windows) consume without
+    null-handling logic."""
+    from pyspark.sql import Window as W
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 50 == 0)
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "value",
+        )
+    )
+    hourly = ev.groupBy("user_id", "bucket").agg(
+        dsum("value", "v_sum"), F.count("*").alias("n_events")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return grid.join(hourly, ["user_id", "bucket"], "left").select(
+        "user_id",
+        F.date_format("bucket", _FMT).alias("bucket"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "v_sum",
+        F.last("v_sum", ignorenulls=True).over(w).alias("v_ffill"),
+    )
