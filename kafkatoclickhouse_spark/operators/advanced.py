@@ -253,3 +253,37 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over each customer's
+    order history (ordered by date with a unique tiebreak — the rule
+    that makes positional window functions deterministic).
+    last_value needs the UNBOUNDED FOLLOWING frame in BOTH engines:
+    the default frame ends at CURRENT ROW, where last_value
+    degenerates to the row itself."""
+    od = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )

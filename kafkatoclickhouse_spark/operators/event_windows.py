@@ -287,3 +287,74 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_sum",
         F.last("v_sum", ignorenulls=True).over(w).alias("v_ffill"),
     )
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                    > 30 * 60 * 1000000
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           strftime(MIN(ts), '{_DFMT}') AS session_start,
+           strftime(MAX(ts), '{_DFMT}') AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a session starts wherever the
+    per-user gap to the previous event exceeds 30 minutes; the
+    running sum of start markers numbers the sessions. The batch
+    (windowed) formulation of what ``F.session_window`` computes in
+    streaming — kept as its own operator because the lag/cumsum
+    pattern composes with arbitrary boundary predicates (value
+    resets, type changes), not just time gaps.
+
+    One exchange on user_id serves the lag, the cumsum, and the
+    final per-session aggregate — Catalyst reuses the sort order
+    across all three windows."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds on both sides — a seconds cast would
+    # truncate and disagree with the oracle on boundary-width gaps.
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w_ord)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    numbered = marked.withColumn(
+        "session_seq", F.sum("is_start").over(w_run)
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.date_format(F.min("ts"), _FMT).alias("session_start"),
+        F.date_format(F.max("ts"), _FMT).alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum("value", "total_value"),
+    )
