@@ -287,3 +287,74 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w_full).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+# -- statistical aggregates from exact partial sums -------------------------
+
+
+@query(
+    "agg_stats_corr",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+           ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+           ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_qd,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS corr_qd
+    FROM s
+    """,
+)
+def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev/covariance/correlation assembled from
+    exact decimal partial sums (n, Σx, Σy, Σx², Σy², Σxy) — the
+    sufficient-statistics form. Spark's builtin stddev/corr stream
+    doubles in partition order and drift run-to-run; the sufficient
+    statistics are exact integers-in-decimal, merge associatively
+    (the same property the mergeable-sketch queries lean on), and the
+    closed-form combination is one deterministic double expression.
+    Restricted to 2dp columns whose squared sums stay under 2^53 so
+    the decimal→double conversion is lossless in any engine — for
+    money-scale columns, shift the decimal scale instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from kafkatoclickhouse_spark.functions.exact import dec2
+
+    x = dec2("l_quantity")
+    y = dec2("l_discount")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias(
+            "stddev_qty"
+        ),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_qd"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qd"),
+    )

@@ -820,6 +820,51 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.subtract(od)  # subtract == EXCEPT DISTINCT
 
 
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics — occurrence counts subtract,
+    not just membership): each customer's key survives as many times
+    as they have non-'F' orders. Spark plans this as a count-compare
+    aggregate + generate, never a row-by-row anti loop."""
+    od = _t(spark, sf_dir, "orders")
+    allk = od.select(F.col("o_custkey").alias("custkey"))
+    fk = od.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return allk.exceptAll(fk)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_totalprice > 100000
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: per key, min(multiplicity left, multiplicity
+    right) copies survive."""
+    od = _t(spark, sf_dir, "orders")
+    o = od.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    big = od.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o.intersectAll(big)
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions: string / date / math / JSON / array
 # ---------------------------------------------------------------------------
