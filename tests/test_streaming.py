@@ -585,3 +585,31 @@ def test_listener_sees_observed_validation_metrics(
     assert total == feed_rows
     assert dirty == 0  # the fixture feed is all-clean
     assert any(n > 0 for n, _ in collector.rates())
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir, tmp_path):
+    """Session windows under Structured Streaming (merging-window
+    state — the heaviest stateful aggregation): every session the
+    stream finalizes must exist identically in the batch result, and
+    most sessions must finalize (watermark at end-of-feed only holds
+    back the tail)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    feed = str(tmp_path / "sess_feed")
+    events.write.parquet(feed)
+    stream = spark.readStream.schema(events.schema).parquet(feed)
+    win = sw.session_counts(stream, "ts", "30 minutes", keys=("user_id",))
+    got = run_stream(win, "sess_stream", tmp_path / "sess_ckpt").collect()
+    assert got, "no sessions finalized"
+
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in sw.session_counts(
+            events, "ts", "30 minutes", keys=("user_id",)
+        ).collect()
+    }
+    for r in got:
+        key = (r["user_id"], r["session_start"], r["session_end"])
+        assert batch.get(key) == r["n_events"], key
+    assert len(got) > 0.5 * len(batch), (len(got), len(batch))
