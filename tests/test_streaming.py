@@ -613,3 +613,31 @@ def test_streaming_session_window_equals_batch(spark, sf_dir, tmp_path):
         key = (r["user_id"], r["session_start"], r["session_end"])
         assert batch.get(key) == r["n_events"], key
     assert len(got) > 0.5 * len(batch), (len(got), len(batch))
+
+
+def test_streaming_sliding_window_equals_batch(spark, sf_dir, tmp_path):
+    """Sliding windows (2h size / 1h slide — every event lands in two
+    windows) under streaming: finalized windows must match batch
+    exactly, same contract as the tumbling and session smokes."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    feed = str(tmp_path / "slide_feed")
+    events.write.parquet(feed)
+    stream = spark.readStream.schema(events.schema).parquet(feed)
+    win = sw.sliding_counts(
+        stream, "ts", size="2 hours", slide="1 hour", keys=("event_type",)
+    )
+    got = run_stream(win, "slide_stream", tmp_path / "slide_ckpt").collect()
+    assert got, "no windows finalized"
+
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in sw.sliding_counts(
+            events, "ts", size="2 hours", slide="1 hour",
+            keys=("event_type",),
+        ).collect()
+    }
+    for r in got:
+        key = (r["window_start"], r["event_type"])
+        assert batch.get(key) == r["n_events"], key
