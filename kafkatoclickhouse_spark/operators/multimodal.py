@@ -188,29 +188,68 @@ def _resize_batches(
     output per payload. The interpolation a codec library would do is
     STUBBED with deterministic strided byte selection (container has
     no PIL/cv2 — see ``decode_image``); batch shape, Arrow transfer
-    and output schema are exactly what the real kernel uses."""
+    and output schema are exactly what the real kernel uses.
+
+    Index selection is pure integer arithmetic —
+    ``pos_i = i*(n-1) // (RESIZE_TO-1)`` — so the exact same positions
+    are reproducible in any engine (the DuckDB oracle recomputes them
+    with integer division; float ``linspace`` would not hash-match)."""
     import numpy as np
 
+    steps = None
     for pdf in batches:
+        if steps is None:
+            steps = np.arange(RESIZE_TO, dtype=np.int64)
         out = []
         for b in pdf["payload"]:
             a = np.frombuffer(b, dtype=np.uint8)
             if a.size == 0:
                 out.append([0] * RESIZE_TO)
                 continue
-            idx = np.linspace(0, a.size - 1, RESIZE_TO).astype(np.int64)
+            idx = steps * (a.size - 1) // (RESIZE_TO - 1)
             out.append(a[idx].astype(np.int32).tolist())
         yield pd.DataFrame(
             {"doc_id": pdf["doc_id"], "resized": out}
         )
 
 
-@query("multimodal_resize")  # rows-only: strided resample not ANSI-SQL
+def resize(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched fixed-size resample over the binary column;
+    returns the raw ``array<int>`` pixels (internal use + pytest)."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        _resize_batches, schema="doc_id long, resized array<int>"
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT d.doc_id,
+           string_agg(
+               CAST(CASE WHEN strlen(d.text) = 0 THEN 0
+                    ELSE ascii(substring(d.text,
+                         CAST((g.i * (strlen(d.text) - 1))
+                              // {RESIZE_TO - 1} AS INTEGER) + 1, 1))
+               END AS VARCHAR), ',' ORDER BY g.i) AS resized_csv
+    FROM documents d,
+         (SELECT unnest(range(0, {RESIZE_TO})) AS i) g
+    GROUP BY d.doc_id
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size resample of every payload via the Arrow-batched
-    resize kernel; pytest pins exact output on a known payload."""
+    resize kernel; pytest pins the raw array on a known payload.
+
+    The registered form joins the pixel array into one csv string —
+    drivers canonicalize rows by sorting/hashing values, and a raw
+    ``array<int>`` column is unhashable there. The oracle recomputes
+    the integer-stride byte selection directly over the source text
+    (pure ASCII fixture, so char code == payload byte)."""
     docs = load_table(spark, sf_dir, "documents")
-    mm = with_binary_payload(docs)
-    return mm.select("doc_id", "payload").mapInPandas(
-        _resize_batches, schema="doc_id long, resized array<int>"
+    px = resize(with_binary_payload(docs))
+    return px.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("resized", lambda x: x.cast("string"))
+        ).alias("resized_csv"),
     )

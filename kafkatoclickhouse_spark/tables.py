@@ -45,6 +45,10 @@ NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Runtime-settable SQL conf; must be set here (not only in the
+    # session factory) because callers may pass an externally built
+    # SparkSession that never went through session.get_spark().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in NANOS_TS_COLUMNS.get(name, ()):
         if col in df.columns and isinstance(

@@ -64,14 +64,18 @@ def test_csv_requires_schema(spark, tmp_path):
 
 def test_resize_kernel_exact():
     """The strided-resample stub is deterministic: known payload →
-    known output (np.linspace index selection)."""
+    known output (integer-stride index selection i*(n-1)//(k-1),
+    chosen over float linspace so the DuckDB oracle can reproduce the
+    exact positions with integer division)."""
     payload = bytes(range(200))
     pdf = pd.DataFrame({"doc_id": [1], "payload": [payload]})
     out = pd.concat(multimodal._resize_batches(iter([pdf])))
     got = out["resized"].iloc[0]
-    idx = np.linspace(0, 199, multimodal.RESIZE_TO).astype(np.int64)
-    assert got == [int(b) for b in np.frombuffer(payload, np.uint8)[idx]]
-    assert len(got) == multimodal.RESIZE_TO
+    k = multimodal.RESIZE_TO
+    idx = [i * 199 // (k - 1) for i in range(k)]
+    assert got == [payload[j] for j in idx]
+    assert got[0] == 0 and got[-1] == 199
+    assert len(got) == k
 
 
 def test_resize_empty_payload():
