@@ -273,17 +273,24 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, so this never shuffles raw keys — the 100 TB answer to
     COUNT(DISTINCT). Sketch estimates are engine-specific, so the
     hash-checked output carries the exact counts plus booleans
-    asserting the sketch landed within the advertised 5% relative
-    error (the oracle emits TRUE): the approximation stays meaningful
-    AND driver-verifiable. Exact values also pinned in pytest."""
+    asserting the sketch landed within a 5% envelope (the oracle
+    emits TRUE). The sketch runs at an explicit rsd=0.01 so the 5%
+    envelope is a 5-sigma bound — deterministic in practice, unlike
+    the default rsd=0.05 where 5% is ~1 sigma and the boolean flaps
+    (it did, in CORRECTNESS_r02). Exact values also pinned in
+    pytest."""
     df = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_orderkey").alias("exact_orders"),
             F.countDistinct("l_partkey").alias("exact_parts"),
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias(
+                "approx_orders"
+            ),
+            F.approx_count_distinct("l_partkey", 0.01).alias(
+                "approx_parts"
+            ),
         )
     )
 
@@ -319,17 +326,18 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unlike approx_count_distinct, the sketch itself is storable:
     write the partials, re-aggregate them tomorrow). Driver-checked
     like ``approx_count_distinct``: exact count + a within-5%-envelope
-    boolean the oracle asserts TRUE."""
+    boolean the oracle asserts TRUE. lgK=16 puts the sketch's rse at
+    ~0.4%, so the 5% envelope is a >10-sigma bound (the default
+    lgK=12 is ~1.6% — only ~3 sigma, a flake risk across scales)."""
     ev = _t(spark, sf_dir, "events")
     shards = ev.withColumn(
         "shard", (F.col("event_id") % 8).cast("int")
     )
     partials = shards.groupBy("event_type", "shard").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.countDistinct("user_id").alias("shard_users"),
+        F.hll_sketch_agg("user_id", F.lit(16)).alias("sk"),
     )
-    # exact distinct needs the raw keys once (the sketch path does
-    # not); both aggregations share the one shuffle on event_type.
+    # The exact distinct is a separate groupBy over the raw keys (the
+    # sketch path never reshuffles them — that is its point).
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users")
     )

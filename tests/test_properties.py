@@ -11,7 +11,10 @@ from kafkatoclickhouse_spark.tables import load_table
 
 
 def test_approx_count_distinct_close_to_exact(spark, duck, sf_dir):
-    """HLL sketch has no SQL oracle; pin it to within 5% of exact."""
+    """The query's exact_* columns must equal a straight
+    count_distinct, and the within-5pct booleans must hold — at
+    rsd=0.01 the 5% envelope is a 5-sigma bound, so a False is a
+    bug, not sketch noise."""
     rows = registry.QUERIES["approx_count_distinct"](spark, sf_dir).collect()
     assert rows
     exact = {
@@ -19,17 +22,17 @@ def test_approx_count_distinct_close_to_exact(spark, duck, sf_dir):
         for r in load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.count_distinct("l_orderkey").alias("approx_orders"),
-            F.count_distinct("l_partkey").alias("approx_parts"),
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
         )
         .collect()
     }
     for r in rows:
         d = r.asDict()
         e = exact[d["l_returnflag"]]
-        for k in ("approx_orders", "approx_parts"):
-            # HLL++ default rsd=5%; allow 3 sigma.
-            assert abs(d[k] - e[k]) <= max(1, 0.15 * e[k]), (d, e)
+        assert d["exact_orders"] == e["exact_orders"], (d, e)
+        assert d["exact_parts"] == e["exact_parts"], (d, e)
+        assert d["orders_within_5pct"] and d["parts_within_5pct"], d
 
 
 def test_dedup_exact_output_subset_of_input(spark, sf_dir):
@@ -129,10 +132,11 @@ def test_cluster_assignment_consistent_with_pairs(spark, sf_dir):
 
 
 def test_hll_mergeable_close_to_exact(spark, sf_dir):
-    """Sharded-sketch union must estimate within the Datasketches
-    HLL error envelope of exact per-type user cardinality — and the
-    union of partials must equal a single unsharded sketch exactly
-    (mergeability is lossless by construction)."""
+    """The query's exact_users must equal a straight count_distinct
+    and its within_5pct envelope must hold (lgK=16 makes 5% a >10
+    sigma bound). Separately pin mergeability: a sharded union of
+    lgK=16 partials must estimate exactly what one unsharded lgK=16
+    sketch does — union is lossless by construction."""
     rows = registry.QUERIES["agg_hll_mergeable"](spark, sf_dir).collect()
     assert rows
     ev = load_table(spark, sf_dir, "events")
@@ -142,22 +146,36 @@ def test_hll_mergeable_close_to_exact(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("n"))
         .collect()
     }
+    for r in rows:
+        assert r["exact_users"] == exact[r["event_type"]], r
+        assert r["within_5pct"], r
     unsharded = {
         r["event_type"]: r["approx_users"]
         for r in ev.groupBy("event_type")
         .agg(
-            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(16))
+            ).alias("approx_users")
+        )
+        .collect()
+    }
+    sharded = {
+        r["event_type"]: r["approx_users"]
+        for r in ev.withColumn(
+            "shard", (F.col("event_id") % 8).cast("int")
+        )
+        .groupBy("event_type", "shard")
+        .agg(F.hll_sketch_agg("user_id", F.lit(16)).alias("sk"))
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
                 "approx_users"
             )
         )
         .collect()
     }
-    for r in rows:
-        e = exact[r["event_type"]]
-        assert abs(r["approx_users"] - e) <= max(1, 0.05 * e), (r, e)
-        assert r["approx_users"] == unsharded[r["event_type"]], (
-            "sharded union != single sketch"
-        )
+    for t, est in sharded.items():
+        assert est == unsharded[t], ("sharded union != single sketch", t)
 
 
 def test_corpus_split_stable_and_proportional(spark, sf_dir):
