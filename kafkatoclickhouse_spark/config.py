@@ -63,19 +63,46 @@ class PipelineConfig:
 
     @classmethod
     def from_properties(cls, props: dict[str, str]) -> "PipelineConfig":
+        """Build the typed config, accepting BOTH this repo's key
+        spellings and the reference's verbatim ones
+        (``/root/reference/test.properties``): ``kafka.topic`` (:3),
+        ``kafka.consumer.groupid`` (:5), ``clickhouse.conn`` +
+        ``clickhouse.database`` (:21,19) composing the JDBC URL,
+        ``clickhouse.stringTypes`` (:26) and ``checkpoint.path``
+        (:10). Repo spellings win when both are present; a verbatim
+        reference file populates every field (pinned in
+        tests/test_config.py)."""
+
         def split_csv(s: str) -> list[str]:
             return [x.strip() for x in s.split(",") if x.strip()]
+
+        def first(*keys: str, default: str = "") -> str:
+            for k in keys:
+                if k in props:
+                    return props[k]
+            return default
+
+        jdbc_url = props.get("clickhouse.url", "")
+        if not jdbc_url and "clickhouse.conn" in props:
+            jdbc_url = props["clickhouse.conn"].rstrip("/")
+            database = props.get("clickhouse.database", "")
+            if database:
+                jdbc_url = f"{jdbc_url}/{database}"
 
         return cls(
             kafka_bootstrap_servers=props.get(
                 "kafka.bootstrap.servers", "localhost:9092"
             ),
-            kafka_topics=split_csv(props.get("kafka.topics", "")),
-            kafka_group_id=props.get("kafka.group.id", "kafkatoclickhouse_spark"),
+            kafka_topics=split_csv(first("kafka.topics", "kafka.topic")),
+            kafka_group_id=first(
+                "kafka.group.id",
+                "kafka.consumer.groupid",
+                default="kafkatoclickhouse_spark",
+            ),
             kafka_starting_offsets=props.get(
                 "kafka.auto.offset.reset", "earliest"
             ),
-            jdbc_url=props.get("clickhouse.url", ""),
+            jdbc_url=jdbc_url,
             jdbc_table=props.get("clickhouse.table", ""),
             jdbc_user=props.get("clickhouse.user", ""),
             jdbc_password=props.get("clickhouse.passwd", ""),
@@ -83,10 +110,16 @@ class PipelineConfig:
             window_size=int(props.get("window.size", "20")),
             check_fields=split_csv(props.get("check.field", "cTime,essCode")),
             string_types=split_csv(
-                props.get("string.type", "String,Date,DateTime")
+                first(
+                    "string.type",
+                    "clickhouse.stringTypes",
+                    default="String,Date,DateTime",
+                )
             ),
-            checkpoint_dir=props.get(
-                "checkpoint.dir", "/tmp/kafkatoclickhouse_spark/checkpoints"
+            checkpoint_dir=first(
+                "checkpoint.dir",
+                "checkpoint.path",
+                default="/tmp/kafkatoclickhouse_spark/checkpoints",
             ),
             env=props.get("flink.env", props.get("env", "test")),
         )

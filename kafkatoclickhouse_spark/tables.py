@@ -45,10 +45,19 @@ NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Runtime-settable SQL conf; must be set here (not only in the
-    # session factory) because callers may pass an externally built
-    # SparkSession that never went through session.get_spark().
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Load one fixture table.
+
+    Side effect: for tables listed in NANOS_TS_COLUMNS this sets
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the caller's
+    session (runtime-settable; must happen here, not only in the
+    session factory, because callers may pass an externally built
+    SparkSession that never went through session.get_spark()).
+    Other tables leave the session conf untouched, so a host session
+    reading its own nanos parquet with timestamp semantics is not
+    silently flipped.
+    """
+    if name in NANOS_TS_COLUMNS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in NANOS_TS_COLUMNS.get(name, ()):
         if col in df.columns and isinstance(

@@ -39,7 +39,7 @@ spark = (
 from kafkatoclickhouse_spark import registry
 registry.load_all()
 
-sf_dir = "/root/testdata/sf0.001"
+sf_dir = "@SF_DIR@"
 names = [
     "sql_nation_revenue",      # load_tables: all 10 tables incl. events
     "stream_window_tumbling",  # events direct
@@ -57,7 +57,16 @@ print("ALL_OK")
 
 def test_queries_run_on_foreign_session():
     proc = subprocess.run(
-        [sys.executable, "-c", PROBE.replace("@REPO@", REPO)],
+        [
+            sys.executable,
+            "-c",
+            PROBE.replace("@REPO@", REPO).replace(
+                "@SF_DIR@",
+                os.environ.get(
+                    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+                ),
+            ),
+        ],
         capture_output=True,
         text=True,
         timeout=600,
