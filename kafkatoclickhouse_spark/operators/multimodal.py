@@ -111,11 +111,26 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_byte_features")  # rows-only: byte math not ANSI-SQL
+@query(
+    "multimodal_byte_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(SUM(ascii(ch)), 0) AS BIGINT) AS byte_sum,
+           CAST(MIN(ascii(ch)) AS BIGINT) AS byte_min,
+           CAST(MAX(ascii(ch)) AS BIGINT) AS byte_max
+    FROM (SELECT doc_id, text, unnest(string_split(text, '')) AS ch
+          FROM documents)
+    GROUP BY doc_id, text
+    """,
+)
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads
-    (deterministic byte statistics; pytest checks exact values on a
-    known payload, the driver records a rows-only check)."""
+    (deterministic byte statistics; pytest additionally pins exact
+    values on a known payload). The oracle recomputes the stats
+    per-character over the source text — identical to the byte path
+    because the fixture text is pure ASCII (char code == payload
+    byte), the same technique as ``multimodal_resize``."""
     docs = load_table(spark, sf_dir, "documents")
     return byte_features(with_binary_payload(docs))
 

@@ -28,9 +28,11 @@ def main() -> int:
     con = oracle.duckdb_connect(sf_dir)
 
     failures = []
+    ran = 0
     for name in sorted(registry.QUERIES):
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             problems = oracle.compare_query(spark, con, name, sf_dir)
@@ -47,8 +49,7 @@ def main() -> int:
         else:
             print(f"ok   {name}: match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(registry.QUERIES) - len(failures)}/"
-          f"{len(registry.QUERIES)} pass")
+    print(f"\n{ran - len(failures)}/{ran} pass")
     return 1 if failures else 0
 
 
