@@ -447,3 +447,121 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+# Bucketed near-dup threshold: at fixture scale (500 vectors of
+# dim-64 pseudo-random floats) NO pair clears 0.8, so a 0.8-threshold
+# bucketed query would be driver-"green" on an empty result — 0.3
+# yields ~1k true pairs of which the band filter keeps a few hundred,
+# so the candidate-generation path is actually exercised.
+COSINE_BUCKETED_THRESHOLD = 0.3
+_LSH_BANDS = 2  # NUM_PLANES(8) split into 2 bands of 4 bits
+
+from kafkatoclickhouse_spark.operators.similarity import (  # noqa: E402
+    _SQL_PLANE_COMPONENT,
+    DIM as _LSH_DIM,
+    NUM_PLANES as _LSH_PLANES,
+)
+
+_BUCKETED_ORACLE = f"""
+WITH planes AS (
+  SELECT p, list_transform(range({_LSH_DIM}),
+                           d -> {_SQL_PLANE_COMPONENT}) AS plane
+  FROM (SELECT unnest(range({_LSH_PLANES})) AS p)
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(v, plane) >= 0
+                       THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM e, planes
+  GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, 0 AS band_id, bucket % 16 AS bb FROM buckets
+  UNION ALL
+  SELECT vec_id, 1 AS band_id, bucket // 16 AS bb FROM buckets
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bb = b.bb
+             AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+FROM cand
+JOIN e ea ON ea.vec_id = vec_a
+JOIN e eb ON eb.vec_id = vec_b
+WHERE list_cosine_similarity(ea.v, eb.v) >= {COSINE_BUCKETED_THRESHOLD}
+"""
+
+
+@query("dedup_embedding_cosine_bucketed", oracle=_BUCKETED_ORACLE)
+def dedup_embedding_cosine_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB embedding-dedup path, end to end: banded
+    random-hyperplane LSH candidate generation + exact cosine verify,
+    the scale twin of ``dedup_embedding_cosine``'s all-pairs ground
+    truth.
+
+    The 8-bit hyperplane bucket (``similarity.bucket_expr``, plan-
+    literal planes — map-only) splits into 2 bands of 4 bits;
+    candidates are pairs sharing ANY band value (OR-amplification,
+    same shape as minhash-LSH banding). Join is an equi-join on
+    (band_id, band_bits) — shuffle on band keys only, never all
+    pairs. Pairs matching both bands are scored twice and collapsed
+    by a distinct AFTER the threshold filter, so the pair-dedup
+    shuffle carries only surviving (vec_a, vec_b, cos) triples —
+    at scale the filter drops ~everything first, and scored rows are
+    3 scalars, far narrower than shuffling vectors to dedupe before
+    scoring."""
+    from kafkatoclickhouse_spark.operators.similarity import bucket_expr
+
+    em = load_table(spark, sf_dir, "embeddings")
+    band_bits = F.array(
+        F.col("bucket").bitwiseAND(F.lit(15)),
+        F.shiftright(F.col("bucket"), 4).bitwiseAND(F.lit(15)),
+    )
+    bands = (
+        fan_out(em)
+        .select(
+            "vec_id",
+            "embedding",
+            norm(F.col("embedding")).alias("nrm"),
+            bucket_expr(F.col("embedding")).alias("bucket"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.posexplode(band_bits).alias("band_id", "bb"),
+        )
+    )
+    a = bands.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+        "band_id",
+        "bb",
+    )
+    b = bands.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "band_id",
+        "bb",
+    )
+    sim = cosine_with_norms(
+        F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+    )
+    return (
+        a.join(b, ["band_id", "bb"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= COSINE_BUCKETED_THRESHOLD)
+        .select(
+            "vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim")
+        )
+        .distinct()
+    )

@@ -207,3 +207,48 @@ def test_pack_chunks_offsets_contiguous(spark, sf_dir):
         expect += r["n_toks"]
         assert r["chunk_id"] >= last_chunk
         last_chunk = r["chunk_id"]
+
+
+def test_bucketed_cosine_dedup_is_subset_of_bruteforce(spark, sf_dir):
+    """Banded-LSH candidates must be a strict filter, never an
+    inventor: every bucketed pair appears in the all-pairs result at
+    the same threshold with the same score, and no pair is emitted
+    twice (pairs matching both bands collapse)."""
+    from kafkatoclickhouse_spark.functions.vector import (
+        cosine_with_norms,
+        norm,
+    )
+    from kafkatoclickhouse_spark.operators.dedup import (
+        COSINE_BUCKETED_THRESHOLD,
+    )
+
+    rows = registry.QUERIES["dedup_embedding_cosine_bucketed"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    pairs = [(r["vec_a"], r["vec_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+    em = load_table(spark, sf_dir, "embeddings")
+    a = em.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        norm("embedding").alias("na"),
+    )
+    b = em.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        norm("embedding").alias("nb"),
+    )
+    sim = cosine_with_norms(
+        F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+    )
+    full = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_BUCKETED_THRESHOLD)
+        .collect()
+    }
+    for r in rows:
+        assert (r["vec_a"], r["vec_b"]) in full, r
+        assert r["cos_sim"] == full[(r["vec_a"], r["vec_b"])], r
