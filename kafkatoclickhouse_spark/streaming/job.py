@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from kafkatoclickhouse_spark.config import PipelineConfig
-from kafkatoclickhouse_spark.streaming import count_window, pipeline, sink, source
+from kafkatoclickhouse_spark.streaming import (
+    count_window,
+    pipeline,
+    sink,
+    sink_catalog,
+    source,
+)
 
 
 def build_topology(
@@ -70,13 +76,23 @@ def start(
     write_fn: Callable[[DataFrame], None] | None = None,
     raw: DataFrame | None = None,
     available_now: bool = False,
+    catalog: list[tuple[str, str]] | None = None,
 ) -> StreamingQuery:
     """Wire the topology to the retry sink and start it.
 
     ``write_fn`` defaults to the JDBC writer built from the config's
     clickhouse.* keys; any ``(DataFrame) -> None`` substitutes (tests
-    pass a parquet writer)."""
+    pass a parquet writer). ``catalog`` — (name, type) pairs from the
+    sink table's catalog (``sink_catalog.fetch_sink_catalog``, the
+    reference's open()-time ``system.columns`` read) — shapes the
+    output to exactly the sink's columns before writing: extras
+    dropped, missing NULLed, values cast, honoring the config's
+    string-type list (`MyWindowFunction.scala:71-88`)."""
     windowed, _dirty = build_topology(spark, cfg, raw=raw, finite=available_now)
+    if catalog is not None:
+        windowed = sink_catalog.project_to_catalog(
+            windowed, catalog, string_types=cfg.string_types
+        )
     if write_fn is None:
         write_fn = sink.jdbc_writer(
             cfg.jdbc_url,

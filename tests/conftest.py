@@ -36,3 +36,16 @@ def duck():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def raw_feed_dir(spark, sf_dir, tmp_path_factory):
+    """events fixture rendered as the Kafka-source shape, on disk
+    (shared by the streaming and sink-catalog suites)."""
+    from kafkatoclickhouse_spark.operators import ingest
+    from kafkatoclickhouse_spark.tables import load_table
+
+    path = str(tmp_path_factory.mktemp("rawfeed") / "feed")
+    events = load_table(spark, sf_dir, "events")
+    ingest.events_as_raw_json(events).write.parquet(path)
+    return path

@@ -23,15 +23,6 @@ from kafkatoclickhouse_spark.streaming import windows as sw
 from kafkatoclickhouse_spark.tables import load_table
 
 
-@pytest.fixture(scope="module")
-def raw_feed_dir(spark, sf_dir, tmp_path_factory):
-    """events fixture rendered as the Kafka-source shape, on disk."""
-    path = str(tmp_path_factory.mktemp("rawfeed") / "feed")
-    events = load_table(spark, sf_dir, "events")
-    ingest.events_as_raw_json(events).write.parquet(path)
-    return path
-
-
 def run_stream(stream_df, name, ckpt_dir, output_mode="append"):
     """availableNow → memory sink; returns the collected batch DF."""
     q = (
