@@ -80,6 +80,20 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # bench-only twins (not registered — no oracle): quantify the md5
+    # portable-hash tax vs the production xxhash64 family. Excluded
+    # from "value" so round-over-round totals stay comparable.
+    from kafkatoclickhouse_spark.operators import dedup as dedup_mod
+
+    extras: dict[str, float] = {}
+    for name, fn in (
+        ("dedup_minhash_lsh_xxhash", dedup_mod.dedup_minhash_lsh_fast),
+    ):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extras[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -88,6 +102,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
+                "notes": (
+                    "extras are bench-only twins excluded from value: "
+                    "dedup_minhash_lsh_xxhash swaps the oracle-replayable "
+                    "md5 hash family for JVM xxhash64 (the documented "
+                    "100TB production swap); compare with "
+                    "queries.dedup_minhash_lsh for the md5 tax"
+                ),
                 "sf": sf,
             }
         )

@@ -74,3 +74,12 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
             for k in range(num_hashes)
         ]
     )
+
+
+def fast_hash64(s: Column, seed: int) -> Column:
+    """Production hash family: JVM-native ``xxhash64`` seeded by
+    position — no md5 hex round-trip, no string allocation. Same plan
+    shape as :func:`portable_hash64` (swap is one argument); the cost
+    is losing DuckDB oracle replayability, so oracle-checked queries
+    keep md5 and the bench twins quantify the delta (BENCH notes)."""
+    return F.xxhash64(F.lit(seed), s)

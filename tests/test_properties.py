@@ -252,3 +252,28 @@ def test_bucketed_cosine_dedup_is_subset_of_bruteforce(spark, sf_dir):
     for r in rows:
         assert (r["vec_a"], r["vec_b"]) in full, r
         assert r["cos_sim"] == full[(r["vec_a"], r["vec_b"])], r
+
+
+def test_minhash_fast_twin_finds_same_verified_pairs(spark, sf_dir):
+    """The xxhash64 bench twin must emit the same verified pairs as
+    the md5 family: candidates differ (different — equally valid —
+    LSH buckets) but exact-Jaccard verification at 0.8 is the same
+    filter, and at fixture similarity (~0.99 planted dups vs ~0.63
+    s-curve threshold) both families catch every true pair with
+    P(miss) < 1e-6."""
+    from kafkatoclickhouse_spark.operators.dedup import (
+        dedup_minhash_lsh_fast,
+    )
+
+    slow = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in registry.QUERIES["dedup_minhash_lsh"](
+            spark, sf_dir
+        ).collect()
+    }
+    fast = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_minhash_lsh_fast(spark, sf_dir).collect()
+    }
+    assert slow
+    assert fast == slow
