@@ -22,7 +22,7 @@ from kafkatoclickhouse_spark.functions.textfns import (
     STOPWORDS,
 )
 from kafkatoclickhouse_spark.registry import query
-from kafkatoclickhouse_spark.tables import load_table
+from kafkatoclickhouse_spark.tables import fan_out, load_table
 
 _SQL_WORDS = "string_split_regex(lower(trim(text)), '\\s+')"
 
@@ -485,4 +485,144 @@ def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / CHUNK_TOKENS
             ).alias("chunk_id"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters (Gopher-style) & PII scrubbing
+# ---------------------------------------------------------------------------
+
+_SQL_BIGRAMS = """
+    toks AS (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\\s+') AS t
+             FROM documents),
+    bg AS (SELECT doc_id,
+                  t[r + 1] || ' ' || t[r + 2] AS bigram
+           FROM toks, LATERAL (SELECT unnest(range(len(t) - 1)) AS r)
+           WHERE len(t) >= 2),
+    cnt AS (SELECT doc_id, bigram, COUNT(*) AS c
+            FROM bg GROUP BY doc_id, bigram)
+"""
+
+
+@query(
+    "text_repetition_filters",
+    oracle=f"""
+    WITH {_SQL_BIGRAMS}
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+           ROUND(1.0 - COUNT(*) * 1.0 / SUM(c), 6) AS dup_bigram_frac,
+           ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac
+    FROM cnt
+    GROUP BY doc_id
+    """,
+)
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate
+    word-bigram fraction and most-frequent-bigram share (the
+    'repetitious document' pretraining filters — high values mark
+    boilerplate/spam for removal).
+
+    Shape: explode bigrams → (doc_id, bigram) count → per-doc
+    rollup. Both aggregations are map-side combinable and key on
+    doc_id(+bigram), so the shuffle carries counts, never text —
+    at 100 TB this is two narrow exchanges over ~n_tokens rows.
+    Documents with <2 tokens have no bigrams and drop out (same in
+    the oracle)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - 2)
+    bigrams = F.transform(
+        idx,
+        lambda r: F.concat_ws(
+            " ", F.element_at(toks, r + 1), F.element_at(toks, r + 2)
+        ),
+    )
+    per_bigram = (
+        docs.filter(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    total = F.sum("c")
+    distinct = F.count("*")
+    top = F.max("c")
+    return per_bigram.groupBy("doc_id").agg(
+        total.cast("long").alias("n_bigrams"),
+        distinct.cast("long").alias("n_distinct_bigrams"),
+        F.round(
+            F.lit(1.0) - distinct.cast("double") / total, 6
+        ).alias("dup_bigram_frac"),
+        F.round(top.cast("double") / total, 6).alias("top_bigram_frac"),
+    )
+
+
+# PII patterns portable across Java regex (Spark) and RE2 (DuckDB).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# The fixture corpus carries no PII, so (like multimodal's synthesized
+# payloads) each doc gets a deterministic injection — 1 or 2 emails
+# (doc_id parity) and one ip — and the scrub is verified to remove
+# exactly those.
+_SQL_PII_AUG = (
+    "text || ' ' || repeat('user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com ', 1 + doc_id % 2) || 'from 10.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || '.1'"
+)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_SQL_PII_AUG} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS BIGINT)
+             AS n_ips,
+           md5(regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}',
+               '<EMAIL>', 'g'), '{PII_IPV4_RE}', '<IP>', 'g'))
+             AS scrub_md5
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and replace email addresses
+    and IPv4 literals with typed placeholders. Pure codegen'd
+    ``regexp_extract_all``/``regexp_replace`` — map-only, no Python,
+    no shuffle; at 100 TB this runs at parquet-scan speed. The
+    hashed output pins the exact scrubbed text cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" "),
+        F.repeat(
+            F.concat(
+                F.lit("user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com "),
+            ),
+            (F.lit(1) + F.col("doc_id") % 2).cast("int"),
+        ),
+        F.lit("from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
+        PII_IPV4_RE,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_IPV4_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.md5(scrubbed).alias("scrub_md5"),
     )
