@@ -626,3 +626,96 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.md5(scrubbed).alias("scrub_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified (temperature) sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_ALPHA = 0.7  # temperature exponent over source char-shares
+SAMPLE_FRAC = 0.5  # overall target fraction of docs
+SAMPLE_SEED = 271
+
+
+@query(
+    "corpus_sample_stratified",
+    oracle=f"""
+    WITH src AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_docs) AS n_total, SUM(chars) AS chars_total
+            FROM src),
+    w AS (
+      SELECT source, n_docs,
+             pow(chars * 1.0 / chars_total, {SAMPLE_ALPHA}) AS raw_w,
+             SUM(pow(chars * 1.0 / chars_total, {SAMPLE_ALPHA}))
+               OVER () AS z,
+             n_total
+      FROM src, tot
+    ),
+    rates AS (
+      SELECT source,
+             CAST(least(1000000, floor(
+               ({SAMPLE_FRAC} * n_total) * (raw_w / z) / n_docs * 1000000
+             )) AS BIGINT) AS keep_ppm
+      FROM w
+    )
+    SELECT d.doc_id, d.source, r.keep_ppm
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {hashing.sql_portable_hash64("CAST(d.doc_id AS VARCHAR)",
+                                       SAMPLE_SEED)} % 1000000 < r.keep_ppm
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-stratified corpus sampling: per-source keep-rates
+    ∝ (char-share)^α normalized to an overall target fraction, with
+    membership decided by a portable hash of doc_id — deterministic
+    across runs, partitionings, AND engines (the reproducibility a
+    100 TB training-data pipeline needs; ``rand()`` sampling is none
+    of those). Rates are floor-quantized to ppm so the double ``pow``
+    never sits on a compare boundary (memory: cross-engine ROUND/tie
+    hazards).
+
+    Shape at scale: the per-source rate table is a tiny aggregate
+    (one narrow shuffle) broadcast back onto the fact scan; the
+    membership test is a map-only hash-compare, so the sample is one
+    pass over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+    tot = src.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("chars").alias("chars_total")
+    )
+    w = src.crossJoin(F.broadcast(tot)).withColumn(
+        "raw_w",
+        F.pow(F.col("chars").cast("double") / F.col("chars_total"),
+              F.lit(SAMPLE_ALPHA)),
+    )
+    z = w.agg(F.sum("raw_w").alias("z"))
+    rates = (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.least(
+                F.lit(1_000_000),
+                F.floor(
+                    (F.lit(SAMPLE_FRAC) * F.col("n_total"))
+                    * (F.col("raw_w") / F.col("z"))
+                    / F.col("n_docs")
+                    * 1_000_000
+                ),
+            )
+            .cast("long")
+            .alias("keep_ppm"),
+        )
+    )
+    h = hashing.portable_hash64(
+        F.col("doc_id").cast("string"), SAMPLE_SEED
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(h % 1_000_000 < F.col("keep_ppm"))
+        .select("doc_id", "source", "keep_ppm")
+    )
