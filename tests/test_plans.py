@@ -231,3 +231,48 @@ def test_sort_limit_is_top_n_not_global_sort(spark, sf_dir):
     plan = plans.plan_string(df, "simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_on_selective_join(spark, sf_dir):
+    """A selective dim filter on a shuffle join must inject a runtime
+    bloom filter (or semi-join reduction) on the fact side when the
+    broadcast path is disabled: at 100 TB the bloom probe drops
+    non-matching fact rows BEFORE the shuffle, which is the whole
+    fight. Gates that our plans keep Spark's runtime-filter rule
+    reachable (no manual repartition/cache between scan and join)."""
+    from pyspark.sql import functions as F
+
+    from kafkatoclickhouse_spark import plans as plans_mod
+    from kafkatoclickhouse_spark.tables import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # the rule only fires when the probe side is big enough to be
+        # worth filtering (default 10GB) — at fixture scale lower it
+        # so the PLAN SHAPE is testable; at 100 TB the default holds.
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(od, li.l_orderkey == od.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count("*").alias("n"))
+        plan = plans_mod.plan_string(joined)
+        assert "bloomfilter" in plan.lower().replace("_", ""), (
+            f"no runtime bloom filter in plan:\n{plan}"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
