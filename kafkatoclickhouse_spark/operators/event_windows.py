@@ -358,3 +358,140 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum("value", "total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel & retention (event-log analytics over the events table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel_steps",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS tv
+      FROM events
+    ),
+    w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > tv
+                         THEN ts END)
+                  OVER (PARTITION BY user_id) AS tc
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > tc
+                         THEN ts END)
+                  OVER (PARTITION BY user_id) AS tp
+      FROM w2
+    )
+    SELECT user_id,
+           epoch_us(MAX(tv)) AS view_us,
+           epoch_us(MAX(tc)) AS click_us,
+           epoch_us(MAX(tp)) AS purchase_us,
+           CAST(CASE WHEN MAX(tp) IS NOT NULL THEN 3
+                     WHEN MAX(tc) IS NOT NULL THEN 2
+                     WHEN MAX(tv) IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS steps_completed
+    FROM w3 GROUP BY user_id
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase) per user: first view,
+    first click strictly after it, first purchase strictly after
+    that — the sequential-conversion query every event warehouse
+    runs.
+
+    Shape: three chained window-mins over ONE hash partitioning on
+    user_id (the later mins depend on the earlier, but the
+    partitioning is identical so Catalyst plans a single Exchange,
+    then Window operators back-to-back, then the final groupBy reuses
+    the same partitioning — one shuffle total at any scale).
+    Timestamps emitted as integer microseconds (memory: cross-engine
+    timestamp hashing)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    byu = W.partitionBy("user_id")
+    tv = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(byu)
+    step1 = ev.select("user_id", "event_type", "ts", tv.alias("tv"))
+    tc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("tv")),
+            F.col("ts"),
+        )
+    ).over(byu)
+    step2 = step1.withColumn("tc", tc)
+    tp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("tc")),
+            F.col("ts"),
+        )
+    ).over(byu)
+    step3 = step2.withColumn("tp", tp)
+    steps = (
+        F.when(F.max("tp").isNotNull(), 3)
+        .when(F.max("tc").isNotNull(), 2)
+        .when(F.max("tv").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return step3.groupBy("user_id").agg(
+        F.unix_micros(F.max("tv")).alias("view_us"),
+        F.unix_micros(F.max("tc")).alias("click_us"),
+        F.unix_micros(F.max("tp")).alias("purchase_us"),
+        steps.cast("int").alias("steps_completed"),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_date,
+             date_diff('day', f.cohort_date, CAST(e.ts AS DATE))
+               AS day_offset
+      FROM events e JOIN firstday f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_date, '%Y-%m-%d') AS cohort_date,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_date, day_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen date,
+    counted on each subsequent day-offset they were active.
+
+    Shape: first-day agg (one user-keyed exchange), join back on
+    user_id (same partitioning — no second fact shuffle), distinct +
+    count on the small (cohort, offset) key space. The join is
+    user-keyed, so at 100 TB it co-partitions with the aggregation
+    instead of broadcasting the (potentially huge) user dimension."""
+    ev = load_table(spark, sf_dir, "events")
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    activity = (
+        ev.join(firstday, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.to_date("ts"), F.col("cohort_date")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+    ).agg(F.count("*").alias("n_active_users"))
