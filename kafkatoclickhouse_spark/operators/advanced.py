@@ -98,6 +98,36 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5) AS q50,
+           quantile_disc(l_quantity, 0.95) AS q95,
+           quantile_disc(l_extendedprice, 0.5) AS price_q50
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: ``percentile_approx`` (mergeable
+    Greenwald-Khanna sketch, map-side partials, no global sort — the
+    scale twin ``agg_percentiles``'s docstring promises). Run at
+    accuracy=1e6: below that many rows per group the sketch holds
+    every sample and returns the EXACT discrete quantile — the same
+    element DuckDB's ``quantile_disc`` picks (verified identical at
+    both fixture scales), so the oracle is deterministic, not an
+    envelope. Past 1e6 rows/group the identical plan degrades
+    gracefully to 1e-6 rank error in fixed memory — no query change,
+    which is the point of choosing the sketch form here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 1_000_000
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, acc).alias("q50"),
+        F.percentile_approx("l_quantity", 0.95, acc).alias("q95"),
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("price_q50"),
+    )
+
+
 # -- skew-safe two-phase aggregation ---------------------------------------
 
 N_SALTS = 16
