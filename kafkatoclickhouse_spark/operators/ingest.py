@@ -81,13 +81,30 @@ def parse_and_enrich(
     (``MyKafkaDeserializationSchema.scala:24-27``); columns are the
     Spark-native equivalent — same information, zero re-serialization.
     """
-    return raw.select(
+    # Parse-once barrier: PushDownPredicates inlines project aliases
+    # into pushed filters, so the downstream validation predicates
+    # would each re-evaluate the from_json roundtrip below this
+    # projection (the reference's triple-parse recreated by the
+    # optimizer — visible as from_json inside the pre-Exchange Filter
+    # in .explain). Predicate pushdown through a Project is blocked
+    # only when the projection carries a NON-DETERMINISTIC field, so
+    # the parse projection pins a spark_partition_id nonce (flagged
+    # non-deterministic, costs one int read, and — unlike
+    # monotonically_increasing_id — allowed in streaming plans), and
+    # the barrier filter keeps it from being column-pruned away.
+    # Later filters combine with the barrier and stop here: from_json
+    # evaluates exactly once, validation reads struct fields.
+    parsed = raw.select(
         F.from_json("value", PAYLOAD_SCHEMA).alias("j"),
         F.col("topic").alias("topicName"),
         F.col("offset").alias("topicOffset"),
         F.col("partition").alias("topicPartition"),
         F.lit(group_id).alias("topicGroupId"),
-    ).select("j.*", "topicName", "topicOffset", "topicPartition", "topicGroupId")
+        F.spark_partition_id().alias("_parse_nonce"),
+    ).filter(F.col("_parse_nonce") >= 0)
+    return parsed.select(
+        "j.*", "topicName", "topicOffset", "topicPartition", "topicGroupId"
+    )
 
 
 def validation_predicate(

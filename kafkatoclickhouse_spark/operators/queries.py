@@ -99,11 +99,19 @@ def ingest_keyed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on the key — exactly the exchange the reference's
     keyBy performs, but with map-side partial aggregation."""
     clean = ingest.ingest_pipeline(_t(spark, sf_dir, "events"))
+    # min/max over the TIMESTAMP form of cTime, formatted back after
+    # the aggregate: identical strings (fixed format, lexicographic ==
+    # chronological) but a fixed-width aggregation buffer, so Spark
+    # plans HashAggregate instead of the Sort+SortAggregate a string
+    # min/max buffer forces — at 100 TB that removes a per-partition
+    # sort of every event row on both sides of the exchange.
+    ctime_ts = F.to_timestamp("cTime", "yyyy-MM-dd HH:mm:ss")
+    fmt = "yyyy-MM-dd HH:mm:ss"
     return clean.groupBy("essCode").agg(
         F.count("*").alias("n_events"),
         dsum("power", "total_power"),
-        F.min("cTime").alias("first_ctime"),
-        F.max("cTime").alias("last_ctime"),
+        F.date_format(F.min(ctime_ts), fmt).alias("first_ctime"),
+        F.date_format(F.max(ctime_ts), fmt).alias("last_ctime"),
     )
 
 

@@ -276,3 +276,18 @@ def test_runtime_bloom_filter_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ingest_parses_json_exactly_once(spark, sf_dir):
+    """The reference parses each record's JSON 3x; our pipeline must
+    parse exactly once. Catalyst's predicate pushdown would inline
+    from_json into every pushed validation predicate (recreating the
+    triple parse) without the non-deterministic parse-nonce barrier
+    in ingest.parse_and_enrich — this pins both the barrier and the
+    flagship's HashAggregate (string min/max would silently fall back
+    to Sort+SortAggregate)."""
+    plan = plans.plan_string(
+        registry.QUERIES["ingest_keyed_counts"](spark, sf_dir)
+    )
+    assert plan.count("from_json") == 1, plan
+    assert "HashAggregate" in plan and "SortAggregate" not in plan, plan
