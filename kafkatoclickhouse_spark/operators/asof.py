@@ -27,9 +27,15 @@ def asof_join(
     key: str,
     ts: str,
     payload_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Generic as-of join: for each probe row, the latest reference
-    row of the same ``key`` with ``reference.ts <= probe.ts``.
+    """Generic as-of join. ``backward`` (default): for each probe
+    row, the LATEST reference row of the same ``key`` with
+    ``reference.ts <= probe.ts``. ``forward``: the EARLIEST reference
+    row with ``reference.ts >= probe.ts`` — same union-tag trick with
+    the window ordered descending, so the 'last seen' carried value
+    is the next-at-or-after row. Both inclusive at equal ts (the
+    DuckDB ASOF convention).
 
     Returns the probe frame plus ``asof_<col>`` for each payload
     column. Probe columns must not collide with reference payloads.
@@ -52,9 +58,10 @@ def asof_join(
         *[F.col(c).alias(f"_probe_{c}") for c in probe.columns],
     )
     unioned = ref_tagged.unionByName(probe_tagged)
+    order_ts = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         W.partitionBy(key)
-        .orderBy(ts, "_tag")
+        .orderBy(order_ts, F.col("_tag").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(
@@ -181,3 +188,142 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(bands),
         (ev.value >= bands.lo) & (ev.value < bands.hi),
     ).select("event_id", "band_id")
+
+
+@query(
+    "asof_join_forward_events",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT event_id AS view_event_id, user_id, ts, value AS view_value
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.value,
+           v.view_event_id AS asof_view_event_id,
+           v.view_value AS asof_view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+)
+def asof_join_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every purchase, the NEXT view event at or
+    after it by the same user (what-did-they-do-next attribution) —
+    the mirror of ``asof_join_events``, one shuffle + one window."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("view_value"),
+    )
+    joined = asof_join(
+        probe=purchases,
+        reference=views,
+        key="user_id",
+        ts="ts",
+        payload_cols=["view_event_id", "view_value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", "value",
+        "asof_view_event_id", "asof_view_value",
+    )
+
+
+@query(
+    "asof_join_nearest_events",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT event_id AS v_id, user_id, ts FROM events
+      WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id,
+           CASE WHEN f.v_id IS NULL THEN b.v_id
+                WHEN b.v_id IS NULL THEN f.v_id
+                WHEN epoch_us(p.ts) - epoch_us(b.ts)
+                     <= epoch_us(f.ts) - epoch_us(p.ts) THEN b.v_id
+                ELSE f.v_id END AS nearest_view_id,
+           CASE WHEN f.v_id IS NULL AND b.v_id IS NULL THEN NULL
+                WHEN f.v_id IS NULL THEN epoch_us(p.ts) - epoch_us(b.ts)
+                WHEN b.v_id IS NULL THEN epoch_us(f.ts) - epoch_us(p.ts)
+                ELSE least(epoch_us(p.ts) - epoch_us(b.ts),
+                           epoch_us(f.ts) - epoch_us(p.ts)) END
+             AS nearest_delta_us
+    FROM purchases p
+    ASOF LEFT JOIN views b ON p.user_id = b.user_id AND p.ts >= b.ts
+    ASOF LEFT JOIN views f ON p.user_id = f.user_id AND p.ts <= f.ts
+    """,
+)
+def asof_join_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: the view event closest in time to each purchase
+    in EITHER direction (tie → the earlier one, matching the
+    backward-preferred convention). Composition of the backward and
+    forward as-of passes — two user-keyed window stages; deltas
+    compared in exact integer microseconds (memory: cross-engine
+    timestamp hashing)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views_b = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("bv_id"),
+        F.col("ts").alias("bv_ts"),
+        "user_id",
+        "ts",
+    )
+    views_f = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("fv_id"),
+        F.col("ts").alias("fv_ts"),
+        "user_id",
+        "ts",
+    )
+    r1 = asof_join(
+        probe=purchases,
+        reference=views_b,
+        key="user_id",
+        ts="ts",
+        payload_cols=["bv_id", "bv_ts"],
+        direction="backward",
+    )
+    r2 = asof_join(
+        probe=r1,
+        reference=views_f,
+        key="user_id",
+        ts="ts",
+        payload_cols=["fv_id", "fv_ts"],
+        direction="forward",
+    )
+    db = F.unix_micros("ts") - F.unix_micros("asof_bv_ts")
+    df_ = F.unix_micros("asof_fv_ts") - F.unix_micros("ts")
+    nearest_id = (
+        F.when(F.col("asof_fv_id").isNull(), F.col("asof_bv_id"))
+        .when(F.col("asof_bv_id").isNull(), F.col("asof_fv_id"))
+        .when(db <= df_, F.col("asof_bv_id"))
+        .otherwise(F.col("asof_fv_id"))
+    )
+    nearest_delta = (
+        F.when(
+            F.col("asof_fv_id").isNull() & F.col("asof_bv_id").isNull(),
+            F.lit(None).cast("long"),
+        )
+        .when(F.col("asof_fv_id").isNull(), db)
+        .when(F.col("asof_bv_id").isNull(), df_)
+        .otherwise(F.least(db, df_))
+    )
+    return r2.select(
+        "event_id",
+        "user_id",
+        nearest_id.alias("nearest_view_id"),
+        nearest_delta.alias("nearest_delta_us"),
+    )
