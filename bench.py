@@ -58,6 +58,17 @@ HEADLINE = [
     "corpus_clean_pipeline",
     "text_tfidf_topterms",
     "interval_join_events",
+    # round-3 additions (new keys — exclude when comparing totals to
+    # BENCH_r01/r02, which cover only the 33 keys above)
+    "dedup_embedding_cosine_bucketed",
+    "text_repetition_filters",
+    "text_pii_scrub",
+    "corpus_sample_stratified",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "agg_approx_percentile",
+    "agg_heavy_hitters",
+    "asof_join_nearest_events",
 ]
 
 
@@ -104,7 +115,10 @@ def main() -> None:
                 "queries": timings,
                 "extras": extras,
                 "notes": (
-                    "extras are bench-only twins excluded from value: "
+                    "round 3 added 9 headline keys (dedup_embedding_cosine_"
+                    "bucketed..asof_join_nearest_events) — compare totals to "
+                    "r01/r02 over the shared 33 keys only. extras are "
+                    "bench-only twins excluded from value: "
                     "dedup_minhash_lsh_xxhash swaps the oracle-replayable "
                     "md5 hash family for JVM xxhash64 (the documented "
                     "100TB production swap); compare with "

@@ -388,3 +388,46 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_qd"),
     )
+
+
+# -- heavy hitters ----------------------------------------------------------
+
+HH_THRESHOLD_PPM = 9_000  # items covering >= 0.9% of all rows
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(c) AS n FROM cnt)
+    SELECT l_partkey, c AS n_rows,
+           CAST(c * 1000000 // n AS BIGINT) AS share_ppm
+    FROM cnt, tot
+    WHERE c * 1000000 // n >= {HH_THRESHOLD_PPM}
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: keys covering ≥0.9% of the table, with
+    integer-ppm shares (floor-quantized — exact cross-engine, no
+    double ROUND tie hazard). Two-phase: per-key partial counts (one
+    narrow exchange), scalar total broadcast back, map-side filter.
+    This exact form IS the 100 TB shape when the key space fits an
+    aggregate (counts are 16 bytes/key); for unbounded key spaces the
+    sketch alternative (Misra-Gries / count-min) trades exactness for
+    fixed memory — documented, not needed for grouped counts here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    # integer `div`, not floor(double /): exact at any magnitude
+    share_ppm = F.expr("(c * 1000000) div n")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            F.col("c").alias("n_rows"),
+            share_ppm.cast("long").alias("share_ppm"),
+        )
+        .filter(F.col("share_ppm") >= HH_THRESHOLD_PPM)
+    )

@@ -277,3 +277,25 @@ def test_minhash_fast_twin_finds_same_verified_pairs(spark, sf_dir):
     }
     assert slow
     assert fast == slow
+
+
+def test_funnel_steps_are_ordered(spark, sf_dir):
+    """Funnel invariants: whenever a later step exists its timestamp
+    is strictly after the previous step's, and steps_completed
+    matches which timestamps are present."""
+    rows = registry.QUERIES["events_funnel_steps"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["click_us"] is not None:
+            assert r["view_us"] is not None
+            assert r["click_us"] > r["view_us"], r
+        if r["purchase_us"] is not None:
+            assert r["click_us"] is not None
+            assert r["purchase_us"] > r["click_us"], r
+        expect = (
+            3 if r["purchase_us"] is not None
+            else 2 if r["click_us"] is not None
+            else 1 if r["view_us"] is not None
+            else 0
+        )
+        assert r["steps_completed"] == expect, r
