@@ -632,3 +632,37 @@ def test_streaming_sliding_window_equals_batch(spark, sf_dir, tmp_path):
     for r in got:
         key = (r["window_start"], r["event_type"])
         assert batch.get(key) == r["n_events"], key
+
+
+def test_cli_main_runs_job_from_properties(spark, raw_feed_dir, tmp_path):
+    """`python -m kafkatoclickhouse_spark <props> --available-now
+    --file-source --parquet-sink` — the reference's submission surface
+    (`KafakToClickhouse.scala:16-22`) as a runnable module. Uses the
+    in-process main() (a subprocess would rebuild the JVM); the
+    foreign-session path is covered by test_foreign_session."""
+    import kafkatoclickhouse_spark.__main__ as cli
+
+    props = tmp_path / "job.properties"
+    props.write_text(
+        "kafka.topic=unused\n"
+        "window.size=20\n"
+        "check.field=cTime,essCode\n"
+        f"checkpoint.path={tmp_path / 'ckpt'}\n",
+        encoding="utf-8",
+    )
+    out_dir = str(tmp_path / "landed")
+    rc = cli.main(
+        [
+            str(props),
+            "--available-now",
+            "--no-catalog",
+            "--file-source",
+            raw_feed_dir,
+            "--parquet-sink",
+            out_dir,
+        ]
+    )
+    assert rc == 0
+    landed = spark.read.parquet(out_dir)
+    assert landed.count() > 0
+    assert "essCode" in landed.columns and "window_id" in landed.columns
