@@ -268,3 +268,78 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform("resized", lambda x: x.cast("string"))
         ).alias("resized_csv"),
     )
+
+
+# -- frame energy (audio-style windowed features) ---------------------------
+
+
+def _frame_energy_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel shaped like audio feature extraction:
+    per-frame energy (sum of squared samples) over fixed-size windows
+    of the payload. Integer arithmetic end-to-end so the statistics
+    are exact in any engine."""
+    import numpy as np
+
+    for pdf in batches:
+        doc_ids, idxs, sums, ns = [], [], [], []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            for i in range(0, max(len(a), 1), FRAME_BYTES):
+                fr = a[i : i + FRAME_BYTES]
+                doc_ids.append(doc_id)
+                idxs.append(i // FRAME_BYTES)
+                sums.append(int((fr * fr).sum()))
+                ns.append(int(fr.size))
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "frame_idx": idxs,
+                "energy": sums,
+                "n_samples": ns,
+            }
+        )
+
+
+@query(
+    "multimodal_frame_energy",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+             substring(text, CAST(i * {FRAME_BYTES} + 1 AS INTEGER),
+                       {FRAME_BYTES}) AS fr
+      FROM documents,
+           (SELECT unnest(range(0, 10000)) AS i)
+      WHERE i * {FRAME_BYTES} < length(text) OR (i = 0)
+    ),
+    chars AS (
+      SELECT doc_id, frame_idx,
+             unnest(string_split(fr, '')) AS ch
+      FROM frames
+    )
+    SELECT f.doc_id, f.frame_idx,
+           CAST(COALESCE(SUM(ascii(c.ch) * ascii(c.ch)), 0) AS BIGINT)
+             AS energy,
+           CAST(length(f.fr) AS BIGINT) AS n_samples
+    FROM frames f
+    LEFT JOIN chars c USING (doc_id, frame_idx)
+    GROUP BY f.doc_id, f.frame_idx, f.fr
+    """,
+)
+def multimodal_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed feature extraction over binary payloads:
+    per-frame energy = Σ sample² over fixed 256-byte windows, exact
+    integer arithmetic (the deterministic stand-in for the stubbed
+    codec's RMS/spectral kernels — see ``decode_image`` for the stub
+    policy). Arrow-batched mapInPandas: map-only, output ≤ 1 row per
+    frame, no shuffle; the oracle recomputes per-char over the ASCII
+    fixture like ``multimodal_byte_features``. Empty payloads emit a
+    single (frame 0, energy 0, n 0) row so every document is
+    accounted for."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = with_binary_payload(docs)
+    return mm.select("doc_id", "payload").mapInPandas(
+        _frame_energy_batches,
+        schema="doc_id long, frame_idx long, energy long, n_samples long",
+    )
