@@ -132,3 +132,42 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: tuple[str, ...] = (),
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    roughly ``target_file_bytes`` each; returns the output file count.
+
+    Streaming sinks and fine-grained partitioned writes accumulate
+    thousands of small files; at 100 TB an uncompacted table turns
+    every scan into a file-listing + footer-reading storm and starves
+    the scheduler with one-split tasks. Sizing: output file count =
+    ceil(on-disk bytes / target). ``coalesce`` (not ``repartition``)
+    merges splits WITHOUT a shuffle — each output task reads a few
+    whole input files. With ``sort_within_by`` an in-file sort (one
+    shuffle-free sortWithinPartitions) restores footer min/max
+    clustering so file skipping keeps working after compaction.
+    """
+    import math
+
+    from pathlib import Path
+
+    on_disk = sum(
+        f.stat().st_size
+        for f in Path(src_path).rglob("*.parquet")
+        if f.is_file()
+    )
+    n_files = max(1, math.ceil(on_disk / target_file_bytes))
+    df = spark.read.parquet(src_path).coalesce(n_files)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    df.write.mode("overwrite").parquet(dst_path)
+    return len(
+        [f for f in Path(dst_path).rglob("*.parquet") if f.is_file()]
+    )

@@ -138,3 +138,30 @@ def test_range_clustered_write_has_disjoint_file_ranges(
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev < lo_next, ranges
     assert spark.read.parquet(path).count() == od.count()
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    """Compaction must merge a many-small-files dataset into the
+    computed file count WITHOUT a shuffle (coalesce plan), preserve
+    every row, and (with sort_within_by) restore disjoint-ish file
+    ranges for footer skipping."""
+    from pathlib import Path
+
+    from kafkatoclickhouse_spark.sources.files import compact_parquet
+    from kafkatoclickhouse_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    frag = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(frag)
+    n_in = len([f for f in Path(frag).rglob("*.parquet") if f.is_file()])
+    assert n_in >= 64
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet(
+        spark, frag, dst, target_file_bytes=512 * 1024,
+        sort_within_by=("l_orderkey",),
+    )
+    assert n_out < n_in
+    out = spark.read.parquet(dst)
+    assert out.count() == li.count()
+    # round-trip values, order-insensitive
+    assert out.exceptAll(spark.read.parquet(frag)).count() == 0
