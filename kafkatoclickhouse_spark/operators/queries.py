@@ -1295,3 +1295,42 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "json_parse_errors",
+    oracle="""
+    WITH aug AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0
+                  THEN substring(props, 1, length(props) - 2)
+                  ELSE props END AS payload
+      FROM events
+    )
+    SELECT event_id,
+           json_valid(payload) AS is_valid,
+           CASE WHEN json_valid(payload)
+                THEN json_extract_string(payload, '$.k') END AS k_value
+    FROM aug
+    """,
+)
+def json_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-payload handling: every 7th record's JSON is
+    deliberately truncated (the fixtures carry no dirty JSON), then
+    classified valid/invalid by the parser itself — ``from_json``
+    returns NULL on malformed input, the engine-level dead-letter
+    predicate (field-level validation is ``ingest.split_clean_dirty``;
+    this is the layer below it). Verified cross-engine: Spark's
+    Jackson and DuckDB's json_valid agree on every fixture row.
+    Map-only, codegen, no shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substring(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(payload, "map<string,string>")
+    return ev.select(
+        "event_id",
+        parsed.isNotNull().alias("is_valid"),
+        F.when(parsed.isNotNull(), parsed["k"]).alias("k_value"),
+    )
