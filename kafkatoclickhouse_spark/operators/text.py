@@ -719,3 +719,89 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h % 1_000_000 < F.col("keep_ppm"))
         .select("doc_id", "source", "keep_ppm")
     )
+
+
+PREP_SAMPLE_PPM = 500_000  # uniform 50% of the cleaned survivors
+PREP_SAMPLE_SEED = 811
+
+
+@query(
+    "corpus_prep_pipeline",
+    oracle=_TEXT_QUALITY_BASE
+    + f"""
+    , scored AS (
+      SELECT doc_id,
+             ROUND((least(n_chars / 500.0, 1.0)
+                    + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0
+                          THEN n_punct / n_chars ELSE 0.0 END) * 5.0)
+                    + least((CASE WHEN n_toks > 0
+                          THEN n_stop / n_toks ELSE 0.0 END) * 4.0, 1.0)
+                   ) / 3.0, 6) AS quality
+      FROM base
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.source, d.text, s.quality
+      FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+      WHERE s.quality >= 0.5 AND LENGTH(d.text) >= 100
+    ),
+    canonical AS (
+      SELECT doc_id, lang, source, quality, text FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY md5(lower(regexp_replace(trim(text),
+                   '\\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, source, quality,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens
+    FROM canonical
+    WHERE {hashing.sql_portable_hash64("CAST(doc_id AS VARCHAR)",
+                                       PREP_SAMPLE_SEED)}
+          % 1000000 < {PREP_SAMPLE_PPM}
+    """,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep manifest in ONE Catalyst
+    plan: quality-score → filter → exact-dedup survivors → uniform
+    deterministic hash sample → per-doc token counts. This is the
+    query a 100 TB corpus job runs nightly; because every stage is
+    declarative, scoring + filtering + sampling fuse into the scan
+    stage, the single shuffle is the dedup fingerprint window, and
+    the sample membership (portable hash, reproducible across
+    runs/engines/partitionings) costs one compare — the document
+    bodies shuffle at most once and only for surviving docs. The
+    temperature-weighted variant of the sample step is
+    ``corpus_sample_stratified``."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        textfns.quality_score(F.col("text")).alias("quality"),
+    ).filter((F.col("quality") >= 0.5) & (F.length("text") >= 100))
+    from pyspark.sql import Window as W
+
+    w = F.row_number().over(
+        W.partitionBy(textfns.fingerprint(F.col("text"))).orderBy("doc_id")
+    )
+    canonical = (
+        kept.select("doc_id", "lang", "source", "quality", "text",
+                    w.alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    h = hashing.portable_hash64(
+        F.col("doc_id").cast("string"), PREP_SAMPLE_SEED
+    )
+    return (
+        canonical.filter(h % 1_000_000 < PREP_SAMPLE_PPM)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "quality",
+            textfns.ws_token_count(F.col("text")).alias("n_tokens"),
+        )
+    )
