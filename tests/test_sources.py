@@ -165,3 +165,36 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     assert out.count() == li.count()
     # round-trip values, order-insensitive
     assert out.exceptAll(spark.read.parquet(frag)).count() == 0
+
+
+def test_python_datasource_partition_parallel_deterministic(spark):
+    """Spark-4 Python DataSource API: the custom synthetic-docs
+    source must (a) register and read through the normal scan path,
+    (b) split into the requested number of input partitions, and
+    (c) produce identical rows regardless of partitioning — the
+    determinism a fixture/load-test source owes its users."""
+    from kafkatoclickhouse_spark.sources.pyds import (
+        SyntheticDocsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    df8 = (
+        spark.read.format("synthetic_docs")
+        .option("rows", "200")
+        .option("partitions", "8")
+        .load()
+    )
+    assert df8.rdd.getNumPartitions() == 8
+    assert df8.count() == 200
+    df2 = (
+        spark.read.format("synthetic_docs")
+        .option("rows", "200")
+        .option("partitions", "2")
+        .load()
+    )
+    assert sorted(map(tuple, df8.collect())) == sorted(
+        map(tuple, df2.collect())
+    )
+    assert df8.schema.simpleString() == (
+        "struct<doc_id:bigint,text:string,source:string>"
+    )
