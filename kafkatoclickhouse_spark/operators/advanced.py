@@ -85,8 +85,8 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t-digest ``percentile_approx``): both engines sort the same
     multiset and interpolate identically, so this oracle-matches. At
     100 TB switch to ``percentile_approx`` — sketch-mergeable,
-    no global sort — and pin it with a tolerance test like
-    approx_count_distinct's."""
+    no global sort — implemented as ``agg_approx_percentile`` below
+    (exact below accuracy, deterministic oracle)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
