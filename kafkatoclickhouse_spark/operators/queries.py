@@ -1334,3 +1334,47 @@ def json_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.isNotNull().alias("is_valid"),
         F.when(parsed.isNotNull(), parsed["k"]).alias("k_value"),
     )
+
+
+@query(
+    "unpivot_event_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+               AS click,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS purchase,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+               AS view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, n FROM wide
+    UNPIVOT (n FOR metric IN (click, purchase, view))
+    """,
+)
+def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of ``pivot_event_types``: a wide
+    per-user metric frame back to long (user_id, metric, n) form.
+    ``DataFrame.unpivot`` plans a single Expand (each input row fans
+    to K output rows map-side) — no shuffle beyond the upstream agg,
+    no UDF; K× row growth is the expected cost model."""
+    kinds = ["click", "purchase", "view"]
+    wide = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+    ).select(
+        "user_id",
+        *[
+            F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k)
+            for k in kinds
+        ],
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=kinds,
+        variableColumnName="metric",
+        valueColumnName="n",
+    )
