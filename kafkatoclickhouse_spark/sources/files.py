@@ -171,3 +171,41 @@ def compact_parquet(
     return len(
         [f for f in Path(dst_path).rglob("*.parquet") if f.is_file()]
     )
+
+
+def apply_upserts(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    version_col: str,
+    dst_path: str,
+) -> None:
+    """CDC-style merge onto a parquet table without a lakehouse
+    format: latest ``version_col`` per ``key_cols`` wins across
+    base ∪ updates, written to ``dst_path`` (write-ahead-then-swap
+    beats in-place for plain parquet — the read side never sees a
+    partial MERGE).
+
+    Plan shape: one union (no shuffle) + one hash exchange on the
+    key for the row_number dedup — the same cost as the shuffle a
+    real MERGE pays. Deterministic tie-break: at equal version the
+    update wins (``_src`` ordering), so replays are idempotent —
+    the ReplacingMergeTree semantics the reference's sink table
+    relies on (SURVEY §4.3), done engine-side.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(base_path).withColumn("_src", F.lit(0))
+    upd = updates.withColumn("_src", F.lit(1))
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    merged = (
+        base.unionByName(upd)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    merged.write.mode("overwrite").parquet(dst_path)

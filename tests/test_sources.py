@@ -198,3 +198,68 @@ def test_python_datasource_partition_parallel_deterministic(spark):
     assert df8.schema.simpleString() == (
         "struct<doc_id:bigint,text:string,source:string>"
     )
+
+
+def test_apply_upserts_latest_version_wins_idempotent(spark, sf_dir, tmp_path):
+    """CDC apply onto parquet: updated keys take the newest version,
+    unmatched keys insert, untouched keys survive byte-identical —
+    and replaying the same batch is a no-op (idempotence)."""
+    from pyspark.sql import functions as F
+
+    from kafkatoclickhouse_spark.sources.files import apply_upserts
+    from kafkatoclickhouse_spark.tables import load_table
+
+    base_path = str(tmp_path / "base")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).withColumn("version", F.lit(1))
+    cust.write.parquet(base_path)
+
+    updates = spark.createDataFrame(
+        [(1, "UPDATED-1", 999.0, 2), (999999, "NEW-KEY", 1.0, 2),
+         (2, "STALE", -1.0, 0)],
+        "c_custkey long, c_name string, c_acctbal double, version int",
+    )
+    v1 = str(tmp_path / "v1")
+    apply_upserts(spark, base_path, updates, ("c_custkey",), "version", v1)
+    out = spark.read.parquet(v1)
+    rows = {r["c_custkey"]: r for r in out.collect()}
+    assert rows[1]["c_name"] == "UPDATED-1"          # newer wins
+    assert rows[999999]["c_name"] == "NEW-KEY"       # insert
+    assert rows[2]["c_name"] != "STALE"              # stale version loses
+    assert out.count() == cust.count() + 1
+    v2 = str(tmp_path / "v2")
+    apply_upserts(spark, v1, updates, ("c_custkey",), "version", v2)
+    assert spark.read.parquet(v2).exceptAll(out).count() == 0  # idempotent
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_dir, tmp_path):
+    """partitionOverwriteMode=dynamic must rewrite ONLY partitions
+    present in the incoming frame — the other partitions' files stay
+    untouched (static mode would wipe the whole table; at 100 TB the
+    difference between rewriting one day and rewriting the lake)."""
+    from pyspark.sql import functions as F
+
+    from kafkatoclickhouse_spark.tables import load_table
+
+    path = str(tmp_path / "orders_by_pri")
+    od = load_table(spark, sf_dir, "orders")
+    od.write.partitionBy("o_orderpriority").parquet(path)
+    before = spark.read.parquet(path)
+    n_urgent_before = before.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
+    n_total_before = before.count()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        od.filter(F.col("o_orderpriority") == "1-URGENT").limit(10).write.mode(
+            "overwrite"
+        ).partitionBy("o_orderpriority").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("o_orderpriority") == "1-URGENT").count() == 10
+    assert after.count() == n_total_before - n_urgent_before + 10
