@@ -90,3 +90,32 @@ def click_purchase_attribution(
         right_ts="purchase_ts",
         watermark=watermark,
     ).select("click_id", "user_id", "purchase_id", "purchase_value")
+
+
+def click_purchase_attribution_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    horizon: str = "1 HOUR",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click, with its
+    attributed purchase(s) or NULLs if none arrived in the horizon.
+
+    Outer semantics under streaming are subtle and worth pinning: a
+    click's NULL row can only be emitted once the watermark proves no
+    matching purchase can still arrive (click_ts + horizon is behind
+    the purchase-side watermark). Until then the click sits in state.
+    So outer results trail the inner results by up to
+    watermark + horizon — that lag is the price of correctness, not a
+    bug, and the state bound is the same input-rate × horizon window
+    as the inner join."""
+    lhs = with_watermark(clicks, "click_ts", watermark)
+    rhs = with_watermark(purchases, "purchase_ts", watermark)
+    cond = (
+        "user_id = p_user_id AND purchase_ts >= click_ts "
+        f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
+    )
+    return lhs.join(rhs, F.expr(cond), "leftOuter").select(
+        "click_id", "user_id", "click_ts", "purchase_id", "purchase_value"
+    )

@@ -706,3 +706,44 @@ def test_rate_source_feeds_pipeline(spark, tmp_path):
     out = spark.table("rate_ingest")
     assert out.count() == 50
     assert {"essCode", "cTime", "power", "soc"} <= set(out.columns)
+
+
+def test_streaming_left_outer_interval_join(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched rows must
+    equal the inner join exactly; unmatched clicks appear with NULL
+    purchase columns; and every click is accounted for at most once
+    per matching purchase. Outer-NULL emission requires watermark
+    advancement past click_ts + horizon — the availableNow drain
+    processes the whole bounded feed, so the final watermark releases
+    all decidable clicks."""
+    from kafkatoclickhouse_spark.streaming import joins as sj
+
+    ev_path = tmp_path / "events_feed"
+    events = load_table(spark, sf_dir, "events")
+    events.write.parquet(str(ev_path))
+    stream = spark.readStream.schema(events.schema).parquet(str(ev_path))
+    clicks, purchases = sj.split_clicks_purchases(stream)
+    joined = sj.click_purchase_attribution_outer(clicks, purchases)
+    out = run_stream(joined, "outer_ij", tmp_path / "ckpt")
+
+    bc, bp = sj.split_clicks_purchases(events)
+    inner = sj.click_purchase_attribution(bc, bp)
+    n_inner = inner.count()
+    got_matched = out.filter(F.col("purchase_id").isNotNull())
+    assert got_matched.count() == n_inner
+    assert got_matched.select(
+        "click_id", "user_id", "purchase_id", "purchase_value"
+    ).exceptAll(
+        inner.select("click_id", "user_id", "purchase_id", "purchase_value")
+    ).count() == 0
+    # outer rows: clicks with no purchase in the horizon, NULL-padded.
+    # (Clicks too near the feed's end may be withheld — watermark
+    # cannot yet prove them unmatched — so compare as a subset.)
+    unmatched = out.filter(F.col("purchase_id").isNull())
+    matched_click_rows = {
+        r["click_id"] for r in inner.select("click_id").distinct().collect()
+    }
+    for r in unmatched.collect():
+        assert r["click_id"] not in matched_click_rows
+        assert r["purchase_value"] is None
+    assert unmatched.count() > 0
