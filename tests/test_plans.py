@@ -291,3 +291,18 @@ def test_ingest_parses_json_exactly_once(spark, sf_dir):
     )
     assert plan.count("from_json") == 1, plan
     assert "HashAggregate" in plan and "SortAggregate" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["events_funnel_steps", "corpus_prep_pipeline"]
+)
+def test_single_exchange_pipelines(spark, sf_dir, name):
+    """Queries whose docstrings promise ONE shuffle must keep that
+    promise: the funnel's three chained window-mins + final agg share
+    a single user_id hash partitioning, and the corpus prep manifest
+    (score → filter → dedup → sample → count) shuffles only for the
+    dedup fingerprint window. A second Exchange appearing here means
+    a partitioning stopped being reused."""
+    plan = plans.plan_string(registry.QUERIES[name](spark, sf_dir), "simple")
+    n = plan.count("Exchange")
+    assert n == 1, f"{name}: expected 1 Exchange, found {n}\n{plan}"
