@@ -451,3 +451,61 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.count("*").alias("n_vectors"),
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                   AS max_abs
+          FROM e)
+    SELECT vec_id,
+           CAST(floor(max_abs * 1000000) AS BIGINT) AS scale_micro,
+           array_to_string(
+             list_transform(v, x -> CAST(CASE WHEN max_abs = 0 THEN 0
+                 ELSE floor(x / max_abs * 127) END AS BIGINT)), ',')
+             AS codes_csv
+    FROM m
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (codes in [-127, 127],
+    per-vector max-abs scale) — the 4× storage/bandwidth reduction
+    step before ANN indexing at 100 TB. Map-only higher-order
+    expressions, no shuffle, no Python.
+
+    Cross-engine determinism by construction: only IEEE
+    exactly-rounded ops (abs/max/div/mul) plus ``floor`` — no ROUND
+    (engine tie-break differs) and no libm (pow/log vary per
+    implementation); the scale is emitted floor-quantized to an
+    integer micro grid. Codes join back as
+    ``code * scale / 127`` for reconstruction (error ≤ scale/127 per
+    component, ~0.8%)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        em.select("vec_id", v.alias("v"))
+        .withColumn(
+            "max_abs", F.array_max(F.transform("v", lambda x: F.abs(x)))
+        )
+        .select(
+            "vec_id",
+            F.floor(F.col("max_abs") * 1_000_000)
+            .cast("long")
+            .alias("scale_micro"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "v",
+                    lambda x: F.when(
+                        F.col("max_abs") == 0, F.lit(0).cast("long")
+                    )
+                    .otherwise(F.floor(x / F.col("max_abs") * 127))
+                    .cast("string"),
+                ),
+            ).alias("codes_csv"),
+        )
+    )
