@@ -66,13 +66,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("kafkatoclickhouse")
 
     catalog = None
-    if not args.no_catalog and cfg.jdbc_url:
-        database = cfg.jdbc_url.rsplit("/", 1)[-1]
+    if not args.no_catalog and cfg.jdbc_url and cfg.jdbc_database:
         try:
             catalog = sink_catalog.fetch_sink_catalog(
                 spark,
                 cfg.jdbc_url,
-                database,
+                cfg.jdbc_database,
                 cfg.jdbc_table,
                 user=cfg.jdbc_user or None,
                 password=cfg.jdbc_password or None,
@@ -83,6 +82,18 @@ def main(argv: list[str] | None = None) -> int:
                 "writing unprojected columns",
                 file=sys.stderr,
             )
+        else:
+            if not catalog:
+                # zero rows = table/database missing from
+                # system.columns; an empty projection would drop EVERY
+                # column, so treat it like an unreachable catalog.
+                catalog = None
+                print(
+                    "sink-catalog bootstrap returned no columns for "
+                    f"{cfg.jdbc_database}.{cfg.jdbc_table}; "
+                    "writing unprojected columns",
+                    file=sys.stderr,
+                )
 
     from kafkatoclickhouse_spark.streaming import sink, source
 

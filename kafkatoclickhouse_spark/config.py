@@ -49,6 +49,7 @@ class PipelineConfig:
     kafka_group_id: str = "kafkatoclickhouse_spark"
     kafka_starting_offsets: str = "earliest"
     jdbc_url: str = ""
+    jdbc_database: str = ""
     jdbc_table: str = ""
     jdbc_user: str = ""
     jdbc_password: str = ""
@@ -83,11 +84,20 @@ class PipelineConfig:
             return default
 
         jdbc_url = props.get("clickhouse.url", "")
+        database = props.get("clickhouse.database", "")
         if not jdbc_url and "clickhouse.conn" in props:
             jdbc_url = props["clickhouse.conn"].rstrip("/")
-            database = props.get("clickhouse.database", "")
             if database:
                 jdbc_url = f"{jdbc_url}/{database}"
+        if not database and jdbc_url:
+            # clickhouse.url with a database path (…host:8123/db) — the
+            # tail after the authority. A URL with no path (…host:8123)
+            # yields no database; catalog bootstrap then requires the
+            # explicit clickhouse.database key rather than guessing
+            # 'host:8123' as a database name.
+            tail = jdbc_url.split("//", 1)[-1]
+            if "/" in tail:
+                database = tail.rsplit("/", 1)[-1].split("?", 1)[0]
 
         return cls(
             kafka_bootstrap_servers=props.get(
@@ -103,6 +113,7 @@ class PipelineConfig:
                 "kafka.auto.offset.reset", "earliest"
             ),
             jdbc_url=jdbc_url,
+            jdbc_database=database,
             jdbc_table=props.get("clickhouse.table", ""),
             jdbc_user=props.get("clickhouse.user", ""),
             jdbc_password=props.get("clickhouse.passwd", ""),

@@ -67,8 +67,12 @@ def spark_type_for(
         return T.DoubleType()
     if re.fullmatch(r"u?int(8|16|32)", base):
         return T.IntegerType() if base != "uint32" else T.LongType()
-    if base in ("int64", "uint64"):
+    if base == "int64":
         return T.LongType()
+    if base == "uint64":
+        # LongType tops out at 2^63-1; ClickHouse UInt64 ids/hashes
+        # routinely exceed it. Decimal(20,0) holds the full range.
+        return T.DecimalType(20, 0)
     if base.startswith("decimal"):
         m = re.search(r"\((\d+)\s*,\s*(\d+)\)", ch_type)
         if m:
