@@ -66,6 +66,15 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("kafkatoclickhouse")
 
     catalog = None
+    if not args.no_catalog and cfg.jdbc_url and not cfg.jdbc_database:
+        # mirror the other two fallback paths: the user pointed at a
+        # sink but we can't tell which database to bootstrap from, so
+        # say so instead of silently skipping projection/typing.
+        print(
+            "no clickhouse.database configured (and none in the JDBC "
+            "URL path); skipping sink-catalog bootstrap",
+            file=sys.stderr,
+        )
     if not args.no_catalog and cfg.jdbc_url and cfg.jdbc_database:
         try:
             catalog = sink_catalog.fetch_sink_catalog(

@@ -120,9 +120,14 @@ def fetch_sink_catalog(
     omits it and the query runs through ``spark.read.jdbc`` (requires
     the ClickHouse JDBC driver on the classpath, absent in this
     container)."""
+    # single-quote-escape the identifiers: they arrive from config /
+    # URL parsing, and a stray quote must not break (or inject into)
+    # the catalog query. ClickHouse escapes ' as '' inside literals.
+    db_lit = database.replace("\\", "\\\\").replace("'", "''")
+    tbl_lit = table.replace("\\", "\\\\").replace("'", "''")
     sql = (
         "select name, `type` from system.columns "
-        f"where database='{database}' and table='{table}'"
+        f"where database='{db_lit}' and table='{tbl_lit}'"
     )
     if run_query is not None:
         return list(run_query(sql))

@@ -100,3 +100,36 @@ def test_conn_without_database_is_bare_url():
         {"clickhouse.conn": "jdbc:clickhouse://host:8123/"}
     )
     assert cfg.jdbc_url == "jdbc:clickhouse://host:8123"
+
+
+def test_url_with_database_path_extracts_database():
+    cfg = cfgmod.PipelineConfig.from_properties(
+        {"clickhouse.url": "jdbc:clickhouse://host:8123/mydb"}
+    )
+    assert cfg.jdbc_url == "jdbc:clickhouse://host:8123/mydb"
+    assert cfg.jdbc_database == "mydb"
+
+
+def test_url_with_query_params_strips_them_from_database():
+    cfg = cfgmod.PipelineConfig.from_properties(
+        {"clickhouse.url": "jdbc:clickhouse://host:8123/mydb?socket_timeout=300000"}
+    )
+    assert cfg.jdbc_database == "mydb"
+
+
+def test_bare_host_url_yields_no_database():
+    cfg = cfgmod.PipelineConfig.from_properties(
+        {"clickhouse.url": "jdbc:clickhouse://host:8123"}
+    )
+    assert cfg.jdbc_url == "jdbc:clickhouse://host:8123"
+    assert cfg.jdbc_database == ""
+
+
+def test_explicit_database_key_wins_over_url_path():
+    cfg = cfgmod.PipelineConfig.from_properties(
+        {
+            "clickhouse.url": "jdbc:clickhouse://host:8123/pathdb",
+            "clickhouse.database": "keydb",
+        }
+    )
+    assert cfg.jdbc_database == "keydb"

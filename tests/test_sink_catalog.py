@@ -150,3 +150,28 @@ def test_job_with_catalog_lands_catalog_shape(
     for r in rows:
         assert r["not_in_stream"] is None
         assert r["dayOfYear"] == r["cTime"][:10]
+
+
+def test_uint64_maps_to_decimal_20_0():
+    # LongType tops out at 2^63-1; ClickHouse UInt64 ids/hashes exceed
+    # it, so the catalog mapping must widen to Decimal(20,0).
+    assert sc.spark_type_for("UInt64") == T.DecimalType(20, 0)
+    assert sc.spark_type_for("Nullable(UInt64)") == T.DecimalType(20, 0)
+
+
+def test_fetch_escapes_quotes_in_identifiers():
+    seen = {}
+
+    def run_query(sql):
+        seen["sql"] = sql
+        return []
+
+    sc.fetch_sink_catalog(
+        None,
+        "jdbc:clickhouse://h:8123",
+        "bad'db",
+        "tbl'; drop table x; --",
+        run_query=run_query,
+    )
+    assert "database='bad''db'" in seen["sql"]
+    assert "table='tbl''; drop table x; --'" in seen["sql"]
