@@ -191,3 +191,32 @@ def test_observed_clean_counts_in_one_pass(spark):
     assert n_clean == n_clean_expected
     assert metrics["n_total"] == len(DIRTY_CASES)
     assert metrics["n_dirty"] == len(DIRTY_CASES) - n_clean_expected
+
+
+def test_fan_out_is_metadata_only_and_sized_right(spark, sf_dir):
+    """fan_out must decide from driver-side file metadata (no RDD
+    conversion, no job) and fan a single-split local scan out to the
+    configured parallelism while leaving well-split inputs alone."""
+    from kafkatoclickhouse_spark import tables
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    # single-row-group local fixture => estimated splits is small
+    est = tables._estimated_scan_splits(docs)
+    assert 1 <= est < 32
+    fanned = tables.fan_out(docs, parallelism=32)
+    assert "Repartition" in fanned._jdf.queryExecution().logical().toString()
+    # an already-wide frame (estimate >= target) is returned untouched
+    assert tables.fan_out(docs, parallelism=1) is docs
+    # non-file sources report 0 splits => conservative fan-out
+    mem = spark.range(10)
+    assert tables._estimated_scan_splits(mem) == 0
+
+
+def test_parse_bytes_conf_formats():
+    from kafkatoclickhouse_spark.tables import _parse_bytes
+
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("128MB") == 128 << 20
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("4096") == 4096
