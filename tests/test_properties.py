@@ -114,6 +114,26 @@ def test_connected_components_path_graph(spark):
     assert got == expect
 
 
+def test_connected_components_long_path_logarithmic(spark):
+    """Adversarial worst case: a 1000-node path (diameter 999). Plain
+    min-label propagation needs ~1000 rounds; the pointer-jumping
+    variant must finish inside a 16-round budget (propagate+jump
+    covers distance 2^k - 1 after k rounds → 11 rounds to cross 999
+    hops, plus one fixpoint-detection round). max_iter=16 makes the
+    O(log diameter) claim falsifiable: a propagation-only regression
+    raises RuntimeError here instead of silently running long."""
+    from kafkatoclickhouse_spark.operators.graph import connected_components
+
+    n = 1000
+    verts = spark.range(0, n).select(F.col("id"))
+    chain = spark.range(0, n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    rows = connected_components(verts, chain, max_iter=16).collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+
+
 def test_cluster_assignment_consistent_with_pairs(spark, sf_dir):
     """Every near-dup pair must land in one cluster; every canonical
     id must be a member of its own cluster."""
