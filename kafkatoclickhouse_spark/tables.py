@@ -44,6 +44,32 @@ def table_path(sf_dir: str, name: str) -> str:
 NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every TIMESTAMP_NTZ column to session-zone TIMESTAMP.
+
+    Parquet writers disagree on timestamp encoding: isAdjustedToUTC
+    timestamps read as TIMESTAMP, wall-clock (NTZ) ones as
+    TIMESTAMP_NTZ, and TIMESTAMP(NANOS) as raw longs under
+    ``nanosAsLong``. The engine's event-time surface (``unix_micros``,
+    ``withWatermark``, window()) requires TIMESTAMP, so the scan layer
+    converges all encodings to it. Under the engine's fixed UTC
+    session timezone (session.py) the NTZ→TIMESTAMP cast is a pure
+    reinterpretation — identical micros, byte-exact ``unix_micros``.
+    Map-only, no shuffle; at 100 TB this is a free projection fused
+    into the scan stage.
+    """
+    ntz_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.
 
@@ -66,7 +92,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
-    return df
+    return normalize_timestamps(df)
 
 
 def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
