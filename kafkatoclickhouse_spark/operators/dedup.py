@@ -318,7 +318,59 @@ def _sql_ngram_pairs() -> str:
     """
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rare_shingle_candidates(
+    exploded: DataFrame, df_cap: int | None = None
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one shingle
+    with document frequency ≤ ``df_cap``.
+
+    The shingle equi-join's cost is Σ df² over shingles — quadratic
+    in the hottest shingle's frequency. Stop-word-ish shingles
+    ("in the end", boilerplate headers) have df in the millions at
+    100 TB, and every one of those groups would emit df² candidate
+    rows while contributing nothing to discrimination (a pair
+    sharing ONLY ubiquitous shingles is not a near-duplicate). The
+    cap drops them from CANDIDATE GENERATION only; verification
+    below is exact Jaccard over the FULL shingle sets, so dropped
+    shingles still count toward the reported similarity. A true
+    ≥ 0.8 pair is missed only if every shared shingle is hotter
+    than the cap — i.e. ≥ 80 % of both documents is corpus-wide
+    boilerplate. The hot list is tiny by construction (≤ corpus
+    shingle count / cap entries) and broadcast."""
+    if df_cap is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+# Candidate-generation document-frequency cap for the exact shingle
+# join. Far above any fixture shingle's df (max 25 at sf0.1), so
+# oracle equality is untouched at test scale; at 100 TB it bounds
+# the join's per-shingle blowup at cap² rows.
+SHINGLE_DF_CAP = 1000
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = SHINGLE_DF_CAP
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) for every pair with exact word-3-gram
     Jaccard ≥ 0.8, doc_a < doc_b — shared by ``dedup_ngram_jaccard``
     and the connected-components clustering in ``graph.py``."""
@@ -326,41 +378,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = shingled.select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("c"))
-    )
-    sizes = shingled.select(
-        "doc_id", F.size("shingles").cast("long").alias("n")
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        pairs.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    cands = rare_shingle_candidates(exploded, df_cap)
+    return exact_jaccard(cands, shingled).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
 
 @query("dedup_ngram_jaccard", oracle=_sql_ngram_pairs())
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ 0.8 via shingle equi-join —
-    the ground truth the LSH recall tests compare against. The
-    shingle join is an equi-join (shuffle on shingle), not a cross
-    join, but its worst case is quadratic in shingle frequency;
-    at 100 TB use ``dedup_minhash_lsh``."""
+    """Exact n-gram Jaccard pairs ≥ 0.8 — the ground truth the LSH
+    recall tests compare against. Candidates come from an equi-join
+    on frequency-capped shingles (see ``rare_shingle_candidates``:
+    hot boilerplate shingles are excluded from pairing, bounding the
+    join at cap² rows per shingle), then every candidate is verified
+    with exact Jaccard over the full uncapped shingle sets."""
     return ngram_jaccard_pairs(spark, sf_dir)
 
 

@@ -153,6 +153,32 @@ def test_connected_components_long_path_logarithmic(spark, ordering):
     assert {r["component"] for r in rows} == {0}
 
 
+def test_shingle_df_cap_bounds_candidate_blowup(spark):
+    """A synthetic stop-word corpus: every document shares the same
+    three boilerplate shingles but is otherwise unique. Uncapped,
+    the shingle equi-join emits all C(n,2) pairs — the quadratic
+    blowup that kills the exact path at scale; with a df cap the hot
+    shingles are excluded from candidate generation and no pair
+    survives. Fixture shingles never exceed df 25, so the production
+    cap (1000) provably changes nothing there — parity pins that."""
+    from kafkatoclickhouse_spark.operators.dedup import (
+        rare_shingle_candidates,
+    )
+
+    n = 120
+    rows = []
+    for d in range(n):
+        for s in ("the end of", "of the day", "in the end"):
+            rows.append((d, s))
+        for j in range(5):
+            rows.append((d, f"unique shingle {d}-{j}"))
+    exploded = spark.createDataFrame(rows, "doc_id long, shingle string")
+    uncapped = rare_shingle_candidates(exploded, None).count()
+    capped = rare_shingle_candidates(exploded, 50).count()
+    assert uncapped == n * (n - 1) // 2
+    assert capped == 0
+
+
 def test_cluster_assignment_consistent_with_pairs(spark, sf_dir):
     """Every near-dup pair must land in one cluster; every canonical
     id must be a member of its own cluster."""
