@@ -259,8 +259,10 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
            CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-           ROUND(percent_rank() OVER w, 6) AS pct_rank,
-           ROUND(cume_dist() OVER w, 6) AS cume
+           FLOOR(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0
+             AS pct_rank,
+           FLOOR(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0
+             AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey
                  ORDER BY c_acctbal, c_custkey)
@@ -272,16 +274,29 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     depends on peer order, so the window orders by
     (c_acctbal, c_custkey): the unique tiebreak is what makes the
     result deterministic under any partitioning (and therefore
-    hash-checkable — same rule as collect_list's sort)."""
+    hash-checkable — same rule as collect_list's sort).
+
+    6-dp rounding is ``floor(x*1e6 + 0.5)/1e6`` — pure IEEE double
+    ops, bit-identical across engines — NOT round(x, 6): Spark
+    rounds the double's shortest decimal rendering (BigDecimal
+    HALF_UP) while DuckDB rounds the double itself, and they split
+    on ties like percent_rank = 0.0640625 (first seen at sf0.1,
+    where partitions get big enough to hit half-ULP boundaries)."""
     cu = load_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+
+    def _r6(col):
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
+            1000000.0
+        )
+
     return cu.select(
         "c_custkey",
         "c_nationkey",
         "c_acctbal",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        _r6(F.percent_rank().over(w)).alias("pct_rank"),
+        _r6(F.cume_dist().over(w)).alias("cume"),
     )
 
 
