@@ -7,15 +7,22 @@ Prints ONE JSON line:
 Each query executes end-to-end with a noop sink (full computation,
 no driver-side collect bottleneck). Timing is steady-state: each
 query runs once untimed (whole-stage-codegen compilation, parquet
-footer caches), then the timed run measures actual engine throughput
-— the JMH convention, and the regime that matters at scale where a
-compiled stage runs for hours, not the 100 ms the JIT pass costs.
+footer caches), then SPARK_GRAFT_BENCH_REPEATS timed rounds (default
+5) in INTERLEAVED order — every round visits all queries, so JVM
+drift (GC pressure, JIT recompiles, page-cache churn) spreads across
+all keys instead of biasing whichever query runs last. Per-query
+time is the MEDIAN across rounds (robust to one-off stalls);
+"stddev" reports the spread so a noisy query is distinguishable
+from a regressed one. This is the JMH convention, and the regime
+that matters at scale where a compiled stage runs for hours, not the
+100 ms the JIT pass costs.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -83,28 +90,36 @@ def main() -> None:
     for t in ("region", "events", "documents", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-
     # bench-only twins (not registered — no oracle): quantify the md5
     # portable-hash tax vs the production xxhash64 family. Excluded
     # from "value" so round-over-round totals stay comparable.
     from kafkatoclickhouse_spark.operators import dedup as dedup_mod
 
-    extras: dict[str, float] = {}
-    for name, fn in (
-        ("dedup_minhash_lsh_xxhash", dedup_mod.dedup_minhash_lsh_fast),
-    ):
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        extras[name] = round(time.perf_counter() - t0, 3)
+    extra_fns = {
+        "dedup_minhash_lsh_xxhash": dedup_mod.dedup_minhash_lsh_fast,
+    }
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+    all_fns = {n: registry.QUERIES[n] for n in HEADLINE} | extra_fns
+    samples: dict[str, list[float]] = {n: [] for n in all_fns}
+    for rnd in range(repeats + 1):  # round 0 = untimed warmup
+        for name, fn in all_fns.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if rnd:
+                samples[name].append(time.perf_counter() - t0)
+
+    def med(name: str) -> float:
+        return round(statistics.median(samples[name]), 3)
+
+    def sd(name: str) -> float:
+        if len(samples[name]) < 2:
+            return 0.0
+        return round(statistics.stdev(samples[name]), 3)
+
+    timings = {n: med(n) for n in HEADLINE}
+    stddev = {n: sd(n) for n in HEADLINE}
+    extras = {n: med(n) for n in extra_fns}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -113,15 +128,19 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stddev": stddev,
+                "repeats": repeats,
                 "extras": extras,
                 "notes": (
                     "round 3 added 9 headline keys (dedup_embedding_cosine_"
                     "bucketed..asof_join_nearest_events) — compare totals to "
-                    "r01/r02 over the shared 33 keys only. extras are "
-                    "bench-only twins excluded from value: "
-                    "dedup_minhash_lsh_xxhash swaps the oracle-replayable "
-                    "md5 hash family for JVM xxhash64 (the documented "
-                    "100TB production swap); compare with "
+                    "r01/r02 over the shared 33 keys only. since round 6, "
+                    "per-query times are medians of `repeats` interleaved "
+                    "timed rounds (stddev alongside); earlier rounds were "
+                    "single-shot. extras are bench-only twins excluded from "
+                    "value: dedup_minhash_lsh_xxhash swaps the "
+                    "oracle-replayable md5 hash family for JVM xxhash64 "
+                    "(the documented 100TB production swap); compare with "
                     "queries.dedup_minhash_lsh for the md5 tax"
                 ),
                 "sf": sf,
