@@ -2,16 +2,18 @@
 
 LLM-pipeline surface (north star). Images/audio/video are carried as
 ``binary`` columns with a typed metadata struct; decode / feature
-extraction runs as Arrow-batched pandas over ``mapInPandas``. The
-decode step itself is STUBBED (no image/audio libraries in this
-container — see ``decode_image``): the Spark-side plumbing (schema,
-partitioning, UDF signature, batch shape) is real and tested, and
-``byte_features`` extracts deterministic per-payload statistics so
-the mapInPandas path has a correctness check.
+extraction runs as Arrow-batched pandas over ``mapInPandas``.
+``decode_image`` really decodes the uncompressed container formats
+(binary PPM P6 and 24-bit BMP) with a dependency-free numpy parser —
+exercised end-to-end by ``multimodal_decode_stats`` — while
+compressed codecs (JPEG/PNG/audio) fall through to PIL when present
+and fail loudly otherwise (none in this container).
 
 Since the fixtures ship no binary columns, payloads are synthesized
-deterministically from ``documents.text`` (utf-8 bytes) — the same
-derivation the oracle applies.
+deterministically — from ``documents.text`` (utf-8 bytes) for the
+byte/frame/resize queries, and as real PPM images from a closed-form
+pixel rule for the decode query — the same derivations the oracles
+apply.
 """
 
 from __future__ import annotations
@@ -25,7 +27,16 @@ from pyspark.sql import functions as F
 from kafkatoclickhouse_spark.registry import query
 from kafkatoclickhouse_spark.tables import load_table
 
-DECODERS_AVAILABLE = False  # no PIL/cv2/librosa in this environment
+# Compressed-codec libraries (PIL/cv2/librosa) are absent in this
+# environment; the built-in pure-numpy decoder below handles the
+# uncompressed container formats (PPM P6, 24-bit BMP).
+DECODERS_AVAILABLE = False
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PIL_Image  # noqa: F401
+
+    DECODERS_AVAILABLE = True
+except ImportError:
+    _PIL_Image = None
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -44,13 +55,91 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _decode_ppm_p6(payload: bytes):
+    """Binary PPM (P6): ASCII header ``P6 <w> <h> <maxval>`` with
+    ``#`` comments, one whitespace after maxval, then w*h*3 raw RGB
+    bytes. Returns an (h, w, 3) uint8 numpy array."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header tokenizer: whitespace-separated ints, '#' to EOL skipped
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval per spec
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                           offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def _decode_bmp24(payload: bytes):
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): little-endian
+    header, BGR pixel order, rows bottom-up and padded to 4 bytes.
+    Returns an (h, w, 3) uint8 RGB numpy array."""
+    import struct
+
+    import numpy as np
+
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR → RGB
+
+
 def decode_image(payload: bytes) -> "object":
-    """STUB: real deployments decode via PIL/libvips here. The
-    container has no image codecs, so decoding is explicitly
-    unavailable rather than silently fake."""
-    raise NotImplementedError(
-        "image decode requires an image codec library (e.g. PIL); "
-        "not available in this environment"
+    """Decode an image payload to an (h, w, 3) uint8 RGB array.
+
+    Dependency-free decoders cover the uncompressed container
+    formats — binary PPM (P6) and 24-bit BMP — which is what the
+    fixture-synthesized payloads use; when PIL is importable
+    (real deployments), any other format falls through to it.
+    Raises ValueError for formats no available decoder handles, so
+    unsupported compressed codecs fail loudly rather than silently
+    fake pixels."""
+    if payload[:2] == b"P6":
+        return _decode_ppm_p6(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp24(payload)
+    if _PIL_Image is not None:  # pragma: no cover - not in container
+        import io
+
+        import numpy as np
+
+        return np.asarray(_PIL_Image.open(io.BytesIO(payload)).convert("RGB"))
+    raise ValueError(
+        "unsupported image format (built-in decoders: PPM P6, 24-bit "
+        "BMP; compressed codecs need PIL, unavailable here)"
     )
 
 
@@ -343,3 +432,137 @@ def multimodal_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         _frame_energy_batches,
         schema="doc_id long, frame_idx long, energy long, n_samples long",
     )
+
+
+# -- image decode (real pure-numpy decoder over synthesized PPMs) -----------
+#
+# The fixtures ship no image payloads, so the pipeline synthesizes a
+# deterministic binary PPM (P6) per document — REAL image bytes with
+# header + raw RGB raster — then decodes them back with the
+# dependency-free decoder in ``decode_image`` and reports per-channel
+# statistics. Synthesis and decode are separate Arrow mapInPandas
+# stages, so the payload crosses the executor boundary as a genuine
+# binary column; a bug in either the PPM writer or the parser breaks
+# the oracle match. Pixel values are closed-form in (doc_id, x, y) so
+# DuckDB can recompute the statistics without touching any binary.
+
+PPM_W_BASE, PPM_W_MOD = 8, 5  # width  = 8 + doc_id % 5
+PPM_H_BASE, PPM_H_MOD = 6, 4  # height = 6 + doc_id % 4
+
+
+def _ppm_pixel_exprs(doc_id, x, y):
+    """The shared pixel rule: channel = linear(doc_id, x, y) mod 256.
+    One definition used by the synthesizer (numpy), mirrored textually
+    in the DuckDB oracle below."""
+    return (
+        (doc_id * 7 + x * 3 + y * 5) % 256,
+        (doc_id * 11 + x * 2 + y * 3) % 256,
+        (doc_id * 13 + x * 5 + y * 7) % 256,
+    )
+
+
+def _synthesize_ppm_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w = PPM_W_BASE + d % PPM_W_MOD
+            h = PPM_H_BASE + d % PPM_H_MOD
+            y, x = np.mgrid[0:h, 0:w]
+            r, g, b = _ppm_pixel_exprs(d, x, y)
+            raster = np.stack([r, g, b], axis=-1).astype(np.uint8)
+            payloads.append(
+                b"P6\n%d %d\n255\n" % (w, h) + raster.tobytes()
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def synthesize_ppm_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with a deterministic binary-PPM payload per
+    document. Map-only; at scale this stage stands in for the object-
+    store fetch that materializes the image bytes."""
+    return docs.select("doc_id").mapInPandas(
+        _synthesize_ppm_batches, schema="doc_id long, payload binary"
+    )
+
+
+def _decode_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {
+            "doc_id": [],
+            "width": [],
+            "height": [],
+            "channels": [],
+            "sum_r": [],
+            "sum_g": [],
+            "sum_b": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = decode_image(bytes(payload))
+            h, w, c = arr.shape
+            sums = arr.reshape(-1, c).sum(axis=0, dtype="int64")
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["channels"].append(c)
+            rows["sum_r"].append(int(sums[0]))
+            rows["sum_g"].append(int(sums[1]))
+            rows["sum_b"].append(int(sums[2]))
+        yield pd.DataFrame(rows)
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Decode every payload with ``decode_image`` and emit exact
+    integer per-channel statistics — the canonical 'decode then
+    featurize' stage. Arrow-batched, map-only, no shuffle."""
+    return images.select("doc_id", "payload").mapInPandas(
+        _decode_stats_batches,
+        schema=(
+            "doc_id long, width int, height int, channels int,"
+            " sum_r long, sum_g long, sum_b long"
+        ),
+    )
+
+
+@query(
+    "multimodal_decode_stats",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             {PPM_W_BASE} + doc_id % {PPM_W_MOD} AS w,
+             {PPM_H_BASE} + doc_id % {PPM_H_MOD} AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           3 AS channels,
+           CAST(SUM((doc_id * 7 + (i % w) * 3 + (i // w) * 5) % 256)
+                AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 11 + (i % w) * 2 + (i // w) * 3) % 256)
+                AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 13 + (i % w) * 5 + (i // w) * 7) % 256)
+                AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a binary PPM per document, decode it back with the
+    pure-numpy P6 parser, and report exact per-channel pixel sums.
+    The oracle recomputes the closed-form pixel rule in SQL — it
+    never sees the binary — so header layout, raster order, and
+    channel order are all load-bearing: any decoder bug is a hash
+    mismatch, not a silent skew. (Closes the r3-brief decode-stub
+    item: ``decode_image`` now really parses PPM P6 and 24-bit BMP;
+    compressed codecs still require PIL and fail loudly without it.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_stats(synthesize_ppm_images(docs))

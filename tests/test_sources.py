@@ -263,3 +263,70 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_dir, tmp_pa
     after = spark.read.parquet(path)
     assert after.filter(F.col("o_orderpriority") == "1-URGENT").count() == 10
     assert after.count() == n_total_before - n_urgent_before + 10
+
+
+# -- image decoders (pure-numpy PPM/BMP — tested bit-for-bit) ---------------
+
+
+def test_decode_ppm_p6_known_pixels():
+    """Hand-built 2x2 P6 with distinct channel values per pixel, plus
+    a header comment (spec allows them; real tools emit them)."""
+    raster = bytes(
+        [1, 2, 3, 4, 5, 6,  # row 0: (1,2,3) (4,5,6)
+         7, 8, 9, 10, 11, 12]  # row 1
+    )
+    payload = b"P6\n# made by hand\n2 2\n255\n" + raster
+    arr = multimodal.decode_image(payload)
+    assert arr.shape == (2, 2, 3)
+    assert arr[0, 0].tolist() == [1, 2, 3]
+    assert arr[0, 1].tolist() == [4, 5, 6]
+    assert arr[1, 1].tolist() == [10, 11, 12]
+
+
+def test_decode_bmp24_known_pixels():
+    """Hand-built 2x2 24-bit BMP: BGR byte order, bottom-up rows,
+    rows padded to 4 bytes (2*3=6 → stride 8). The decoder must undo
+    all three conventions."""
+    import struct
+
+    w = h = 2
+    stride = (w * 3 + 3) & ~3
+    # file rows bottom-up: this is image row 1 first
+    row1 = bytes([9, 8, 7, 12, 11, 10]) + b"\x00" * (stride - 6)
+    row0 = bytes([3, 2, 1, 6, 5, 4]) + b"\x00" * (stride - 6)
+    pixel_data = row1 + row0
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                      len(pixel_data), 0, 0, 0, 0)
+    )
+    arr = multimodal.decode_image(header + pixel_data)
+    assert arr.shape == (2, 2, 3)
+    # row0 pixel0 stored as B=3 G=2 R=1 → RGB (1,2,3)
+    assert arr[0, 0].tolist() == [1, 2, 3]
+    assert arr[0, 1].tolist() == [4, 5, 6]
+    assert arr[1, 0].tolist() == [7, 8, 9]
+    assert arr[1, 1].tolist() == [10, 11, 12]
+
+
+def test_decode_rejects_unknown_and_compressed():
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P3\n1 1\n255\n1 2 3\n")  # ASCII PPM
+
+
+def test_ppm_synthesize_decode_roundtrip():
+    """The synthesizer's bytes through the decoder reproduce the
+    closed-form pixel rule exactly."""
+    pdf = pd.DataFrame({"doc_id": [7]})
+    out = pd.concat(multimodal._synthesize_ppm_batches(iter([pdf])))
+    arr = multimodal.decode_image(bytes(out["payload"].iloc[0]))
+    d = 7
+    w = multimodal.PPM_W_BASE + d % multimodal.PPM_W_MOD
+    h = multimodal.PPM_H_BASE + d % multimodal.PPM_H_MOD
+    assert arr.shape == (h, w, 3)
+    x, y = 3, 2
+    r, g, b = multimodal._ppm_pixel_exprs(d, x, y)
+    assert arr[y, x].tolist() == [r, g, b]
