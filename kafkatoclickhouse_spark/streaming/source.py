@@ -33,6 +33,44 @@ RAW_SCHEMA = T.StructType(
 )
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topics: str,
+    group_id: str = "spark-graft",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The EXACT option map ``kafka_raw_stream`` hands to Spark's
+    Kafka source — factored out pure so the contract is assertable
+    without a broker or the connector jar on the classpath (the r3
+    brief's option-map pinning test drives this directly from a
+    reference-spelling properties file).
+
+    - offset reset (`auto.offset.reset`, `utils/GetConfig.scala:27`)
+      → ``startingOffsets``.
+    - consumer group (`kafka.consumer.groupid`, `test.properties:5`)
+      → ``kafka.group.id`` (the ``kafka.``-prefixed passthrough).
+    - auto-commit off (`test.properties:4`) → implicit: Spark commits
+      offsets only through its checkpoint, never to the broker.
+    - ``failOnDataLoss=false``: retention-expired offsets degrade to
+      a warning instead of killing the query — the availability
+      choice a 24/7 ingest pipeline wants.
+    - ``maxOffsetsPerTrigger`` bounds micro-batch size — the Spark
+      knob that plays the role of the reference's count window as a
+      *throughput batching* device (SURVEY §2.1 R5).
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+        "kafka.group.id": group_id,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_raw_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -42,28 +80,17 @@ def kafka_raw_stream(
     max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """R1+R2 production source: subscribe to a comma-separated topic
-    list; project value + metadata columns.
-
-    - offset reset (`auto.offset.reset`, `utils/GetConfig.scala:27`)
-      → ``startingOffsets``.
-    - auto-commit off (`test.properties:4`) → implicit: Spark commits
-      offsets only through its checkpoint.
-    - ``maxOffsetsPerTrigger`` bounds micro-batch size — the Spark
-      knob that plays the role of the reference's count window as a
-      *throughput batching* device (SURVEY §2.1 R5).
-    """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
-        .option("kafka.group.id", group_id)
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option(
-            "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+    list; project value + metadata columns. Options: see
+    :func:`kafka_reader_options` (the pinned contract)."""
+    reader = spark.readStream.format("kafka").options(
+        **kafka_reader_options(
+            bootstrap_servers,
+            topics,
+            group_id=group_id,
+            starting_offsets=starting_offsets,
+            max_offsets_per_trigger=max_offsets_per_trigger,
         )
+    )
     return reader.load().select(
         F.col("value").cast("string").alias("value"),
         "topic",

@@ -133,3 +133,44 @@ def test_explicit_database_key_wins_over_url_path():
         }
     )
     assert cfg.jdbc_database == "keydb"
+
+
+def test_kafka_reader_option_map_pins_reference_contract(tmp_path):
+    """The r3-brief option-map contract: loading the reference's own
+    properties spelling and wiring it into the Kafka source (exactly
+    as streaming.job.build_topology does) must yield THIS option
+    dict, byte for byte. Pins: topic subscription, group-id
+    passthrough under the ``kafka.``-prefix, auto.offset.reset →
+    startingOffsets, failOnDataLoss=false, and — critically —
+    that ``kafka.enable.auto.commit`` is NOT forwarded: Spark tracks
+    offsets exclusively in its checkpoint (the analogue of the
+    reference's auto-commit-off), and forwarding the consumer knob
+    would let the broker-side group state shadow the checkpoint."""
+    from kafkatoclickhouse_spark.streaming.source import (
+        kafka_reader_options,
+    )
+
+    p = tmp_path / "ref.properties"
+    p.write_text(REFERENCE_STYLE_PROPERTIES)
+    cfg = cfgmod.PipelineConfig.from_properties(
+        cfgmod.load_properties(str(p))
+    )
+    opts = kafka_reader_options(
+        cfg.kafka_bootstrap_servers,
+        ",".join(cfg.kafka_topics),
+        group_id=cfg.kafka_group_id,
+        starting_offsets=cfg.kafka_starting_offsets,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "cn-cdh03:6667,cn-cdh04:6667,cn-cdh05:6667",
+        "subscribe": "ess-ods-cluster-all",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "kafka.group.id": "ods-cl-prod",
+    }
+    assert "kafka.enable.auto.commit" not in opts
+    # micro-batch bound appears only when configured, as a string
+    bounded = kafka_reader_options(
+        "b:9092", "t", max_offsets_per_trigger=50_000
+    )
+    assert bounded["maxOffsetsPerTrigger"] == "50000"
