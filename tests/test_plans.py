@@ -306,3 +306,15 @@ def test_single_exchange_pipelines(spark, sf_dir, name):
     plan = plans.plan_string(registry.QUERIES[name](spark, sf_dir), "simple")
     n = plan.count("Exchange")
     assert n == 1, f"{name}: expected 1 Exchange, found {n}\n{plan}"
+
+
+def test_ngram_hot_shingle_anti_join_is_broadcast(spark, sf_dir):
+    """The frequency cap's hot-shingle exclusion must plan as a
+    BROADCAST left-anti join: the hot list is tiny by construction
+    (≤ shingles/cap entries), and a shuffled anti-join would add a
+    full shingle-keyed exchange — at 100 TB, the dominant cost of
+    the exact path. The candidate join itself still shuffles on
+    shingle, as it must."""
+    df = registry.QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+    plan = plans.plan_string(df, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
