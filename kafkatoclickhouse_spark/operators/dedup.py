@@ -503,38 +503,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # yields ~1k true pairs of which the band filter keeps a few hundred,
 # so the candidate-generation path is actually exercised.
 COSINE_BUCKETED_THRESHOLD = 0.3
-_LSH_BANDS = 2  # NUM_PLANES(8) split into 2 bands of 4 bits
-
 from kafkatoclickhouse_spark.operators.similarity import (  # noqa: E402
     _SQL_PLANE_COMPONENT,
     DIM as _LSH_DIM,
-    NUM_PLANES as _LSH_PLANES,
+    hyperplanes,
+    lsh_config,
+    sql_lsh_bands,
+    sql_lsh_bits,
 )
 
+_SQL_LSH_BITS = sql_lsh_bits("(SELECT COUNT(*) FROM embeddings)")
+_SQL_LSH_BANDS = sql_lsh_bands("bits")
+
 _BUCKETED_ORACLE = f"""
-WITH planes AS (
-  SELECT p, list_transform(range({_LSH_DIM}),
-                           d -> {_SQL_PLANE_COMPONENT}) AS plane
-  FROM (SELECT unnest(range({_LSH_PLANES})) AS p)
+WITH cfg AS (
+  SELECT bits, {_SQL_LSH_BANDS} AS bands
+  FROM (SELECT {_SQL_LSH_BITS} AS bits)
+),
+pidx AS (SELECT unnest(range(bits * bands)) AS p, bits FROM cfg),
+planes AS (
+  SELECT p, p // bits AS band_id, 1 << (p % bits) AS bitval,
+         list_transform(range({_LSH_DIM}),
+                        d -> {_SQL_PLANE_COMPONENT}) AS plane
+  FROM pidx
 ),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-buckets AS (
-  SELECT vec_id,
-         CAST(SUM(CASE WHEN list_dot_product(v, plane) >= 0
-                       THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
-  FROM e, planes
-  GROUP BY vec_id
-),
-bands AS (
-  SELECT vec_id, 0 AS band_id, bucket % 16 AS bb FROM buckets
-  UNION ALL
-  SELECT vec_id, 1 AS band_id, bucket // 16 AS bb FROM buckets
+sigs AS (
+  SELECT e.vec_id, pl.band_id,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
+                       THEN pl.bitval ELSE 0 END) AS BIGINT) AS bb
+  FROM e, planes pl
+  GROUP BY e.vec_id, pl.band_id
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.bb = b.bb
-             AND a.vec_id < b.vec_id
+  FROM sigs a
+  JOIN sigs b ON a.band_id = b.band_id AND a.bb = b.bb
+            AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b,
        ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
@@ -554,38 +559,44 @@ def dedup_embedding_cosine_bucketed(
     the scale twin of ``dedup_embedding_cosine``'s all-pairs ground
     truth.
 
-    The 8-bit hyperplane bucket (``similarity.bucket_expr``, plan-
-    literal planes — map-only) splits into 2 bands of 4 bits;
-    candidates are pairs sharing ANY band value (OR-amplification,
-    same shape as minhash-LSH banding). Join is an equi-join on
-    (band_id, band_bits) — shuffle on band keys only, never all
-    pairs. Pairs matching both bands are scored twice and collapsed
-    by a distinct AFTER the threshold filter, so the pair-dedup
-    shuffle carries only surviving (vec_a, vec_b, cos) triples —
-    at scale the filter drops ~everything first, and scored rows are
-    3 scalars, far narrower than shuffling vectors to dedupe before
-    scoring."""
+    The LSH shape is SCALE-ADAPTIVE (``similarity.lsh_config``): bits
+    per band grow as ceil(log2(n/16)) so expected bucket occupancy
+    stays constant, and the band count grows per the precomputed
+    recall table to hold ≥ 95 % recall for true near-duplicates —
+    candidate volume is ~ n · 16 · bands, linear in n. (The previous
+    fixed 2×4-bit config was O(n²/16): the sf1.0 scale curve measured
+    23× for a 10× hop and flagged it — SCALING.md.) The oracle
+    derives the SAME (bits, bands) from COUNT(*) with integer bit
+    arithmetic, so parity holds at every fixture scale, not just the
+    one the constants were tuned for.
+
+    Candidates are pairs sharing ANY band signature
+    (OR-amplification, same shape as minhash banding); the join is an
+    equi-join on (band_id, band_bits) — shuffle on band keys only,
+    never all pairs. Pairs matching several bands are scored per
+    match and collapsed by a distinct AFTER the threshold filter, so
+    the pair-dedup shuffle carries only surviving (vec_a, vec_b, cos)
+    triples — 3 scalars, far narrower than shuffling vectors to
+    dedupe before scoring. The n used for sizing comes from
+    ``em.count()``, metadata-only on parquet."""
     from kafkatoclickhouse_spark.operators.similarity import bucket_expr
 
     em = load_table(spark, sf_dir, "embeddings")
-    band_bits = F.array(
-        F.col("bucket").bitwiseAND(F.lit(15)),
-        F.shiftright(F.col("bucket"), 4).bitwiseAND(F.lit(15)),
+    bits, n_bands = lsh_config(em.count())
+    planes = hyperplanes(bits * n_bands)
+    band_sigs = F.array(
+        *[
+            bucket_expr(
+                F.col("embedding"), planes[i * bits : (i + 1) * bits]
+            )
+            for i in range(n_bands)
+        ]
     )
-    bands = (
-        fan_out(em)
-        .select(
-            "vec_id",
-            "embedding",
-            norm(F.col("embedding")).alias("nrm"),
-            bucket_expr(F.col("embedding")).alias("bucket"),
-        )
-        .select(
-            "vec_id",
-            "embedding",
-            "nrm",
-            F.posexplode(band_bits).alias("band_id", "bb"),
-        )
+    bands = fan_out(em).select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        F.posexplode(band_sigs).alias("band_id", "bb"),
     )
     a = bands.select(
         F.col("vec_id").alias("vec_a"),

@@ -20,6 +20,7 @@ is hash-checked end to end, not just recall-tested.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -49,11 +50,82 @@ def _plane_component(p: int, d: int) -> float:
     return (h % 2001 - 1000) / 1000.0
 
 
-def hyperplanes() -> list[list[float]]:
+def hyperplanes(num: int = NUM_PLANES) -> list[list[float]]:
     return [
-        [_plane_component(p, d) for d in range(DIM)]
-        for p in range(NUM_PLANES)
+        [_plane_component(p, d) for d in range(DIM)] for p in range(num)
     ]
+
+
+# -- scale-adaptive banded-LSH configuration --------------------------------
+#
+# With a FIXED bit count, within-bucket pair generation is O(n²/2^bits)
+# — quadratic with a small constant, exactly what the sf1.0 scale
+# curve flagged on dedup_embedding_cosine_bucketed (23× for a 10× data
+# hop). The scalable configuration grows bits with n (constant
+# expected bucket occupancy) and grows the band count to hold recall:
+#
+#   bits(n)  = max(4, ceil(log2(n / OCCUPANCY_TARGET)))  [integer-exact]
+#   bands(B) = ceil(ln(1-RECALL) / ln(1 - P_BIT^B))
+#
+# P_BIT = 0.9 is the per-hyperplane agreement probability of a true
+# near-duplicate pair (cos ≈ 0.95 → angle ≈ 18° → 1 - 18/180), so the
+# table keeps ≥ 95 % recall for real duplicates at every scale while
+# candidate volume stays ~ n · OCCUPANCY_TARGET · bands — linear in n
+# up to the slowly-growing band factor. Both formulas are evaluated in
+# integer/bit arithmetic (Python `int.bit_length`, DuckDB
+# `length(bin(...))`), so Spark and the oracle derive the SAME config
+# from the same row count with zero float-tie risk; the bands table is
+# computed once here and embedded in oracle SQL as literals.
+
+OCCUPANCY_TARGET = 16
+_LSH_P_BIT = 0.9
+_LSH_RECALL = 0.95
+MAX_LSH_BITS = 32
+
+BANDS_FOR_BITS: dict[int, int] = {
+    b: max(
+        1,
+        math.ceil(
+            math.log(1.0 - _LSH_RECALL)
+            / math.log(1.0 - _LSH_P_BIT**b)
+        ),
+    )
+    for b in range(4, MAX_LSH_BITS + 1)
+}
+
+
+def lsh_bits_for(n: int) -> int:
+    """ceil(log2(ceil(n / OCCUPANCY_TARGET))) via pure integer bit
+    tricks (no float log ties), clamped to [4, MAX_LSH_BITS]."""
+    m = max(1, -(-n // OCCUPANCY_TARGET))
+    return min(MAX_LSH_BITS, max(4, (m - 1).bit_length()))
+
+
+def lsh_config(n: int) -> tuple[int, int]:
+    """(bits_per_band, n_bands) for a corpus of ``n`` vectors."""
+    bits = lsh_bits_for(n)
+    return bits, BANDS_FOR_BITS[bits]
+
+
+def sql_lsh_bits(n_expr: str) -> str:
+    """DuckDB expression computing ``lsh_bits_for`` from a row-count
+    expression — LENGTH(BIN(m-1)) is the integer bit_length twin
+    (both sides agree exactly for m ≥ 2; m ≤ 1 clamps to 4)."""
+    m = f"(({n_expr}) + {OCCUPANCY_TARGET - 1}) // {OCCUPANCY_TARGET}"
+    return (
+        f"LEAST({MAX_LSH_BITS}, GREATEST(4, CASE WHEN {m} <= 1 THEN 4 "
+        f"ELSE LENGTH(BIN(CAST({m} - 1 AS BIGINT))) END))"
+    )
+
+
+def sql_lsh_bands(bits_expr: str) -> str:
+    """DuckDB CASE over the precomputed BANDS_FOR_BITS table — the
+    float recall formula never runs in SQL, so both engines read the
+    identical literal."""
+    arms = " ".join(
+        f"WHEN {b} THEN {l}" for b, l in BANDS_FOR_BITS.items()
+    )
+    return f"(CASE {bits_expr} {arms} END)"
 
 
 _SQL_PLANE_COMPONENT = (
@@ -67,13 +139,16 @@ _SQL_COSINE = (
 )
 
 
-def bucket_expr(vec: Column) -> Column:
-    """16-bit LSH bucket: bit p = sign(vec · plane_p). The planes are
+def bucket_expr(
+    vec: Column, planes: list[list[float]] | None = None
+) -> Column:
+    """LSH bucket: bit p = sign(vec · plane_p) over ``planes``
+    (default: the 8 fixed planes → 8-bit bucket). The planes are
     plan literals — no join, no shuffle; bucketing is a map-only
     stage you run once at ingest."""
     v = F.transform(vec, lambda x: x.cast("double"))
     out = F.lit(0).cast("long")
-    for p, plane in enumerate(hyperplanes()):
+    for p, plane in enumerate(planes or hyperplanes()):
         lit_plane = F.array(*[F.lit(x) for x in plane])
         d = dot(v, lit_plane)
         out = out + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
