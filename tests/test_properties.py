@@ -364,3 +364,34 @@ def test_funnel_steps_are_ordered(spark, sf_dir):
             else 0
         )
         assert r["steps_completed"] == expect, r
+
+
+def test_lsh_config_python_sql_agreement_and_invariants(duck):
+    """The scale-adaptive LSH config must (a) derive identically in
+    Python and DuckDB from any corpus size — parity depends on it —
+    and (b) hold its scaling invariants: bits grow monotonically with
+    n (constant expected occupancy n/2^bits ≤ 2×target beyond the
+    clamp), bands grow monotonically with bits (recall held), and the
+    fixture sizes land on the configs the oracles were verified at."""
+    from kafkatoclickhouse_spark.operators import similarity as S
+
+    sizes = [1, 7, 16, 100, 500, 2000, 4096, 20000, 65536, 10**6, 10**9]
+    prev_bits = 0
+    for n in sizes:
+        bits, bands = S.lsh_config(n)
+        sql_bits = S.sql_lsh_bits(str(n))
+        got = duck.execute(
+            f"SELECT {sql_bits}, {S.sql_lsh_bands(sql_bits)}"
+        ).fetchone()
+        assert got == (bits, bands), (n, got, (bits, bands))
+        assert bits >= prev_bits, "bits must be monotone in n"
+        prev_bits = bits
+        if 4 < bits < S.MAX_LSH_BITS:
+            # occupancy bound: 2^(bits-1) < ceil(n/target) ≤ 2^bits
+            m = -(-n // S.OCCUPANCY_TARGET)
+            assert 2 ** (bits - 1) < m <= 2**bits, (n, bits)
+    assert S.lsh_config(500) == (5, 4)   # sf0.001 / sf0.01 fixtures
+    assert S.lsh_config(2000) == (7, 5)  # sf0.1 fixture
+    # bands monotone in bits across the whole table
+    vals = [S.BANDS_FOR_BITS[b] for b in sorted(S.BANDS_FOR_BITS)]
+    assert vals == sorted(vals)
