@@ -299,6 +299,92 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINHASH_EST_MIN_MATCHES = 8  # of NUM_HASHES(12) → est ≥ 2/3
+
+
+def _sql_minhash_estimate() -> str:
+    hash_expr = (
+        "CAST('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || shingle), 1, 15)"
+        " AS BIGINT)"
+    )
+    return f"""
+    WITH {_SQL_SHINGLES},
+    mh AS (
+      SELECT doc_id, k, MIN({hash_expr}) AS h
+      FROM sh, (SELECT unnest(range({NUM_HASHES})) AS k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, k // {ROWS_PER_BAND} AS band,
+             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY k)) AS band_key
+      FROM mh GROUP BY doc_id, k // {ROWS_PER_BAND}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             SUM(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) AS m
+      FROM pairs p
+      JOIN mh x ON x.doc_id = p.doc_a
+      JOIN mh y ON y.doc_id = p.doc_b AND y.k = x.k
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(m AS INTEGER) AS n_matching,
+           ROUND(m / {NUM_HASHES}.0, 6) AS jaccard_est
+    FROM est WHERE m >= {MINHASH_EST_MIN_MATCHES}
+    """
+
+
+@query("dedup_minhash_estimate", oracle=_sql_minhash_estimate())
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only near-duplicate verification: for LSH candidate
+    pairs, estimate Jaccard as (matching MinHash components) / K and
+    keep pairs with ≥ 8 of 12 matches (est ≥ 2/3).
+
+    This is the verify mode the 100 TB corpus actually runs:
+    ``dedup_minhash_lsh``'s exact verify reshuffles full shingle sets
+    onto every candidate — fine when candidates are rare, unpayable
+    when the corpus is near-dup-heavy (CommonCrawl-class). Here the
+    verify join carries 12 longs per document regardless of document
+    size, the standard MinHash estimator (unbiased, sd ≈
+    sqrt(J(1-J)/K)). The exact path stays available as the
+    ground-truth twin; pytest pins the estimate against exact Jaccard
+    on the planted duplicates."""
+    shingled = _shingled(spark, sf_dir).cache()
+    sigs = minhash_signatures(shingled)
+    pairs = candidate_pairs(minhash_bands(shingled))
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(NUM_HASHES)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.alias("m"))
+        .filter(F.col("m") >= MINHASH_EST_MIN_MATCHES)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("m").cast("int").alias("n_matching"),
+            F.round(F.col("m") / F.lit(float(NUM_HASHES)), 6).alias(
+                "jaccard_est"
+            ),
+        )
+    )
+
+
 def _sql_ngram_pairs() -> str:
     return f"""
     WITH {_SQL_SHINGLES},

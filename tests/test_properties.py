@@ -395,3 +395,33 @@ def test_lsh_config_python_sql_agreement_and_invariants(duck):
     # bands monotone in bits across the whole table
     vals = [S.BANDS_FOR_BITS[b] for b in sorted(S.BANDS_FOR_BITS)]
     assert vals == sorted(vals)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """Signature-only verification vs the exact ground truth: every
+    exact pair with Jaccard ≥ 0.9 must survive the 8-of-12 estimate
+    gate (at J=0.9 each component matches with p=J, so ≥8 matches is
+    overwhelmingly likely and — with the fixed md5 hash family —
+    deterministic on the fixture), and on shared pairs the estimate
+    must sit within the estimator's coarse 12-component resolution
+    of the exact value."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in registry.QUERIES["dedup_minhash_lsh"](
+            spark, sf_dir
+        ).collect()
+    }
+    est = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_est"]
+        for r in registry.QUERIES["dedup_minhash_estimate"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert exact and est
+    high = {p for p, j in exact.items() if j >= 0.9}
+    missed = high - set(est)
+    assert not missed, f"high-similarity pairs missed: {missed}"
+    for p in set(exact) & set(est):
+        assert abs(est[p] - exact[p]) <= 4 / 12 + 1e-9, (
+            p, est[p], exact[p],
+        )
