@@ -8,7 +8,7 @@ Each query executes end-to-end with a noop sink (full computation,
 no driver-side collect bottleneck). Timing is steady-state: each
 query runs once untimed (whole-stage-codegen compilation, parquet
 footer caches), then SPARK_GRAFT_BENCH_REPEATS timed rounds (default
-5) in INTERLEAVED order — every round visits all queries, so JVM
+3) in INTERLEAVED order — every round visits all queries, so JVM
 drift (GC pressure, JIT recompiles, page-cache churn) spreads across
 all keys instead of biasing whichever query runs last. Per-query
 time is the MEDIAN across rounds (robust to one-off stalls);
@@ -99,7 +99,7 @@ def main() -> None:
         "dedup_minhash_lsh_xxhash": dedup_mod.dedup_minhash_lsh_fast,
     }
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     # scale-curve escape hatch: the headline set deliberately keeps
     # two O(n²) ground-truth twins; at synthesized SFs beyond 0.1
     # the curve harness skips them (their scale-safe siblings stay).
