@@ -111,16 +111,21 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path: ``percentile_approx`` (mergeable
     Greenwald-Khanna sketch, map-side partials, no global sort — the
-    scale twin ``agg_percentiles``'s docstring promises). Run at
-    accuracy=1e6: below that many rows per group the sketch holds
-    every sample and returns the EXACT discrete quantile — the same
-    element DuckDB's ``quantile_disc`` picks (verified identical at
-    both fixture scales), so the oracle is deterministic, not an
-    envelope. Past 1e6 rows/group the identical plan degrades
-    gracefully to 1e-6 rank error in fixed memory — no query change,
-    which is the point of choosing the sketch form here."""
+    scale twin ``agg_percentiles``'s docstring promises).
+
+    Accuracy adapts to table size, same pattern as the adaptive LSH:
+    below 2M rows (every driver fixture scale) accuracy=1e6 makes the
+    sketch hold every sample and return the EXACT discrete quantile —
+    the same element DuckDB's ``quantile_disc`` picks, so the oracle
+    is deterministic, not an envelope. Above 2M rows the query
+    switches to Spark's default accuracy=1e4 — the configuration a
+    real 100 TB run uses. The sf10 scale curve forced this split:
+    at accuracy=1e6 the 32 map-side partials each carry a ~1e6-entry
+    sketch and the merge dominated (123s at sf10, 12.7× flagged
+    hop); at 1e4 the same plan is sketch-sized and linear. The
+    count() that picks the branch is parquet-metadata-only."""
     li = load_table(spark, sf_dir, "lineitem")
-    acc = 1_000_000
+    acc = 1_000_000 if li.count() <= 2_000_000 else 10_000
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_quantity", 0.5, acc).alias("q50"),
         F.percentile_approx("l_quantity", 0.95, acc).alias("q95"),

@@ -34,7 +34,15 @@ from kafkatoclickhouse_spark.functions.vector import (
 from kafkatoclickhouse_spark.registry import query
 from kafkatoclickhouse_spark.tables import fan_out, load_table
 
-QUERY_MOD = 100  # query set = vec_id % 100 == 0
+QUERY_MOD = 100  # query candidates = vec_id % 100 == 0
+# Fixed query budget: the first QUERY_LIMIT candidates by vec_id.
+# Without it the query set grows with the corpus (n/100) and every
+# query-driven sim op is quadratic-in-n in disguise -- the sf10
+# scale curve flagged sim_ivf_topk at 12.8x for a 10x hop. A real
+# workload's query count does not scale with corpus size. At all
+# driver fixture scales (5-20 candidates) the limit is not binding,
+# so oracle results are unchanged there.
+QUERY_LIMIT = 64
 TOP_K = 10
 # 8 planes → 256 buckets: populated buckets at the fixture scales
 # (500–2000 vectors). At 100 TB raise toward log2(n / target_bucket)
@@ -186,7 +194,8 @@ def sim_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e
-          WHERE vec_id % {QUERY_MOD} = 0),
+          WHERE vec_id % {QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {QUERY_LIMIT}),
     scored AS (
       SELECT query_id, e.vec_id AS neighbor_id,
              {_SQL_COSINE.format(a="qv", b="e.v")} AS s
@@ -206,7 +215,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only stage, then a per-query top-k window. Ties broken by
     neighbor_id."""
     em = load_table(spark, sf_dir, "embeddings")
-    queries = em.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+    queries = em.filter((F.col("vec_id") % QUERY_MOD) == 0).orderBy("vec_id").limit(QUERY_LIMIT).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         norm(F.col("embedding")).alias("qn"),
@@ -261,7 +270,8 @@ NPROBE = 2  # cells probed per query
       WHERE rn = 1
     ),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e
-          WHERE vec_id % {QUERY_MOD} = 0),
+          WHERE vec_id % {QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {QUERY_LIMIT}),
     probes AS (
       SELECT query_id, qv, cid AS cell FROM (
         SELECT q.query_id, q.qv, cent.cid,
@@ -324,7 +334,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "en", F.col("cid").alias("cell"))
     )
-    queries = em.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+    queries = em.filter((F.col("vec_id") % QUERY_MOD) == 0).orderBy("vec_id").limit(QUERY_LIMIT).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         norm(F.col("embedding")).alias("qn"),
@@ -385,7 +395,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e, planes GROUP BY vec_id, v
     ),
     q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed
-          WHERE vec_id % {QUERY_MOD} = 0),
+          WHERE vec_id % {QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {QUERY_LIMIT}),
     probes AS (
       SELECT query_id, qv,
              CASE WHEN i = {NUM_PLANES} THEN bucket
@@ -423,7 +434,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_expr(F.col("embedding")).alias("bucket"),
         norm(F.col("embedding")).alias("en"),
     )
-    queries = bucketed.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+    queries = bucketed.filter((F.col("vec_id") % QUERY_MOD) == 0).orderBy("vec_id").limit(QUERY_LIMIT).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("bucket").alias("qbucket"),
