@@ -76,6 +76,9 @@ HEADLINE = [
     "agg_approx_percentile",
     "agg_heavy_hitters",
     "asof_join_nearest_events",
+    # round-6 additions
+    "dedup_minhash_estimate",
+    "multimodal_decode_stats",
 ]
 
 
@@ -144,8 +147,10 @@ def main() -> None:
                 "extras": extras,
                 "notes": (
                     "round 3 added 9 headline keys (dedup_embedding_cosine_"
-                    "bucketed..asof_join_nearest_events) — compare totals to "
-                    "r01/r02 over the shared 33 keys only. since round 6, "
+                    "bucketed..asof_join_nearest_events); round 6 added 2 "
+                    "(dedup_minhash_estimate, multimodal_decode_stats) — "
+                    "compare totals across rounds over shared keys only. "
+                    "since round 6, "
                     "per-query times are medians of `repeats` interleaved "
                     "timed rounds (stddev alongside); earlier rounds were "
                     "single-shot. extras are bench-only twins excluded from "
