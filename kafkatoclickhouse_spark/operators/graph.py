@@ -208,3 +208,96 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("component") == F.col("id")).alias("is_canonical"),
     )
+
+
+def _sql_minhash_cluster_oracle() -> str:
+    """Recursive-CTE transitive closure over the EXACT same
+    MinHash-LSH verified pairs ``dedup.dedup_minhash_lsh`` emits
+    (same md5 hash family, banding, and Jaccard-threshold verify)."""
+    hash_expr = (
+        "CAST('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || shingle),"
+        " 1, 15) AS BIGINT)"
+    )
+    return f"""
+    WITH RECURSIVE {dedup._SQL_SHINGLES},
+    mh AS (
+      SELECT doc_id, k, MIN({hash_expr}) AS h
+      FROM sh, (SELECT unnest(range({dedup.NUM_HASHES})) AS k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, k // {dedup.ROWS_PER_BAND} AS band,
+             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY k)) AS band_key
+      FROM mh GROUP BY doc_id, k // {dedup.ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS s
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT sh.doc_a, sh.doc_b
+      FROM shared sh
+      JOIN sizes za ON za.doc_id = sh.doc_a
+      JOIN sizes zb ON zb.doc_id = sh.doc_b
+      WHERE sh.s * 1.0 / (za.n + zb.n - sh.s)
+            >= {dedup.JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src
+    )
+    SELECT id AS doc_id, MIN(lbl) AS cluster_id,
+           CAST(MIN(lbl) = id AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY id
+    """
+
+
+@query("dedup_duplicate_clusters_lsh", oracle=_sql_minhash_cluster_oracle())
+def dedup_duplicate_clusters_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The scale-native clustering pipeline end to end: MinHash-LSH
+    candidate pairs (verified at Jaccard ≥ 0.8) → large-star/
+    small-star connected components → one cluster id + canonical
+    flag per document.
+
+    ``dedup_duplicate_clusters`` is the ground-truth twin over the
+    EXACT shingle-join pairs; this variant feeds the components the
+    pairs a 100 TB corpus can actually produce — signatures are
+    row-local, the only pair-generation shuffles are band-keyed, and
+    the component loop is the proven-polylog star algorithm. At
+    fixture scale LSH recall on planted duplicates is total, so both
+    variants agree (pinned in pytest); the oracle replays the LSH
+    pipeline itself, so this is not assumed but hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(
+        docs.select("doc_id"),
+        pairs,
+        id_col="doc_id",
+        src="doc_a",
+        dst="doc_b",
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("id")).alias("is_canonical"),
+    )

@@ -425,3 +425,22 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
         assert abs(est[p] - exact[p]) <= 4 / 12 + 1e-9, (
             p, est[p], exact[p],
         )
+
+
+def test_lsh_clusters_agree_with_exact_clusters(spark, sf_dir):
+    """At fixture scale LSH recall on planted duplicates is total, so
+    the scale-native clustering (LSH pairs → components) must produce
+    exactly the clustering the exact shingle-join ground truth does."""
+    exact = {
+        tuple(r)
+        for r in registry.QUERIES["dedup_duplicate_clusters"](
+            spark, sf_dir
+        ).collect()
+    }
+    lsh = {
+        tuple(r)
+        for r in registry.QUERIES["dedup_duplicate_clusters_lsh"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert exact == lsh
