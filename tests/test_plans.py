@@ -318,3 +318,15 @@ def test_ngram_hot_shingle_anti_join_is_broadcast(spark, sf_dir):
     df = registry.QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
     plan = plans.plan_string(df, "simple")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_bucketed_embedding_dedup_never_cartesian(spark, sf_dir):
+    """The adaptive banded-LSH dedup must pair candidates through an
+    equi-join on (band_id, band_bits) — a CartesianProduct or
+    BroadcastNestedLoopJoin in this plan means the all-pairs path
+    leaked back in, which is exactly what the operator exists to
+    avoid at 100 TB."""
+    df = registry.QUERIES["dedup_embedding_cosine_bucketed"](spark, sf_dir)
+    plan = plans.plan_string(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
