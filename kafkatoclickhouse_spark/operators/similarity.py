@@ -305,7 +305,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the retrieval plan is the real IVF shape: at 100 TB the cell
     assignment happens once at ingest, the candidate join is an
     equi-join on cell id that prunes ~(1 − nprobe/K) of the table,
-    and centroids/queries stay broadcast."""
+    and centroids/queries stay broadcast. K is fixed small here
+    because the bench re-pays the n·K assignment pass on every run;
+    production scales K ~ √n with a trained codebook and amortizes
+    assignment at ingest, making per-query probe cost
+    nprobe·n/K ≈ nprobe·√n — sublinear in corpus size."""
     em = load_table(spark, sf_dir, "embeddings")
     cent = (
         em.orderBy("vec_id")

@@ -330,3 +330,49 @@ def test_ppm_synthesize_decode_roundtrip():
     x, y = 3, 2
     r, g, b = multimodal._ppm_pixel_exprs(d, x, y)
     assert arr[y, x].tolist() == [r, g, b]
+
+
+def test_decode_roundtrip_property():
+    """Property check over many shapes: encode→decode is the identity
+    for both supported containers, including BMP rows that need
+    padding (w*3 % 4 != 0) and 1-pixel edges."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        flat = data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * 3,
+                max_size=w * h * 3,
+            )
+        )
+        pixels = np.array(flat, dtype=np.uint8).reshape(h, w, 3)
+        # PPM P6
+        ppm = b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+        assert (multimodal.decode_image(ppm) == pixels).all()
+        # 24-bit BMP, bottom-up, padded
+        stride = (w * 3 + 3) & ~3
+        rows = b"".join(
+            pixels[y, :, ::-1].tobytes() + b"\x00" * (stride - w * 3)
+            for y in range(h - 1, -1, -1)
+        )
+        bmp = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0
+            )
+            + rows
+        )
+        assert (multimodal.decode_image(bmp) == pixels).all()
+
+    check()
