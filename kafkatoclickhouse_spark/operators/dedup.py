@@ -355,7 +355,13 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground-truth twin; pytest pins the estimate against exact Jaccard
     on the planted duplicates."""
     shingled = _shingled(spark, sf_dir).cache()
-    sigs = minhash_signatures(shingled)
+    # cache the signatures: minhash_bands recomputes the identical
+    # signature aggregation internally, and without this the 12-way
+    # md5 minimum — the dominant cost — runs twice (measured 1.7×
+    # end-to-end at sf10). Spark's CacheManager matches the bands'
+    # sub-plan against this cached plan, so one materialization
+    # serves both consumers.
+    sigs = minhash_signatures(shingled).cache()
     pairs = candidate_pairs(minhash_bands(shingled))
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
