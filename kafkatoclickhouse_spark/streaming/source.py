@@ -114,13 +114,20 @@ def kafka_raw_batch(
     range-splitting (``startingOffsets``/``endingOffsets`` accept
     per-partition JSON). Requires the spark-sql-kafka connector on
     the classpath, like :func:`kafka_raw_stream` (broker-gated —
-    neither broker nor connector exists in the test container)."""
+    neither broker nor connector exists in the test container).
+
+    Options: the same pinned :func:`kafka_reader_options` contract as
+    the stream, minus the stream-only knobs (group id — batch reads
+    don't join a consumer group; maxOffsetsPerTrigger — the ending
+    offset bounds the read instead) plus ``endingOffsets``."""
+    opts = kafka_reader_options(
+        bootstrap_servers, topics, starting_offsets=starting_offsets
+    )
+    del opts["kafka.group.id"]
+    opts["endingOffsets"] = ending_offsets
     return (
         spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-        .option("endingOffsets", ending_offsets)
+        .options(**opts)
         .load()
         .select(
             F.col("value").cast("string").alias("value"),

@@ -174,3 +174,31 @@ def test_kafka_reader_option_map_pins_reference_contract(tmp_path):
         "b:9092", "t", max_offsets_per_trigger=50_000
     )
     assert bounded["maxOffsetsPerTrigger"] == "50000"
+
+
+def test_kafka_batch_reader_shares_the_option_contract(spark):
+    """The backfill (batch) reader derives from the same pinned
+    option map as the stream: identical bootstrap/subscribe/offset
+    spelling and the same failOnDataLoss=false availability policy,
+    minus the consumer-group knob (batch reads don't join a group)
+    and plus the bounding endingOffsets. (The ``spark`` fixture is
+    only here so column expressions resolve; the read itself goes
+    through a mock — no broker or connector needed.)"""
+    from unittest.mock import MagicMock
+
+    from kafkatoclickhouse_spark.streaming import source as src
+
+    mock_spark = MagicMock()
+    src.kafka_raw_batch(
+        mock_spark, "b1:9092,b2:9092", "t1,t2",
+        starting_offsets="earliest", ending_offsets="latest",
+    )
+    opts = mock_spark.read.format.return_value.options.call_args.kwargs
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "t1,t2",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "endingOffsets": "latest",
+    }
+    assert "kafka.group.id" not in opts
