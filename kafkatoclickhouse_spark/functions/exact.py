@@ -82,3 +82,30 @@ def sql_dec2(expr: str) -> str:
 
 def sql_dsum_dec(expr: str) -> str:
     return f"CAST(SUM({expr}) AS DOUBLE)"
+
+
+# -- exact event-time arithmetic --------------------------------------------
+#
+# ``F.unix_micros`` is TIMESTAMP-only: handed a TIMESTAMP_NTZ column it
+# raises DATATYPE_MISMATCH at analysis time — exactly the r5 regression,
+# where a fixture re-encode (parquet timestamp[us] → Spark NTZ) killed
+# every operator doing microsecond arithmetic. The scan layer now
+# normalizes (tables.normalize_timestamps), but time math should not
+# depend on every input having passed through one loader: ``micros``
+# is the single door for wall-time → integer-microseconds conversion
+# and is total over both timestamp types.
+
+
+def micros(col: str | Column) -> Column:
+    """Exact integer microseconds since epoch for TIMESTAMP *or*
+    TIMESTAMP_NTZ input.
+
+    The inner ``cast("timestamp")`` is a no-op for TIMESTAMP columns
+    (Catalyst removes the identity cast, so plans are unchanged) and an
+    instant-preserving reinterpretation for TIMESTAMP_NTZ under the
+    engine's pinned UTC session zone (session.py) — the same rule the
+    scan-layer normalization applies. Stays inside whole-stage codegen;
+    never a UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from kafkatoclickhouse_spark.functions.exact import micros
 from kafkatoclickhouse_spark.registry import query
 from kafkatoclickhouse_spark.tables import load_table
 
@@ -304,8 +305,8 @@ def asof_join_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["fv_id", "fv_ts"],
         direction="forward",
     )
-    db = F.unix_micros("ts") - F.unix_micros("asof_bv_ts")
-    df_ = F.unix_micros("asof_fv_ts") - F.unix_micros("ts")
+    db = micros("ts") - micros("asof_bv_ts")
+    df_ = micros("asof_fv_ts") - micros("ts")
     nearest_id = (
         F.when(F.col("asof_fv_id").isNull(), F.col("asof_bv_id"))
         .when(F.col("asof_bv_id").isNull(), F.col("asof_fv_id"))

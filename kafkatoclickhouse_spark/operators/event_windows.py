@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafkatoclickhouse_spark.functions.exact import dsum, sql_dsum
+from kafkatoclickhouse_spark.functions.exact import dsum, micros, sql_dsum
 from kafkatoclickhouse_spark.registry import query
 from kafkatoclickhouse_spark.streaming import windows as sw
 from kafkatoclickhouse_spark.tables import load_table
@@ -334,7 +334,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
     # exact integer microseconds on both sides — a seconds cast would
     # truncate and disagree with the oracle on boundary-width gaps.
-    us = F.unix_micros(F.col("ts"))
+    us = micros("ts")
     gap = us - F.lag(us).over(w_ord)
     marked = ev.select(
         "user_id",
@@ -440,9 +440,9 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
     )
     return step3.groupBy("user_id").agg(
-        F.unix_micros(F.max("tv")).alias("view_us"),
-        F.unix_micros(F.max("tc")).alias("click_us"),
-        F.unix_micros(F.max("tp")).alias("purchase_us"),
+        micros(F.max("tv")).alias("view_us"),
+        micros(F.max("tc")).alias("click_us"),
+        micros(F.max("tp")).alias("purchase_us"),
         steps.cast("int").alias("steps_completed"),
     )
 

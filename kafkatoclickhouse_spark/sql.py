@@ -97,3 +97,89 @@ def sql_exists_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-semi join on orderkey with the returnflag filter pushed to
     the lineitem scan (same plan the hand-written q4 shape builds)."""
     return run_sql(spark, sf_dir, SQL_EXISTS_RETURNS)
+
+
+SQL_GROUPING_SETS_QTY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+SQL_EXCEPT_ALL_CUSTKEYS = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+SQL_INTERSECT_ACTIVE_RICH = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+SQL_MOVING_SUM_EVENTS = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(24,4)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS moving_sum
+FROM events
+"""
+
+SQL_MONTHLY_REVENUE = """
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CAST(DATE_TRUNC('month', o_orderdate) AS DATE)
+"""
+
+
+@query("sql_grouping_sets_qty", oracle=SQL_GROUPING_SETS_QTY)
+def sql_grouping_sets_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS in portable SQL. Spark plans one Expand (each
+    input row fans to the 3 grouping sets map-side) feeding a single
+    HashAggregate — one shuffle total, same cost shape as a plain
+    group-by at 100 TB. GROUPING() disambiguates a real NULL key from
+    a rolled-up one; both engines cast it to INTEGER for hash parity."""
+    return run_sql(spark, sf_dir, SQL_GROUPING_SETS_QTY)
+
+
+@query("sql_except_all_custkeys", oracle=SQL_EXCEPT_ALL_CUSTKEYS)
+def sql_except_all_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference with multiplicity (a customer
+    with 3 open and 1 fulfilled order survives twice). Both engines
+    compile it to a count-tagged aggregate + generate, one shuffle on
+    the value; no row-order sensitivity."""
+    return run_sql(spark, sf_dir, SQL_EXCEPT_ALL_CUSTKEYS)
+
+
+@query("sql_intersect_active_rich", oracle=SQL_INTERSECT_ACTIVE_RICH)
+def sql_intersect_active_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) across two differently-named inputs —
+    output column names come from the left side in both dialects.
+    Spark plans a left-semi hash join over distinct keys."""
+    return run_sql(spark, sf_dir, SQL_INTERSECT_ACTIVE_RICH)
+
+
+@query("sql_moving_sum_events", oracle=SQL_MOVING_SUM_EVENTS)
+def sql_moving_sum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame (6 PRECEDING .. CURRENT ROW) moving sum.
+    The (ts, event_id) ORDER BY is a total order per user, and the
+    decimal-cast sum makes the frame accumulation engine-exact — a
+    bare double SUM OVER would diverge between Spark's running
+    accumulator and DuckDB's segment tree."""
+    return run_sql(spark, sf_dir, SQL_MOVING_SUM_EVENTS)
+
+
+@query("sql_monthly_revenue", oracle=SQL_MONTHLY_REVENUE)
+def sql_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE_TRUNC month rollup — the canonical time-partitioned
+    aggregate. The truncation is a scalar expression, so Catalyst
+    still prunes to the two scanned columns and partial-aggregates
+    map-side before the single month-keyed exchange."""
+    return run_sql(spark, sf_dir, SQL_MONTHLY_REVENUE)

@@ -90,3 +90,81 @@ def test_normalize_timestamps_leaves_non_ntz_untouched(spark):
     out = tables.normalize_timestamps(df)
     assert out.schema == df.schema
     assert out is df  # no-op: no projection added when nothing to do
+
+
+# -- micros(): total over both wall-time types ------------------------------
+
+
+@pytest.mark.parametrize("dtype", ["timestamp", "timestamp_ntz"])
+def test_micros_accepts_both_timestamp_types(spark, dtype):
+    """functions.exact.micros is the one door for wall-time → integer
+    microseconds; it must be total over TIMESTAMP and TIMESTAMP_NTZ
+    (F.unix_micros alone raises DATATYPE_MISMATCH on NTZ — the exact
+    r5 regression). Under the pinned UTC session zone both types must
+    yield identical integers."""
+    from kafkatoclickhouse_spark.functions.exact import micros
+
+    df = spark.createDataFrame(
+        [(i, ts) for i, ts in ROWS], ["event_id", "ts"]
+    ).withColumn("ts", F.col("ts").cast(dtype))
+    got = [
+        r["us"]
+        for r in df.orderBy("event_id").select(micros("ts").alias("us")).collect()
+    ]
+    assert got == _expected_micros(), dtype
+
+
+# -- fixture-drift canary ---------------------------------------------------
+#
+# VERDICT r5: a silent fixture re-encode cost sixteen downstream test
+# failures. This canary pins the *loaded* dtype of every fixture column
+# so the next driver-side regeneration fails ONE named test instead.
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+EXPECTED_SCHEMAS = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"),
+               ("n_regionkey", "int")],
+    "customer": [("c_custkey", "bigint"), ("c_name", "string"),
+                 ("c_nationkey", "int"), ("c_acctbal", "double"),
+                 ("c_mktsegment", "string")],
+    "supplier": [("s_suppkey", "bigint"), ("s_name", "string"),
+                 ("s_nationkey", "int"), ("s_acctbal", "double")],
+    "part": [("p_partkey", "bigint"), ("p_name", "string"),
+             ("p_brand", "string"), ("p_type", "string"),
+             ("p_size", "int"), ("p_retailprice", "double")],
+    "orders": [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+               ("o_orderstatus", "string"), ("o_totalprice", "double"),
+               ("o_orderdate", "timestamp"), ("o_orderpriority", "string")],
+    "lineitem": [("l_orderkey", "bigint"), ("l_partkey", "bigint"),
+                 ("l_suppkey", "bigint"), ("l_linenumber", "int"),
+                 ("l_quantity", "double"), ("l_extendedprice", "double"),
+                 ("l_discount", "double"), ("l_tax", "double"),
+                 ("l_returnflag", "string"), ("l_linestatus", "string"),
+                 ("l_shipdate", "timestamp")],
+    "events": [("event_id", "bigint"), ("ts", "timestamp"),
+               ("user_id", "bigint"), ("event_type", "string"),
+               ("value", "double"), ("props", "string")],
+    "documents": [("doc_id", "bigint"), ("text", "string"),
+                  ("lang", "string"), ("source", "string"),
+                  ("n_chars", "bigint")],
+    "embeddings": [("vec_id", "bigint"), ("embedding", "array<float>"),
+                   ("label", "int")],
+}
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="fixtures absent")
+@pytest.mark.parametrize("table", sorted(EXPECTED_SCHEMAS))
+def test_fixture_dtype_canary(spark, table):
+    """Pin the post-load dtype of every fixture column. Timestamps must
+    land as session-zone TIMESTAMP whatever the parquet encoding;
+    embeddings stay array<float> (the similarity stack's Arrow kernels
+    assume float32); money/measure columns stay double. If the driver
+    regenerates fixtures with a new writer, exactly this test names
+    the drift."""
+    df = tables.load_table(spark, SF_DIR, table)
+    got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    assert got == EXPECTED_SCHEMAS[table], (
+        f"fixture drift in {table}: loaded schema changed"
+    )
