@@ -671,19 +671,15 @@ def dedup_embedding_cosine_bucketed(
     triples — 3 scalars, far narrower than shuffling vectors to
     dedupe before scoring. The n used for sizing comes from
     ``em.count()``, metadata-only on parquet."""
-    from kafkatoclickhouse_spark.operators.similarity import bucket_expr
+    from kafkatoclickhouse_spark.operators.similarity import band_signatures
 
     em = load_table(spark, sf_dir, "embeddings")
     bits, n_bands = lsh_config(em.count())
     planes = hyperplanes(bits * n_bands)
-    band_sigs = F.array(
-        *[
-            bucket_expr(
-                F.col("embedding"), planes[i * bits : (i + 1) * bits]
-            )
-            for i in range(n_bands)
-        ]
-    )
+    # one parsed plane literal + one transform for all bits×bands dots:
+    # per-plane F.lit construction cost ~2.9 s of driver time per build
+    # at the sf0.1 config (35 planes × 64 dims) — see plane_array_expr.
+    band_sigs = band_signatures(F.col("embedding"), planes, bits, n_bands)
     bands = fan_out(em).select(
         "vec_id",
         "embedding",
