@@ -83,3 +83,27 @@ def fast_hash64(s: Column, seed: int) -> Column:
     is losing DuckDB oracle replayability, so oracle-checked queries
     keep md5 and the bench twins quantify the delta (BENCH notes)."""
     return F.xxhash64(F.lit(seed), s)
+
+
+# -- Spark-SQL-string twins --------------------------------------------------
+#
+# Building the K-seed hash family expression-by-expression costs ~6 py4j
+# round trips per seed per call site; at 12 seeds × the two signature
+# consumers that is a measurable slice of DRIVER time per query build
+# (profiled: 0.9 s of socket round trips in dedup_minhash_estimate).
+# These builders emit the SAME expression through one parsed SQL string
+# — CONV/SUBSTRING/MD5/CONCAT compile to the identical Catalyst
+# operators as the Column form, so hash values are unchanged.
+
+
+def spark_sql_hash64(expr: str, seed: int) -> str:
+    """Spark-dialect SQL string twin of :func:`portable_hash64`."""
+    return (
+        f"CAST(CONV(SUBSTRING(MD5(CONCAT('{seed}:', {expr})), 1, 15), "
+        f"16, 10) AS BIGINT)"
+    )
+
+
+def spark_sql_fast_hash64(expr: str, seed: int) -> str:
+    """Spark-dialect SQL string twin of :func:`fast_hash64`."""
+    return f"XXHASH64({seed}, {expr})"

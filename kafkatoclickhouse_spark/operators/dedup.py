@@ -147,17 +147,29 @@ def minhash_signatures(shingled: DataFrame, hash_fn=None) -> DataFrame:
     one row per document regardless of document size — the shape
     that survives 100 TB.
     """
-    if hash_fn is None:
-        hash_fn = hashing.portable_hash64
     exploded = shingled.select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    return exploded.groupBy("doc_id").agg(
-        *[
+    # Known hash families go through one parsed SQL string per seed
+    # instead of a Column-builder chain — same Catalyst operators,
+    # ~6× fewer py4j round trips per build (see hashing.py).
+    if hash_fn is None:
+        sql_fn = hashing.spark_sql_hash64
+    elif hash_fn is hashing.fast_hash64:
+        sql_fn = hashing.spark_sql_fast_hash64
+    else:
+        sql_fn = None
+    if sql_fn is not None:
+        aggs = [
+            F.expr(f"MIN({sql_fn('shingle', k)})").alias(f"h{k}")
+            for k in range(NUM_HASHES)
+        ]
+    else:
+        aggs = [
             F.min(hash_fn(F.col("shingle"), k)).alias(f"h{k}")
             for k in range(NUM_HASHES)
         ]
-    )
+    return exploded.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_bands(shingled: DataFrame, hash_fn=None) -> DataFrame:
