@@ -91,7 +91,12 @@ def main() -> None:
 
     # warmup: JVM + whole-stage codegen + parquet footer caches
     for t in ("region", "events", "documents", "embeddings"):
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+        try:
+            spark.read.parquet(
+                os.path.join(sf_dir, f"{t}.parquet")
+            ).count()
+        except Exception as exc:  # noqa: BLE001 — warmup only
+            print(f"bench: warmup {t} failed: {exc}", file=sys.stderr)
 
     # bench-only twins (not registered — no oracle): quantify the md5
     # portable-hash tax vs the production xxhash64 family. Excluded
@@ -116,10 +121,24 @@ def main() -> None:
         n: f for n, f in extra_fns.items() if n not in skip
     }
     samples: dict[str, list[float]] = {n: [] for n in all_fns}
+    # Per-query error isolation (VERDICT r5 #2): one broken query must
+    # cost its own key, never the round's entire bench evidence. A
+    # query that errors is recorded under "errors" and skipped in the
+    # remaining rounds; the JSON line is always emitted.
+    errors: dict[str, str] = {}
     for rnd in range(repeats + 1):  # round 0 = untimed warmup
         for name, fn in all_fns.items():
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # noqa: BLE001 — harness boundary
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+                continue
             if rnd:
                 samples[name].append(time.perf_counter() - t0)
 
@@ -131,9 +150,12 @@ def main() -> None:
             return 0.0
         return round(statistics.stdev(samples[name]), 3)
 
-    timings = {n: med(n) for n in names}
-    stddev = {n: sd(n) for n in names}
-    extras = {n: med(n) for n in extra_fns if n in all_fns}
+    ok = [n for n in names if n not in errors and samples[n]]
+    timings = {n: med(n) for n in ok}
+    stddev = {n: sd(n) for n in ok}
+    extras = {
+        n: med(n) for n in extra_fns if n in all_fns and samples.get(n)
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -145,6 +167,7 @@ def main() -> None:
                 "stddev": stddev,
                 "repeats": repeats,
                 "extras": extras,
+                "errors": errors,
                 "notes": (
                     "round 3 added 9 headline keys (dedup_embedding_cosine_"
                     "bucketed..asof_join_nearest_events); round 6 added 2 "
