@@ -320,6 +320,18 @@ def test_ngram_hot_shingle_anti_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
+def test_decontaminate_eval_join_is_broadcast(spark, sf_dir):
+    """The decontamination overlap join must BROADCAST the eval
+    shingle set: benchmarks are MBs while the training corpus is TBs,
+    so a shuffled join here would hash-exchange every training
+    shingle — the exact cost the operator's design avoids. The only
+    Exchange allowed on the training side is the final doc_id count."""
+    df = registry.QUERIES["text_decontaminate"](spark, sf_dir)
+    plan = plans.plan_string(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_bucketed_embedding_dedup_never_cartesian(spark, sf_dir):
     """The adaptive banded-LSH dedup must pair candidates through an
     equi-join on (band_id, band_bits) — a CartesianProduct or
