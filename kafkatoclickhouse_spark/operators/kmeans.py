@@ -1,0 +1,230 @@
+"""Lloyd k-means over ``embeddings`` ([EXT] — LLM-pipeline surface;
+the reference has no iterative operator, SURVEY §2.2).
+
+The coarse quantizer behind IVF indexing, corpus clustering for
+curriculum/mixture balancing, and semantic dedup all start with a
+k-means pass. This is the real iterative algorithm — seed, then
+``KM_ITERS`` alternations of assign (argmin squared-L2) and update
+(cluster mean), then a final assignment — NOT a one-shot heuristic.
+
+**Exactness across engines, the hard part.** Float k-means is not
+hash-checkable: both the distance sums and the centroid means drift
+with partition order. Everything here therefore runs on the 1e-6
+fixed-point grid (the ``embedding_label_centroids`` trick, extended
+to the whole loop):
+
+  - components quantize once: xq = floor(x * 1e6) as int64;
+  - distances are exact integer sums of (xq - cq)^2 — with |x| < 1
+    and DIM = 64 the total stays < 2^47, far inside int64;
+  - centroid updates floor the integer-sum / count quotient back
+    onto the grid (floor, not round — no half-tie to split), so
+    every iteration's centroids are again exact integer vectors;
+  - argmin ties break on the smaller cluster id.
+
+Every quantity in every round is an integer both engines compute
+bit-identically, so the DuckDB oracle replays the full trajectory —
+seeds, both updates, final assignment — and the parity gate checks
+the *algorithm*, not a tolerance band.
+
+Scale shape: per iteration the data-side work is one broadcast of K
+centroid vectors (KB), a row-local argmin over K candidates, and one
+(cid, pos)-keyed partial aggregation — the canonical distributed
+Lloyd step, linear per pass at any corpus size. Seeds are the K
+lowest vec_ids (deterministic; k-means|| would replace this at
+production K, same loop body). Clusters that lose all members drop
+out, identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kafkatoclickhouse_spark.registry import query
+from kafkatoclickhouse_spark.tables import fan_out, load_table
+
+KM_K = 8
+KM_ITERS = 2
+_DIM = 64
+_GRID = 1000000.0
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return em.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(_GRID)).cast(
+                "long"
+            ),
+        ).alias("vq"),
+    )
+
+
+def _dist_sq(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two array<long> on the grid."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _seed_centroids(e: DataFrame) -> DataFrame:
+    seeds = e.orderBy("vec_id").limit(KM_K)
+    return seeds.select(
+        (F.row_number().over(W.orderBy("vec_id")) - 1)
+        .cast("int")
+        .alias("cid"),
+        F.col("vq").alias("cq"),
+    )
+
+
+def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, vq, cid, d): each vector's nearest centroid; ties on
+    distance break toward the smaller cid."""
+    d = e.crossJoin(F.broadcast(cents.select("cid", "cq"))).select(
+        "vec_id", "vq", "cid", _dist_sq(F.col("vq"), F.col("cq")).alias("d")
+    )
+    w = W.partitionBy("vec_id").orderBy("d", "cid")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """(cid, cq, n_vectors): floor-of-mean per dimension, back on the
+    integer grid. posexplode keeps shuffle state to one running sum
+    per (cid, pos) — no whole-vector collect_list."""
+    per_pos = (
+        assigned.select("cid", F.posexplode("vq").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.floor(F.sum("x").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("c"),
+            F.count("*").alias("n"),
+        )
+    )
+    return per_pos.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cq"),
+        F.max("n").alias("n_vectors"),
+    )
+
+
+def _final_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(spark, sf_dir)
+    cents = _seed_centroids(e)
+    for _ in range(KM_ITERS):
+        cents = _update(_assign(e, cents))
+    return cents
+
+
+# --- DuckDB oracle: replay the identical trajectory -----------------
+
+_SQL_DIST = (
+    "list_aggregate(list_transform(rs, i -> "
+    "(e.vq[i + 1] - c.cq[i + 1]) * (e.vq[i + 1] - c.cq[i + 1])), 'sum')"
+)
+
+
+def _sql_rounds() -> str:
+    ctes = [
+        f"""
+    rng AS (SELECT list(CAST(i AS INTEGER)) AS rs
+            FROM (SELECT unnest(range({_DIM})) AS i)),
+    e AS (SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(FLOOR(x * {int(_GRID)})
+                                          AS BIGINT)) AS vq
+          FROM embeddings),
+    c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                       AS INTEGER) AS cid, vq AS cq
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT {KM_K}))
+    """
+    ]
+    for it in range(1, KM_ITERS + 1):
+        ctes.append(f"""
+    d{it} AS (SELECT e.vec_id, e.vq, c.cid, {_SQL_DIST} AS d
+              FROM e, c{it - 1} c, rng),
+    a{it} AS (SELECT vec_id, vq, cid
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id ORDER BY d, cid) AS rn
+                    FROM d{it})
+              WHERE rn = 1),
+    u{it} AS (SELECT cid, r AS pos,
+                     CAST(FLOOR(CAST(SUM(vq[r + 1]) AS DOUBLE)
+                                / COUNT(*)) AS BIGINT) AS c,
+                     COUNT(*) AS n
+              FROM a{it}, (SELECT unnest(range({_DIM})) AS r)
+              GROUP BY cid, r),
+    c{it} AS (SELECT cid, list(c ORDER BY pos) AS cq, MAX(n) AS n_vectors
+              FROM u{it} GROUP BY cid)
+    """)
+    return ",".join(ctes)
+
+
+@query(
+    "embedding_kmeans_assign",
+    oracle=f"""
+    WITH {_sql_rounds()},
+    df AS (SELECT e.vec_id, c.cid, {_SQL_DIST} AS d
+           FROM e, c{KM_ITERS} c, rng)
+    SELECT vec_id, cid AS cluster, d AS dist_sq_micro
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM df)
+    WHERE rn = 1
+    """,
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final cluster assignment after the full Lloyd trajectory
+    (seeds → {KM_ITERS} assign/update rounds → assign): one row per
+    vector with its cluster and the exact integer squared distance on
+    the micro grid. The hash-checked trajectory means a wrong seed
+    order, a drifting mean, or a tie broken differently would all
+    fail parity — not just a wildly wrong final partition."""
+    e = _quantized(spark, sf_dir)
+    cents = _final_centroids(spark, sf_dir)
+    return _assign(e, cents).select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        F.col("d").alias("dist_sq_micro"),
+    )
+
+
+@query(
+    "embedding_kmeans_centroids",
+    oracle=f"""
+    WITH {_sql_rounds()}
+    SELECT cid AS cluster, CAST(pos AS INTEGER) AS pos,
+           CAST(c AS DOUBLE) / 1000000.0 AS centroid,
+           n AS n_vectors
+    FROM u{KM_ITERS}
+    """,
+)
+def embedding_kmeans_centroids(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The trained coarse quantizer itself: per (cluster, dimension)
+    the centroid component after the final update, de-quantized to
+    double, plus the cluster population — the artifact an IVF index
+    build or a mixture-balance report consumes."""
+    cents = _final_centroids(spark, sf_dir)
+    return cents.select(
+        F.col("cid").alias("cluster"),
+        F.posexplode("cq").alias("pos", "c"),
+        "n_vectors",
+    ).select(
+        "cluster",
+        "pos",
+        (F.col("c").cast("double") / F.lit(_GRID)).alias("centroid"),
+        "n_vectors",
+    )

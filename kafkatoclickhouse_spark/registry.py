@@ -47,6 +47,7 @@ def load_all() -> None:
         dedup as _dedup,
         event_windows as _event_windows,
         graph as _graph,
+        kmeans as _kmeans,
         multimodal as _multimodal,
         queries as _queries,
         similarity as _similarity,

@@ -332,6 +332,22 @@ def test_decontaminate_eval_join_is_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_kmeans_centroid_joins_all_broadcast(spark, sf_dir):
+    """Every assign step in the Lloyd loop pairs n vectors with K
+    centroids — the centroid side must arrive by BROADCAST in all
+    rounds (K×DIM longs, kilobytes at any corpus scale). A shuffled
+    or CartesianProduct pairing would exchange the full vector table
+    once per iteration, which is the difference between k-means
+    costing K·passes and costing iterations × full shuffles at
+    100 TB."""
+    df = registry.QUERIES["embedding_kmeans_assign"](spark, sf_dir)
+    plan = plans.plan_string(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 3, plan  # seed-assign ×2 rounds + final assign
+
+
 def test_bucketed_embedding_dedup_never_cartesian(spark, sf_dir):
     """The adaptive banded-LSH dedup must pair candidates through an
     equi-join on (band_id, band_bits) — a CartesianProduct or
