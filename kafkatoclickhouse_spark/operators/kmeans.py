@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from kafkatoclickhouse_spark.functions.vector import cosine_with_norms, norm
 from kafkatoclickhouse_spark.registry import query
 from kafkatoclickhouse_spark.tables import fan_out, load_table
 
@@ -227,4 +228,142 @@ def embedding_kmeans_centroids(
         "pos",
         (F.col("c").cast("double") / F.lit(_GRID)).alias("centroid"),
         "n_vectors",
+    )
+
+
+# --- IVF retrieval over the trained quantizer -----------------------
+
+
+def _sql_ivf_kmeans() -> str:
+    from kafkatoclickhouse_spark.operators import similarity as S
+
+    return f"""
+    WITH {_sql_rounds()},
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    ad AS (SELECT e.vec_id, c.cid, {_SQL_DIST} AS d
+           FROM e, c{KM_ITERS} c, rng),
+    acell AS (SELECT vec_id, cid AS cell
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id ORDER BY d, cid) AS rn
+                    FROM ad)
+              WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id FROM e
+          WHERE vec_id % {S.QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {S.QUERY_LIMIT}),
+    probes AS (SELECT query_id, cell
+               FROM (SELECT a.vec_id AS query_id, a.cid AS cell,
+                            ROW_NUMBER() OVER (
+                              PARTITION BY a.vec_id
+                              ORDER BY a.d, a.cid) AS rn
+                     FROM ad a JOIN q ON q.query_id = a.vec_id)
+               WHERE rn <= {S.NPROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {S._SQL_COSINE.format(a="qe.v", b="ne.v")} AS s
+      FROM probes p
+      JOIN acell a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      JOIN ev qe ON qe.vec_id = p.query_id
+      JOIN ev ne ON ne.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(s, 6) AS score,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {S.TOP_K}
+    """
+
+
+@query("sim_ivf_kmeans_topk", oracle=_sql_ivf_kmeans())
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k over the UNSUPERVISED k-means quantizer — the
+    composition ``sim_ivf_topk``'s docstring promises: train the
+    codebook (Lloyd above), assign every vector to its nearest cell
+    by the same exact grid metric, probe each query's NPROBE best
+    cells, score exactly (cosine) inside them. Unlike
+    ``sim_ivf_topk`` (first-K-vectors centroids, a training
+    stand-in) and ``sim_ivf_labels`` paths, nothing here leans on a
+    label column — this is the index build a real corpus gets.
+
+    Scale: training is ITERS linear passes; assignment is map-side
+    against broadcast centroids and at 100 TB happens once at ingest;
+    retrieval is an equi-join on cell id pruning ~(1 - nprobe/K) of
+    the table; queries/centroids broadcast. Cell assignment and
+    probe ranking run on the exact integer grid, so candidate sets —
+    and therefore results — are oracle-replayable bit-for-bit."""
+    from kafkatoclickhouse_spark.operators import similarity as S
+
+    em = fan_out(load_table(spark, sf_dir, "embeddings"))
+    base = em.select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("en"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(_GRID)).cast(
+                "long"
+            ),
+        ).alias("vq"),
+    )
+    cents = _final_centroids(spark, sf_dir).select("cid", "cq")
+    aw = W.partitionBy("vec_id").orderBy("d", "cid")
+    ad = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "en",
+        "cid",
+        _dist_sq(F.col("vq"), F.col("cq")).alias("d"),
+    )
+    assign = (
+        ad.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "en", F.col("cid").alias("cell"))
+    )
+    queries = (
+        base.filter((F.col("vec_id") % S.QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(S.QUERY_LIMIT)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("en").alias("qn"),
+            F.col("vq").alias("qvq"),
+        )
+    )
+    pw = W.partitionBy("query_id").orderBy("d", "cid")
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "cid",
+            _dist_sq(F.col("qvq"), F.col("cq")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= S.NPROBE)
+        .select("query_id", "qv", "qn", F.col("cid").alias("qcell"))
+    )
+    scored = assign.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_with_norms(
+            F.col("qv"), F.col("embedding"), F.col("qn"), F.col("en")
+        ).alias("s"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= S.TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("s", 6).alias("score"),
+            F.col("rn").alias("rank"),
+        )
     )

@@ -55,7 +55,10 @@ def test_split_clean_dirty_partitions_exactly(spark):
 # -- ANN recall vs brute-force ground truth --------------------------------
 
 
-@pytest.mark.parametrize("ann_name", ["sim_ann_lsh_topk", "sim_ivf_topk"])
+@pytest.mark.parametrize(
+    "ann_name",
+    ["sim_ann_lsh_topk", "sim_ivf_topk", "sim_ivf_kmeans_topk"],
+)
 def test_ann_recall_and_score_exactness(spark, sf_dir, ann_name):
     """Three properties that make an ANN result trustworthy:
     1. every returned (query, neighbor) pair carries the EXACT cosine
