@@ -79,6 +79,9 @@ HEADLINE = [
     # round-6 additions
     "dedup_minhash_estimate",
     "multimodal_decode_stats",
+    "text_decontaminate",
+    "embedding_kmeans_assign",
+    "sim_ivf_kmeans_topk",
 ]
 
 
@@ -170,8 +173,10 @@ def main() -> None:
                 "errors": errors,
                 "notes": (
                     "round 3 added 9 headline keys (dedup_embedding_cosine_"
-                    "bucketed..asof_join_nearest_events); round 6 added 2 "
-                    "(dedup_minhash_estimate, multimodal_decode_stats) — "
+                    "bucketed..asof_join_nearest_events); round 6 added 5 "
+                    "(dedup_minhash_estimate, multimodal_decode_stats, "
+                    "text_decontaminate, embedding_kmeans_assign, "
+                    "sim_ivf_kmeans_topk) — "
                     "compare totals across rounds over shared keys only. "
                     "since round 6, "
                     "per-query times are medians of `repeats` interleaved "

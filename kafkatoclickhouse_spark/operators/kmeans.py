@@ -26,10 +26,13 @@ bit-identically, so the DuckDB oracle replays the full trajectory —
 seeds, both updates, final assignment — and the parity gate checks
 the *algorithm*, not a tolerance band.
 
-Scale shape: per iteration the data-side work is one broadcast of K
-centroid vectors (KB), a row-local argmin over K candidates, and one
-(cid, pos)-keyed partial aggregation — the canonical distributed
-Lloyd step, linear per pass at any corpus size. Seeds are the K
+Scale shape: per iteration the data-side work is a row-local argmin
+against the centroid table shipped as a plan literal (K·DIM int64 =
+kilobytes) and one (cid, pos)-keyed partial aggregation — the
+canonical distributed Lloyd step, linear per pass at any corpus
+size, with NO shuffle or join in the assignment. The round barrier
+is a driver collect of those same K·DIM scalars (what MLlib's
+KMeans does); vectors never leave the executors. Seeds are the K
 lowest vec_ids (deterministic; k-means|| would replace this at
 production K, same loop body). Clusters that lose all members drop
 out, identically in both engines.
@@ -37,7 +40,7 @@ out, identically in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -64,36 +67,46 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dist_sq(a: Column, b: Column) -> Column:
-    """Exact integer squared L2 between two array<long> on the grid."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+def _cent_literal(cents: list[tuple[int, list[int]]]) -> str:
+    """The centroid table as ONE parsed SQL literal —
+    array<struct<cid:int, v:array<bigint>>> in ascending cid order.
+    K·DIM int64s is kilobytes; shipping it in the plan (task closure)
+    makes assignment a pure map stage. String-parsed once, not built
+    element-by-element, for the same py4j-round-trip reason as the
+    LSH plane literals."""
+    items = ", ".join(
+        "named_struct('cid', {c}, 'v', array({v}))".format(
+            c=int(cid), v=", ".join(f"{int(x)}L" for x in vec)
+        )
+        for cid, vec in sorted(cents, key=lambda t: t[0])
     )
+    return f"array({items})"
 
 
-def _seed_centroids(e: DataFrame) -> DataFrame:
-    seeds = e.orderBy("vec_id").limit(KM_K)
-    return seeds.select(
-        (F.row_number().over(W.orderBy("vec_id")) - 1)
-        .cast("int")
-        .alias("cid"),
-        F.col("vq").alias("cq"),
-    )
-
-
-def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, vq, cid, d): each vector's nearest centroid; ties on
-    distance break toward the smaller cid."""
-    d = e.crossJoin(F.broadcast(cents.select("cid", "cq"))).select(
-        "vec_id", "vq", "cid", _dist_sq(F.col("vq"), F.col("cq")).alias("d")
-    )
-    w = W.partitionBy("vec_id").orderBy("d", "cid")
+def _ranked_cells(vq_col: str, cents: list[tuple[int, list[int]]]) -> str:
+    """SQL expr: all centroids as struct<d, cid>, ascending by exact
+    integer distance then cid — argmin is [0], probes are a slice.
+    array_sort on structs compares fields in order, so the tie on d
+    breaks toward the smaller cid, identically to the oracle's
+    ROW_NUMBER ordering."""
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        f"array_sort(transform({_cent_literal(cents)}, s -> named_struct("
+        f"'d', aggregate(zip_with({vq_col}, s.v, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (a, b) -> a + b), 'cid', s.cid)))"
+    )
+
+
+def _assign(e: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """(vec_id, vq, cid, d): each vector's nearest centroid; ties on
+    distance break toward the smaller cid. Pure MAP stage — the
+    argmin runs against the centroid literal inside the row, no
+    join, no window, no shuffle of the vector table."""
+    best = F.expr(_ranked_cells("vq", cents) + "[0]")
+    return e.select(
+        "vec_id",
+        "vq",
+        best["cid"].alias("cid"),
+        best["d"].alias("d"),
     )
 
 
@@ -120,12 +133,27 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _final_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _train(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[int], int]]:
+    """Run the Lloyd loop; return the final (cid, cq, n_vectors)
+    rows. The per-round driver sync is a ``collect()`` of K·DIM int64
+    scalars — kilobytes, the canonical distributed-Lloyd round
+    barrier (MLlib's KMeans does exactly this) and NOT a data-path
+    collect: vectors never leave the executors. Collecting also
+    truncates lineage between rounds, so round N's plan doesn't
+    re-nest rounds 1..N-1 (the iterative-DataFrame trap)."""
     e = _quantized(spark, sf_dir)
-    cents = _seed_centroids(e)
+    seeds = e.orderBy("vec_id").limit(KM_K).collect()
+    cents = [(i, list(r["vq"])) for i, r in enumerate(seeds)]
+    rows: list[tuple[int, list[int], int]] = []
     for _ in range(KM_ITERS):
-        cents = _update(_assign(e, cents))
-    return cents
+        rows = sorted(
+            (int(r["cid"]), list(r["cq"]), int(r["n_vectors"]))
+            for r in _update(_assign(e, cents)).collect()
+        )
+        cents = [(cid, cq) for cid, cq, _ in rows]
+    return rows
 
 
 # --- DuckDB oracle: replay the identical trajectory -----------------
@@ -193,7 +221,7 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, a drifting mean, or a tie broken differently would all
     fail parity — not just a wildly wrong final partition."""
     e = _quantized(spark, sf_dir)
-    cents = _final_centroids(spark, sf_dir)
+    cents = [(cid, cq) for cid, cq, _ in _train(spark, sf_dir)]
     return _assign(e, cents).select(
         "vec_id",
         F.col("cid").alias("cluster"),
@@ -217,8 +245,13 @@ def embedding_kmeans_centroids(
     """The trained coarse quantizer itself: per (cluster, dimension)
     the centroid component after the final update, de-quantized to
     double, plus the cluster population — the artifact an IVF index
-    build or a mixture-balance report consumes."""
-    cents = _final_centroids(spark, sf_dir)
+    build or a mixture-balance report consumes. The trained rows are
+    already on the driver (K·DIM scalars — the Lloyd round barrier);
+    re-parallelized here only to posexplode into the flat shape."""
+    rows = _train(spark, sf_dir)
+    cents = spark.createDataFrame(
+        rows, schema="cid int, cq array<bigint>, n_vectors bigint"
+    )
     return cents.select(
         F.col("cid").alias("cluster"),
         F.posexplode("cq").alias("pos", "c"),
@@ -286,12 +319,13 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in) and ``sim_ivf_labels`` paths, nothing here leans on a
     label column — this is the index build a real corpus gets.
 
-    Scale: training is ITERS linear passes; assignment is map-side
-    against broadcast centroids and at 100 TB happens once at ingest;
-    retrieval is an equi-join on cell id pruning ~(1 - nprobe/K) of
-    the table; queries/centroids broadcast. Cell assignment and
-    probe ranking run on the exact integer grid, so candidate sets —
-    and therefore results — are oracle-replayable bit-for-bit."""
+    Scale: training is ITERS linear passes; cell assignment is a
+    pure MAP against the centroid literal (no join, no shuffle) and
+    at 100 TB happens once at ingest; retrieval is an equi-join on
+    cell id pruning ~(1 - nprobe/K) of the table; queries stay
+    broadcast. Cell assignment and probe ranking run on the exact
+    integer grid, so candidate sets — and therefore results — are
+    oracle-replayable bit-for-bit."""
     from kafkatoclickhouse_spark.operators import similarity as S
 
     em = fan_out(load_table(spark, sf_dir, "embeddings"))
@@ -306,21 +340,15 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("vq"),
     )
-    cents = _final_centroids(spark, sf_dir).select("cid", "cq")
-    aw = W.partitionBy("vec_id").orderBy("d", "cid")
-    ad = base.crossJoin(F.broadcast(cents)).select(
+    cents = [(cid, cq) for cid, cq, _ in _train(spark, sf_dir)]
+    ranked = _ranked_cells("vq", cents)
+    assign = base.select(
         "vec_id",
         "embedding",
         "en",
-        "cid",
-        _dist_sq(F.col("vq"), F.col("cq")).alias("d"),
+        F.expr(ranked + "[0].cid").alias("cell"),
     )
-    assign = (
-        ad.withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "en", F.col("cid").alias("cell"))
-    )
-    queries = (
+    probes = (
         base.filter((F.col("vec_id") % S.QUERY_MOD) == 0)
         .orderBy("vec_id")
         .limit(S.QUERY_LIMIT)
@@ -328,22 +356,10 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
             F.col("en").alias("qn"),
-            F.col("vq").alias("qvq"),
+            F.explode(
+                F.expr(f"slice({ranked}, 1, {S.NPROBE}).cid")
+            ).alias("qcell"),
         )
-    )
-    pw = W.partitionBy("query_id").orderBy("d", "cid")
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id",
-            "qv",
-            "qn",
-            "cid",
-            _dist_sq(F.col("qvq"), F.col("cq")).alias("d"),
-        )
-        .withColumn("rn", F.row_number().over(pw))
-        .filter(F.col("rn") <= S.NPROBE)
-        .select("query_id", "qv", "qn", F.col("cid").alias("qcell"))
     )
     scored = assign.join(
         F.broadcast(probes),

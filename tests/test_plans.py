@@ -332,20 +332,19 @@ def test_decontaminate_eval_join_is_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_kmeans_centroid_joins_all_broadcast(spark, sf_dir):
-    """Every assign step in the Lloyd loop pairs n vectors with K
-    centroids — the centroid side must arrive by BROADCAST in all
-    rounds (K×DIM longs, kilobytes at any corpus scale). A shuffled
-    or CartesianProduct pairing would exchange the full vector table
-    once per iteration, which is the difference between k-means
-    costing K·passes and costing iterations × full shuffles at
-    100 TB."""
+def test_kmeans_assignment_is_pure_map(spark, sf_dir):
+    """k-means cell assignment must be a MAP stage: the centroid
+    table rides in the plan as a literal (K·DIM int64, kilobytes),
+    so the argmin needs no join, no window, and no exchange of the
+    vector table. The first cut paired vectors with centroids via
+    crossJoin + row_number, which re-shuffled n×K rows per Lloyd
+    round — this gate pins the rewrite. (The only Exchange allowed
+    is fan_out's input-layout repartition, local-fixture-only.)"""
     df = registry.QUERIES["embedding_kmeans_assign"](spark, sf_dir)
     plan = plans.plan_string(df, "simple")
-    assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
-        "BroadcastHashJoin"
-    ) >= 3, plan  # seed-assign ×2 rounds + final assign
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
 
 
 def test_bucketed_embedding_dedup_never_cartesian(spark, sf_dir):
