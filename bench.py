@@ -104,10 +104,12 @@ def main() -> None:
     # bench-only twins (not registered — no oracle): quantify the md5
     # portable-hash tax vs the production xxhash64 family. Excluded
     # from "value" so round-over-round totals stay comparable.
+    from kafkatoclickhouse_spark.operators import decontam as decontam_mod
     from kafkatoclickhouse_spark.operators import dedup as dedup_mod
 
     extra_fns = {
         "dedup_minhash_lsh_xxhash": dedup_mod.dedup_minhash_lsh_fast,
+        "text_decontaminate_xxhash": decontam_mod.text_decontaminate_fast,
     }
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

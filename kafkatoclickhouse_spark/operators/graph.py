@@ -210,10 +210,13 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_cluster_oracle() -> str:
+def _sql_minhash_cluster_ctes() -> str:
     """Recursive-CTE transitive closure over the EXACT same
     MinHash-LSH verified pairs ``dedup.dedup_minhash_lsh`` emits
-    (same md5 hash family, banding, and Jaccard-threshold verify)."""
+    (same md5 hash family, banding, and Jaccard-threshold verify).
+    Returns the ``WITH RECURSIVE …`` prefix ending at ``reach`` so
+    both the cluster oracle and downstream composites (survivor
+    selection) share one definition."""
     hash_expr = (
         "CAST('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || shingle),"
         " 1, 15) AS BIGINT)"
@@ -262,10 +265,18 @@ def _sql_minhash_cluster_oracle() -> str:
       UNION
       SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src
     )
+    """
+
+
+def _sql_minhash_cluster_oracle() -> str:
+    return (
+        _sql_minhash_cluster_ctes()
+        + """
     SELECT id AS doc_id, MIN(lbl) AS cluster_id,
            CAST(MIN(lbl) = id AS BOOLEAN) AS is_canonical
     FROM reach GROUP BY id
     """
+    )
 
 
 @query("dedup_duplicate_clusters_lsh", oracle=_sql_minhash_cluster_oracle())
@@ -300,4 +311,62 @@ def dedup_duplicate_clusters_lsh(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         (F.col("component") == F.col("id")).alias("is_canonical"),
+    )
+
+
+def _sql_keep_best_oracle() -> str:
+    from kafkatoclickhouse_spark.operators import text as T
+
+    qbase = T._TEXT_QUALITY_BASE.replace("WITH base AS", "base AS", 1)
+    return (
+        _sql_minhash_cluster_ctes()
+        + f""",
+    clusters AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+                 FROM reach GROUP BY id),
+    {qbase},
+    q AS ({T._SQL_QUALITY_SELECT})
+    SELECT c.doc_id, c.cluster_id, q.quality,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY c.cluster_id
+                  ORDER BY q.quality DESC, c.doc_id) = 1
+                AS BOOLEAN) AS keep
+    FROM clusters c JOIN q ON q.doc_id = c.doc_id
+    """
+    )
+
+
+@query("corpus_keep_best_per_cluster", oracle=_sql_keep_best_oracle())
+def corpus_keep_best_per_cluster(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survivor selection, quality-aware: the duplicate-cluster
+    labeling (MinHash-LSH pairs -> large-star/small-star components)
+    joined with the pretraining quality score, keeping the HIGHEST-
+    quality member per cluster (ties to the smaller doc_id) instead
+    of the min-id canonical. This is the step real corpus pipelines
+    run between "clusters found" and "training set written": of N
+    near-identical crawls, keep the cleanest, not the first-crawled.
+
+    Plan: the cluster labeling's own shuffles (band-keyed LSH +
+    star rounds), one doc_id-keyed join against the map-computed
+    quality column, one cluster-keyed window for the argmax -- no
+    new shuffle wider than one row per document. Output is a total
+    per-doc verdict; ``WHERE keep`` is the downstream filter."""
+    from kafkatoclickhouse_spark.functions import textfns
+    from pyspark.sql import Window as W
+
+    clusters = dedup_duplicate_clusters_lsh(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.select(
+        "doc_id", textfns.quality_score(F.col("text")).alias("quality")
+    )
+    j = clusters.join(quality, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
     )

@@ -89,10 +89,10 @@ _TEXT_QUALITY_BASE = """
 """.format(nstop=_SQL_N_STOPWORDS)
 
 
-@query(
-    "text_quality",
-    oracle=_TEXT_QUALITY_BASE
-    + """
+# The per-doc quality SELECT over the ``base`` CTE — shared with
+# composites that rank documents by quality (graph.py survivor
+# selection), so the formula exists exactly once.
+_SQL_QUALITY_SELECT = """
     SELECT doc_id,
            ROUND((least(n_chars / 500.0, 1.0)
                   + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0
@@ -101,8 +101,10 @@ _TEXT_QUALITY_BASE = """
                         THEN n_stop / n_toks ELSE 0.0 END) * 4.0, 1.0)
                  ) / 3.0, 6) AS quality
     FROM base
-    """,
-)
+    """
+
+
+@query("text_quality", oracle=_TEXT_QUALITY_BASE + _SQL_QUALITY_SELECT)
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining-style quality score in [0,1] per document
     (length / punctuation-ratio / stopword-ratio heuristics)."""
