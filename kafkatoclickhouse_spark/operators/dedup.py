@@ -725,3 +725,79 @@ def dedup_embedding_cosine_bucketed(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (batch-vs-corpus)
+# ---------------------------------------------------------------------------
+
+INCR_MOD = 10  # doc_id % 10 == 9 plays the nightly "new batch"
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS f
+      FROM documents
+    ),
+    existing AS (
+      SELECT f, MIN(doc_id) AS canonical_existing_id
+      FROM fp WHERE doc_id % {INCR_MOD} <> {INCR_MOD - 1}
+      GROUP BY f
+    ),
+    batch AS (
+      SELECT doc_id, f,
+             ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+      FROM fp WHERE doc_id % {INCR_MOD} = {INCR_MOD - 1}
+    )
+    SELECT b.doc_id,
+           CAST(e.f IS NOT NULL AS BOOLEAN) AS dup_of_existing,
+           e.canonical_existing_id,
+           CAST(b.rn > 1 AS BOOLEAN) AS dup_within_batch
+    FROM batch b LEFT JOIN existing e ON e.f = b.f
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the nightly mode every corpus
+    pipeline actually runs: dedup the NEW batch (here the
+    deterministic 10% slice doc_id % 10 == 9) against the already-
+    ingested corpus WITHOUT re-deduping the corpus itself. Per new
+    doc: does its fingerprint exist in the corpus (and under which
+    canonical id), and is it a repeat within its own batch (earlier
+    batch doc_id wins).
+
+    Scale shape: both sides reduce to (32-char digest, id) before
+    any shuffle; the corpus side is exactly the fingerprint →
+    min(doc_id) index a production pipeline PERSISTS between runs —
+    so the nightly cost is hash(batch) + one digest-keyed join
+    against the index, independent of corpus text size, and the
+    index update is a monotone min-merge of the batch's new digests.
+    Nothing rescans yesterday's 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", textfns.fingerprint(F.col("text")).alias("f")
+    )
+    is_batch = (F.col("doc_id") % INCR_MOD) == (INCR_MOD - 1)
+    existing = (
+        fp.where(~is_batch)
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("canonical_existing_id"))
+    )
+    w = W.partitionBy("f").orderBy("doc_id")
+    batch = fp.where(is_batch).select(
+        "doc_id", "f", F.row_number().over(w).alias("rn")
+    )
+    return (
+        batch.join(existing, "f", "left")
+        .select(
+            "doc_id",
+            F.col("canonical_existing_id").isNotNull().alias(
+                "dup_of_existing"
+            ),
+            "canonical_existing_id",
+            (F.col("rn") > 1).alias("dup_within_batch"),
+        )
+    )
