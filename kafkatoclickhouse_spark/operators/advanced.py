@@ -451,3 +451,68 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("share_ppm") >= HH_THRESHOLD_PPM)
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH x AS (SELECT event_id, event_type, value,
+                      CAST(ROUND(value * 100) AS HUGEINT) AS xi
+               FROM events),
+    st AS (SELECT event_type, COUNT(*) AS n, SUM(xi) AS s,
+                  SUM(xi * xi) AS ss
+           FROM x GROUP BY event_type)
+    SELECT x.event_id, x.event_type, x.value,
+           CAST((st.n * x.xi - st.s) * (st.n * x.xi - st.s)
+                > 4 * (st.n * st.ss - st.s * st.s) AS BOOLEAN)
+             AS is_anomaly
+    FROM x JOIN st USING (event_type)
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 2-sigma outlier flag on event values — the metric-
+    monitoring primitive (alert when a reading deviates from its
+    fleet's distribution, the reference domain's natural next query
+    over its essCode telemetry).
+
+    |x - mean| > 2*sigma is decided EXACTLY, with no sqrt, no
+    division, and no float accumulation: values are 2-dp by
+    construction, so xi = round(100*value) is an integer, and the
+    test rewrites algebraically to
+
+        (n*xi - S)^2  >  4 * (n*SS - S^2),      S = sum xi, SS = sum xi^2
+
+    — pure integer products both engines compute identically (DuckDB
+    int128, Spark decimal(38,0); magnitudes stay under 10^23 even at
+    10^7 rows per key). A naive stddev_pop comparison would be
+    order-dependent in the 15th digit and flap on the boundary rows
+    under different partitionings — the same reason the exact-decimal
+    helpers exist for money sums.
+
+    Plan: one map-side-combinable groupBy over (type) -> 5-row stats
+    frame -> broadcast join back, then a row-local comparison. Two
+    narrow shuffles of scalars at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    x = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 100).cast(dec).alias("xi"),
+    )
+    st = x.groupBy("event_type").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("xi").alias("s"),
+        F.sum(F.col("xi") * F.col("xi")).alias("ss"),
+    )
+    j = x.join(F.broadcast(st), "event_type")
+    dev = F.col("n") * F.col("xi") - F.col("s")
+    rhs = F.lit(4).cast(dec) * (
+        F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    )
+    return j.select(
+        "event_id",
+        "event_type",
+        "value",
+        (dev * dev > rhs).alias("is_anomaly"),
+    )

@@ -676,13 +676,11 @@ def dedup_embedding_cosine_bucketed(
 
     Candidates are pairs sharing ANY band signature
     (OR-amplification, same shape as minhash banding); the join is an
-    equi-join on (band_id, band_bits) — shuffle on band keys only,
-    never all pairs. Pairs matching several bands are scored per
-    match and collapsed by a distinct AFTER the threshold filter, so
-    the pair-dedup shuffle carries only surviving (vec_a, vec_b, cos)
-    triples — 3 scalars, far narrower than shuffling vectors to
-    dedupe before scoring. The n used for sizing comes from
-    ``em.count()``, metadata-only on parquet."""
+    equi-join on (band_id, band_bits) over (vec_id, sig) rows ONLY —
+    narrow-pairs-then-hydrate, see the inline comment — so neither
+    the band shuffle nor the pair distinct ever carries a vector.
+    The n used for sizing comes from ``em.count()``, metadata-only
+    on parquet."""
     from kafkatoclickhouse_spark.operators.similarity import band_signatures
 
     em = load_table(spark, sf_dir, "embeddings")
@@ -692,38 +690,62 @@ def dedup_embedding_cosine_bucketed(
     # per-plane F.lit construction cost ~2.9 s of driver time per build
     # at the sf0.1 config (35 planes × 64 dims) — see plane_array_expr.
     band_sigs = band_signatures(F.col("embedding"), planes, bits, n_bands)
-    bands = fan_out(em).select(
-        "vec_id",
-        "embedding",
-        norm(F.col("embedding")).alias("nrm"),
-        F.posexplode(band_sigs).alias("band_id", "bb"),
+    # Narrow-pairs-then-hydrate: the band join and the pair distinct
+    # run over (vec_id, band_id, bb) ONLY — the vectors never ride
+    # the band-key shuffle. The first cut carried both 64-float
+    # vectors through the join (~bands copies of every vector, and
+    # candidate×520 B through the pair shuffle: ~tens of GB at the
+    # sf10 scale point, where the curve flagged 17.5× — partly the
+    # designed band growth 8→12, partly this width). Now candidates
+    # dedupe as 16-byte id pairs FIRST (also scoring each surviving
+    # pair once, not once per matching band), then two vec_id-keyed
+    # joins hydrate vectors for the exact verify. Same result set,
+    # same oracle; shuffle bytes drop ~20×.
+    sig = fan_out(em).select(
+        "vec_id", F.posexplode(band_sigs).alias("band_id", "bb")
     )
-    a = bands.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("va"),
-        F.col("nrm").alias("na"),
-        "band_id",
-        "bb",
+    pairs = (
+        sig.select(
+            F.col("vec_id").alias("vec_a"), "band_id", "bb"
+        )
+        .join(
+            sig.select(
+                F.col("vec_id").alias("vec_b"), "band_id", "bb"
+            ),
+            ["band_id", "bb"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
-    b = bands.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nb"),
-        "band_id",
-        "bb",
+    emn = em.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     sim = cosine_with_norms(
         F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
     )
     return (
-        a.join(b, ["band_id", "bb"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        pairs.join(
+            emn.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            emn.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "vec_b",
+        )
         .select("vec_a", "vec_b", sim.alias("cos_raw"))
         .filter(F.col("cos_raw") >= COSINE_BUCKETED_THRESHOLD)
         .select(
             "vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim")
         )
-        .distinct()
     )
 
 
