@@ -516,3 +516,97 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (dev * dev > rhs).alias("is_anomaly"),
     )
+
+
+_PROFILE_COLS = [
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def _sql_profile_norm(expr: str, kind: str) -> str:
+    if kind == "num":
+        return f"CAST(CAST({expr} AS DECIMAL(18,2)) AS VARCHAR)"
+    if kind == "ts":
+        return f"strftime({expr}, '%Y-%m-%d %H:%M:%S.%f')"
+    return f"CAST({expr} AS VARCHAR)"
+
+
+def _sql_profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        parts.append(f"""
+    SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           {_sql_profile_norm(f"MIN({c})", kind)} AS min_value,
+           {_sql_profile_norm(f"MAX({c})", kind)} AS max_value
+    FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+def _profile_norm(col, kind: str):
+    if kind == "num":
+        return col.cast("decimal(18,2)").cast("string")
+    if kind == "ts":
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    return col.cast("string")
+
+
+@query("profile_lineitem", oracle=_sql_profile_oracle())
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling — per column of the fact table: row count,
+    null count, EXACT distinct count, and min/max (normalized
+    per-type to a cross-engine-stable string: ints verbatim, money
+    doubles via DECIMAL(18,2) so neither engine's float-to-string
+    shortest-repr rules leak in, timestamps at fixed microsecond
+    format). The ingest-acceptance report every pipeline runs before
+    trusting a new drop.
+
+    Plan: ONE scan, one aggregate producing all metrics, then a
+    ``stack`` pivot of the single result row into per-column rows —
+    min/max/count are plain partial aggs; the multi-column exact
+    DISTINCT goes through Spark's Expand (input ×C for C profiled
+    columns), the documented cost of exactness in one pass. The
+    oracle re-aggregates per column instead (C scans) — same
+    numbers. At 100 TB you'd flip the distinct columns to
+    approx_count_distinct and keep everything else identical; exact
+    is kept here because approximate counts cannot hash-match an
+    oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            _profile_norm(F.min(c), kind).alias(f"{c}__mn"),
+            _profile_norm(F.max(c), kind).alias(f"{c}__mx"),
+        ]
+    row = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx"
+        for c, _ in _PROFILE_COLS
+    )
+    return row.select(
+        "__n",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(col_name, n_nonnull, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "col_name",
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col("n_nonnull")).alias("n_nulls"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )
