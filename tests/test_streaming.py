@@ -747,3 +747,52 @@ def test_streaming_left_outer_interval_join(spark, sf_dir, tmp_path):
         assert r["click_id"] not in matched_click_rows
         assert r["purchase_value"] is None
     assert unmatched.count() > 0
+
+
+def test_streaming_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming decontamination flag must agree doc-for-doc with
+    the batch operator's verdict (n_overlap > 0) on the training
+    docs — the stream is a stateless pass-through, so any
+    disagreement means the broadcast set or the shingling drifted
+    from the batch path."""
+    from kafkatoclickhouse_spark.functions import hashing
+    from kafkatoclickhouse_spark.operators import decontam as bd
+    from kafkatoclickhouse_spark.streaming.decontam import (
+        streaming_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = tmp_path / "docs_feed"
+    docs.write.parquet(str(feed))
+    stream = spark.readStream.schema(docs.schema).parquet(str(feed))
+    assert stream.isStreaming
+
+    evals = (
+        docs.where(F.col("doc_id") % bd.EVAL_MOD == 0)
+        .select(
+            F.explode(
+                hashing.word_shingles(F.col("text"), bd.DECONTAM_N)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    flagged = streaming_decontaminate(stream, evals)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("decontam_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in spark.table("decontam_stream").collect()
+        if r["doc_id"] % bd.EVAL_MOD != 0
+    }
+    want = {
+        r["doc_id"]: r["contaminated"]
+        for r in bd.text_decontaminate(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
