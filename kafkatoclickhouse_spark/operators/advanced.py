@@ -610,3 +610,58 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+HIST_BIN_WIDTH = 50
+
+
+@query(
+    "events_value_histogram",
+    oracle=f"""
+    WITH b AS (SELECT CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS BIGINT)
+                        AS bin,
+                      COUNT(*) AS n
+               FROM events GROUP BY 1),
+    t AS (SELECT SUM(n) AS total FROM b)
+    SELECT b.bin,
+           b.bin * {HIST_BIN_WIDTH} AS lo,
+           (b.bin + 1) * {HIST_BIN_WIDTH} AS hi,
+           b.n,
+           CAST(FLOOR(b.n * 1000000 / CAST(t.total AS DOUBLE))
+                AS BIGINT) AS share_ppm
+    FROM b, t
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram with exact integer ppm shares —
+    the distribution overview that pairs with the percentile and
+    heavy-hitter sketches. Bin ids are floor(value/width) so bins are
+    stable under any data order; shares use floor-of-exact-division
+    on integers below 2^53, so no engine rounding tie can move a
+    count between renderings.
+
+    Plan: one map-side-combinable groupBy on the bin id (bins ≤
+    range/width regardless of row count), plus a 1-row total
+    broadcast — the aggregate state is O(bins) at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            F.floor(F.col("value") / HIST_BIN_WIDTH)
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+    t = b.agg(F.sum("n").alias("total"))
+    return b.crossJoin(F.broadcast(t)).select(
+        "bin",
+        (F.col("bin") * HIST_BIN_WIDTH).alias("lo"),
+        ((F.col("bin") + 1) * HIST_BIN_WIDTH).alias("hi"),
+        "n",
+        F.floor(
+            F.col("n") * 1000000 / F.col("total").cast("double")
+        )
+        .cast("long")
+        .alias("share_ppm"),
+    )
