@@ -619,8 +619,11 @@ from kafkatoclickhouse_spark.operators.similarity import (  # noqa: E402
 _SQL_LSH_BITS = sql_lsh_bits("(SELECT COUNT(*) FROM embeddings)")
 _SQL_LSH_BANDS = sql_lsh_bands("bits")
 
-_BUCKETED_ORACLE = f"""
-WITH cfg AS (
+# CTE body (no WITH prefix) ending at the verified pairs — shared
+# with the semantic-cluster oracle in graph.py, which appends a
+# recursive closure over ``vpairs``.
+_BUCKETED_CTE_BODY = f"""
+cfg AS (
   SELECT bits, {_SQL_LSH_BANDS} AS bands
   FROM (SELECT {_SQL_LSH_BITS} AS bits)
 ),
@@ -644,14 +647,22 @@ cand AS (
   FROM sigs a
   JOIN sigs b ON a.band_id = b.band_id AND a.bb = b.bb
             AND a.vec_id < b.vec_id
+),
+vpairs AS (
+  SELECT vec_a, vec_b,
+         ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+  FROM cand
+  JOIN e ea ON ea.vec_id = vec_a
+  JOIN e eb ON eb.vec_id = vec_b
+  WHERE list_cosine_similarity(ea.v, eb.v)
+        >= {COSINE_BUCKETED_THRESHOLD}
+)"""
+
+_BUCKETED_ORACLE = (
+    "WITH "
+    + _BUCKETED_CTE_BODY
+    + "\nSELECT vec_a, vec_b, cos_sim FROM vpairs"
 )
-SELECT vec_a, vec_b,
-       ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
-FROM cand
-JOIN e ea ON ea.vec_id = vec_a
-JOIN e eb ON eb.vec_id = vec_b
-WHERE list_cosine_similarity(ea.v, eb.v) >= {COSINE_BUCKETED_THRESHOLD}
-"""
 
 
 @query("dedup_embedding_cosine_bucketed", oracle=_BUCKETED_ORACLE)

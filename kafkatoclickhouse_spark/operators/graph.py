@@ -370,3 +370,56 @@ def corpus_keep_best_per_cluster(
         "quality",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def _sql_embedding_cluster_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {dedup._BUCKETED_CTE_BODY},
+    ed AS (
+      SELECT vec_a AS src, vec_b AS dst FROM vpairs
+      UNION ALL
+      SELECT vec_b, vec_a FROM vpairs
+    ),
+    reach(id, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT ed.dst, r.lbl FROM ed JOIN reach r ON r.id = ed.src
+    )
+    SELECT id AS vec_id, MIN(lbl) AS cluster_id,
+           CAST(MIN(lbl) = id AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY id
+    """
+
+
+@query("dedup_embedding_clusters", oracle=_sql_embedding_cluster_oracle())
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC duplicate clusters: the embedding analogue of
+    ``dedup_duplicate_clusters_lsh`` — scale-adaptive hyperplane-LSH
+    candidate pairs verified at cosine >= 0.8, closed into components
+    by the same large-star/small-star loop, one total (vec_id,
+    cluster_id, is_canonical) assignment out. Together with the text
+    pipeline this completes both near-dup modalities end to end:
+    pairs -> clusters -> survivor filter, lexical and semantic.
+
+    Plan inherits both parents': band-keyed candidate shuffles that
+    never carry vectors (narrow-pairs-then-hydrate), star rounds
+    that are vertex-id-keyed scalar shuffles. The oracle replays the
+    LSH config + closure recursively, so the cluster boundary —
+    which vectors chain together transitively — is hash-checked, not
+    spot-checked."""
+    em = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.dedup_embedding_cosine_bucketed(spark, sf_dir).select(
+        "vec_a", "vec_b"
+    )
+    comp = connected_components(
+        em.select("vec_id"),
+        pairs,
+        id_col="vec_id",
+        src="vec_a",
+        dst="vec_b",
+    )
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("id")).alias("is_canonical"),
+    )
