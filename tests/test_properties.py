@@ -444,3 +444,83 @@ def test_lsh_clusters_agree_with_exact_clusters(spark, sf_dir):
         ).collect()
     }
     assert exact == lsh
+
+
+def test_kmeans_assignment_is_total_and_consistent(spark, sf_dir):
+    """The Lloyd output must be a TOTAL partition: every vector
+    assigned exactly once, every assigned cluster present in the
+    trained centroid set, and the centroid populations summing back
+    to the corpus — the invariants that catch a dropped empty
+    cluster or a row lost in the argmin."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assign = registry.QUERIES["embedding_kmeans_assign"](
+        spark, sf_dir
+    ).collect()
+    cents = registry.QUERIES["embedding_kmeans_centroids"](
+        spark, sf_dir
+    ).collect()
+    assert len(assign) == n
+    assert len({r["vec_id"] for r in assign}) == n
+    trained = {r["cluster"] for r in cents}
+    assert {r["cluster"] for r in assign} <= trained
+    pop = {}
+    for r in cents:
+        pop[r["cluster"]] = r["n_vectors"]
+    # populations are per (cluster, pos); identical across pos —
+    # summing the per-cluster value once must give the corpus size.
+    # (n_vectors counts the PREVIOUS round's assignment, which is a
+    # total partition of the same corpus.)
+    assert sum(pop.values()) == n
+
+
+def test_decontaminate_partitions_and_bounds(spark, sf_dir):
+    """Decontamination output covers exactly the training docs
+    (eval slice excluded), overlap never exceeds the doc's shingle
+    count, and every eval doc's shingles ARE in the eval set (a doc
+    equal to an eval doc must be flagged)."""
+    from kafkatoclickhouse_spark.operators.decontam import EVAL_MOD
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = registry.QUERIES["text_decontaminate"](spark, sf_dir).collect()
+    train_ids = {
+        r["doc_id"]
+        for r in docs.select("doc_id").collect()
+        if r["doc_id"] % EVAL_MOD != 0
+    }
+    assert {r["doc_id"] for r in out} == train_ids
+    for r in out:
+        assert 0 <= r["n_overlap"] <= r["n_shingles"]
+        assert r["contaminated"] == (r["n_overlap"] > 0)
+
+
+def test_incremental_dedup_consistent_with_global(spark, sf_dir):
+    """A batch doc flagged dup_of_existing must share its fingerprint
+    cluster with its canonical_existing_id under the GLOBAL exact
+    dedup — the incremental path may never invent or miss a
+    duplicate relation the full-corpus pass sees."""
+    from kafkatoclickhouse_spark.operators.dedup import INCR_MOD
+
+    out = registry.QUERIES["dedup_incremental_batch"](
+        spark, sf_dir
+    ).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    from kafkatoclickhouse_spark.functions import textfns
+
+    full = docs.select(
+        "doc_id", textfns.fingerprint(F.col("text")).alias("f")
+    ).collect()
+    by_doc = {r["doc_id"]: r["f"] for r in full}
+    existing_min = {}
+    for r in full:
+        if r["doc_id"] % INCR_MOD != INCR_MOD - 1:
+            f = r["f"]
+            if f not in existing_min or r["doc_id"] < existing_min[f]:
+                existing_min[f] = r["doc_id"]
+    assert out
+    for r in out:
+        f = by_doc[r["doc_id"]]
+        if r["dup_of_existing"]:
+            assert existing_min[f] == r["canonical_existing_id"]
+        else:
+            assert f not in existing_min
+            assert r["canonical_existing_id"] is None
