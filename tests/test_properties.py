@@ -524,3 +524,32 @@ def test_incremental_dedup_consistent_with_global(spark, sf_dir):
         else:
             assert f not in existing_min
             assert r["canonical_existing_id"] is None
+
+
+def test_simhash_banded_pairs_complete_within_radius(spark, sf_dir):
+    """The Manku banding is pigeonhole-COMPLETE: every pair within
+    Hamming distance HAMMING_MAX of the fingerprints must be
+    returned — not a recall target, an exact guarantee. Verified
+    against the all-pairs popcount over the oracle-checked
+    fingerprints."""
+    from kafkatoclickhouse_spark.operators.dedup import HAMMING_MAX
+
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in registry.QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    }
+    ids = sorted(fps)
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= HAMMING_MAX
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in registry.QUERIES["dedup_simhash_pairs"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    assert want  # fixture plants near-dups; empty would be vacuous
