@@ -495,3 +495,49 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
         F.col("day_offset").cast("long").alias("day_offset"),
     ).agg(F.count("*").alias("n_active_users"))
+
+
+@query(
+    "events_trending_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             TIMESTAMP '1970-01-01'
+               + INTERVAL 1 SECOND
+                 * (CAST(floor(epoch(ts)/3600) AS BIGINT)*3600) AS ws
+      FROM events
+    ),
+    c AS (SELECT ws, event_type, COUNT(*) AS n_events
+          FROM b GROUP BY ws, event_type)
+    SELECT strftime(ws, '{_DFMT}') AS window_start, event_type,
+           n_events, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY ws ORDER BY n_events DESC, event_type) AS rnk
+          FROM c)
+    WHERE rnk <= 3
+    """,
+)
+def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 trending event types per hour — the 'what is hot right
+    now' dashboard query: tumbling-window counts ranked within each
+    window (count desc, type asc tiebreak). Composes the two shapes
+    the engine already pins separately: map-side-combinable window
+    counts and a per-partition top-k window whose input is already
+    one row per (window, type) — never the raw events."""
+    from pyspark.sql import Window as W
+
+    df = load_table(spark, sf_dir, "events")
+    agg = df.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    w = W.partitionBy("w").orderBy(F.desc("n_events"), "event_type")
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "rank",
+        )
+    )
