@@ -807,3 +807,69 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             textfns.ws_token_count(F.col("text")).alias("n_tokens"),
         )
     )
+
+
+NGRAM_TOP_K = 20
+
+
+@query(
+    "corpus_top_bigrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\\s+') AS t
+                  FROM documents),
+    idx AS (SELECT doc_id, t, unnest(range(len(t) - 1)) AS r
+            FROM toks WHERE len(t) > 1),
+    bg AS (SELECT doc_id, t[r + 1] || ' ' || t[r + 2] AS bigram
+           FROM idx),
+    agg AS (SELECT bigram, COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM bg GROUP BY bigram)
+    SELECT bigram, n_occurrences, n_docs,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY n_occurrences DESC, bigram) AS rnk
+          FROM agg)
+    WHERE rnk <= {NGRAM_TOP_K}
+    """,
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-{NGRAM_TOP_K} bigrams with occurrence and
+    document frequencies — the n-gram table behind tokenizer-merge
+    seeding, boilerplate detection, and stop-phrase lists (the
+    statistic `text_repetition_filters` consumes PER DOC, aggregated
+    corpus-wide). Token positions overlap (every adjacent pair), so
+    occurrence counts exceed doc counts by design.
+
+    Scale: bigrams explode row-locally, the count is one
+    map-side-combinable groupBy on the bigram string, and the global
+    top-k plans as TakeOrderedAndProject over one row per distinct
+    bigram — no global sort, no single-partition window. The exact
+    DISTINCT doc count per bigram rides the same aggregate; at
+    100 TB you'd swap it for approx_count_distinct exactly as in the
+    profiler."""
+    from pyspark.sql import Window as W
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_bg = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_bg),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    bg = docs.select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    agg = bg.groupBy("bigram").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = W.orderBy(F.desc("n_occurrences"), "bigram")
+    return (
+        agg.orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(NGRAM_TOP_K)
+        .withColumn("rank", F.row_number().over(w))
+        .select("bigram", "n_occurrences", "n_docs", "rank")
+    )
