@@ -159,7 +159,9 @@ def main() -> None:
     timings = {n: med(n) for n in ok}
     stddev = {n: sd(n) for n in ok}
     extras = {
-        n: med(n) for n in extra_fns if n in all_fns and samples.get(n)
+        n: med(n)
+        for n in extra_fns
+        if n in all_fns and n not in errors and samples.get(n)
     }
     total = round(sum(timings.values()), 3)
     print(

@@ -109,3 +109,26 @@ def micros(col: str | Column) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
+
+
+# -- engine-stable 6-dp rounding --------------------------------------------
+#
+# ROUND(x, 6) is NOT cross-engine stable on doubles: Spark rounds the
+# double's shortest decimal rendering (BigDecimal HALF_UP) while DuckDB
+# rounds the double itself, and they split on half-ULP boundaries like
+# percent_rank = 0.0640625 (first seen at sf0.1). floor(x*1e6 + 0.5)/1e6
+# is pure IEEE double arithmetic — bit-identical in any engine — and has
+# no tie to break. Single definition; every operator and oracle that
+# needs stable fixed-dp output should go through these.
+
+
+def stable_round6(col: Column) -> Column:
+    """floor(x*1e6 + 0.5)/1e6 as Spark Columns."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
+        1000000.0
+    )
+
+
+def sql_stable_round6(expr: str) -> str:
+    """The identical computation as a DuckDB SQL fragment."""
+    return f"FLOOR(({expr}) * 1000000 + 0.5) / 1000000"

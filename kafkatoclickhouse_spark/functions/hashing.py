@@ -26,6 +26,25 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def sql_word_shingles(n: int) -> str:
+    """DuckDB CTE chain (``toks``/``idx``/``sh``, no WITH prefix)
+    producing the distinct word n-gram shingles of every document —
+    the SQL twin of :func:`word_shingles`, defined ONCE so every
+    oracle (dedup at n=3, decontamination at n=5, …) mirrors the
+    same trim/split/short-doc rules. A tokenization change made here
+    and in ``word_shingles`` updates every oracle together."""
+    return """
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+             FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(range(greatest(len(t) - {nm1}, 1))) AS r
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(t[r + 1 : r + {n}], ' ') AS shingle
+           FROM idx)
+""".format(n=n, nm1=n - 1)
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word-level n-gram shingles as an array<string>.
 

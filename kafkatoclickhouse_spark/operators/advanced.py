@@ -281,20 +281,16 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     result deterministic under any partitioning (and therefore
     hash-checkable — same rule as collect_list's sort).
 
-    6-dp rounding is ``floor(x*1e6 + 0.5)/1e6`` — pure IEEE double
-    ops, bit-identical across engines — NOT round(x, 6): Spark
-    rounds the double's shortest decimal rendering (BigDecimal
-    HALF_UP) while DuckDB rounds the double itself, and they split
-    on ties like percent_rank = 0.0640625 (first seen at sf0.1,
-    where partitions get big enough to hit half-ULP boundaries)."""
+    6-dp rounding is the engine-stable ``stable_round6``
+    (functions.exact) — floor(x*1e6 + 0.5)/1e6, NOT round(x, 6),
+    which splits cross-engine on half-ULP ties like percent_rank =
+    0.0640625 (first seen at sf0.1; rationale at the helper)."""
+    from kafkatoclickhouse_spark.functions.exact import (
+        stable_round6 as _r6,
+    )
+
     cu = load_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-
-    def _r6(col):
-        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
-            1000000.0
-        )
-
     return cu.select(
         "c_custkey",
         "c_nationkey",

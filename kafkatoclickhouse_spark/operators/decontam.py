@@ -36,23 +36,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafkatoclickhouse_spark.functions import hashing
+from kafkatoclickhouse_spark.functions.exact import (
+    sql_stable_round6,
+    stable_round6,
+)
 from kafkatoclickhouse_spark.registry import query
 from kafkatoclickhouse_spark.tables import fan_out, load_table
 
 DECONTAM_N = 5
 EVAL_MOD = 97
 
-# DuckDB CTEs: distinct word-5-gram shingles per doc, split into the
+# DuckDB CTEs: distinct word-5-gram shingles per doc (shared
+# template, hashing.sql_word_shingles), split into the
 # pseudo-benchmark (evals) and the training side (train).
-_SQL_BASE = """
-    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-             FROM documents),
-    idx AS (SELECT doc_id, t,
-                   unnest(range(greatest(len(t) - {nm1}, 1))) AS r
-            FROM toks),
-    sh AS (SELECT DISTINCT doc_id,
-                  array_to_string(t[r + 1 : r + {n}], ' ') AS shingle
-           FROM idx),
+_SQL_BASE = hashing.sql_word_shingles(DECONTAM_N) + """,
     evals AS (SELECT DISTINCT shingle FROM sh
               WHERE doc_id % {m} = 0),
     train AS (SELECT doc_id, shingle FROM sh
@@ -64,13 +61,10 @@ _SQL_BASE = """
       FROM train t LEFT JOIN evals e ON t.shingle = e.shingle
       GROUP BY t.doc_id
     )
-""".format(n=DECONTAM_N, nm1=DECONTAM_N - 1, m=EVAL_MOD)
+""".format(m=EVAL_MOD)
 
 
-def _r6(col):
-    # engine-stable 6-dp rounding; see window_distribution_ranks for
-    # why round(x, 6) is NOT cross-engine stable.
-    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+_r6 = stable_round6  # engine-stable 6-dp rounding (functions.exact)
 
 
 def _doc_overlap(
@@ -131,8 +125,8 @@ def text_decontaminate_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_BASE}
     SELECT doc_id, n_shingles, n_overlap,
            CAST(n_overlap > 0 AS BOOLEAN) AS contaminated,
-           FLOOR(n_overlap / CAST(n_shingles AS DOUBLE) * 1000000
-                 + 0.5) / 1000000 AS overlap_frac
+           {sql_stable_round6("n_overlap / CAST(n_shingles AS DOUBLE)")}
+             AS overlap_frac
     FROM overlap
     """,
 )
@@ -166,9 +160,10 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            SUM(CASE WHEN o.n_overlap > 0 THEN 1 ELSE 0 END)
              AS n_contaminated,
-           FLOOR(SUM(CASE WHEN o.n_overlap > 0 THEN 1 ELSE 0 END)
-                 / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
-             AS contaminated_frac
+           {sql_stable_round6(
+               "SUM(CASE WHEN o.n_overlap > 0 THEN 1 ELSE 0 END)"
+               " / CAST(COUNT(*) AS DOUBLE)"
+           )} AS contaminated_frac
     FROM overlap o JOIN documents d ON d.doc_id = o.doc_id
     GROUP BY d.source
     """,

@@ -45,17 +45,10 @@ SIMHASH_BITS = 16
 SIMHASH_SEED = 101
 COSINE_DUP_THRESHOLD = 0.8
 
-# Shared DuckDB CTE: distinct word-3-gram shingles per document.
-_SQL_SHINGLES = """
-    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-             FROM documents),
-    idx AS (SELECT doc_id, t,
-                   unnest(range(greatest(len(t) - {nm1}, 1))) AS r
-            FROM toks),
-    sh AS (SELECT DISTINCT doc_id,
-                  array_to_string(t[r + 1 : r + {n}], ' ') AS shingle
-           FROM idx)
-""".format(n=SHINGLE_N, nm1=SHINGLE_N - 1)
+# Shared DuckDB CTE: distinct word-3-gram shingles per document
+# (single definition in hashing.sql_word_shingles — mirrored with
+# word_shingles so a tokenization change updates every oracle).
+_SQL_SHINGLES = hashing.sql_word_shingles(SHINGLE_N)
 
 _SQL_HASH = hashing.sql_portable_hash64("shingle", "{k}").replace(
     "'{k}:'", "(k || ':')"

@@ -852,14 +852,18 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n_bg = F.greatest(F.size(toks) - 1, F.lit(0))
+    n = F.size(toks)
+    # filter n >= 2 BEFORE building the index sequence: with one
+    # token, sequence(1, 0) is the DESCENDING array [1, 0] and the
+    # element_at(toks, 2) access throws — the same short-doc guard
+    # text_repetition_filters uses (and the oracle's len(t) > 1).
     bigrams = F.transform(
-        F.sequence(F.lit(1), n_bg),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        F.sequence(F.lit(0), n - 2),
+        lambda r: F.concat_ws(
+            " ", F.element_at(toks, r + 1), F.element_at(toks, r + 2)
         ),
     )
-    bg = docs.select(
+    bg = docs.filter(n >= 2).select(
         "doc_id", F.explode(bigrams).alias("bigram")
     )
     agg = bg.groupBy("bigram").agg(

@@ -553,3 +553,26 @@ def test_simhash_banded_pairs_complete_within_radius(spark, sf_dir):
     }
     assert got == want
     assert want  # fixture plants near-dups; empty would be vacuous
+
+
+def test_top_bigrams_survive_short_documents(spark, tmp_path):
+    """One-token and empty documents must contribute zero bigrams,
+    not crash: sequence(1, 0) is the DESCENDING [1, 0] and an
+    unguarded transform indexes past the token array (caught by
+    review before any fixture contained a short doc)."""
+    from kafkatoclickhouse_spark.operators.text import corpus_top_bigrams
+
+    docs = spark.createDataFrame(
+        [
+            (0, "only", "en", "s", 4),
+            (1, "", "en", "s", 0),
+            (2, "two words here", "en", "s", 14),
+            (3, "two words here", "en", "s", 14),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path / "shortdocs"
+    docs.write.parquet(str(d / "documents.parquet"))
+    rows = corpus_top_bigrams(spark, str(d)).collect()
+    got = {(r["bigram"], r["n_occurrences"], r["n_docs"]) for r in rows}
+    assert got == {("two words", 2, 2), ("words here", 2, 2)}
