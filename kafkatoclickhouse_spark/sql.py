@@ -183,3 +183,54 @@ def sql_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     still prunes to the two scanned columns and partial-aggregates
     map-side before the single month-keyed exchange."""
     return run_sql(spark, sf_dir, SQL_MONTHLY_REVENUE)
+
+
+SQL_LATERAL_TOPK = """
+SELECT n.n_name, t.c_name, t.c_acctbal, t.rnk
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal,
+         CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey)
+              AS INTEGER) AS rnk
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+"""
+
+SQL_RECURSIVE_DATE_SPINE = """
+WITH RECURSIVE days(d) AS (
+  SELECT DATE '1996-01-01'
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY FROM days WHERE d < DATE '1996-03-31'
+)
+SELECT CAST(dy.d AS VARCHAR(10)) AS day,
+       COUNT(o.o_orderkey) AS n_orders
+FROM days dy
+LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = dy.d
+GROUP BY dy.d
+"""
+
+
+@query("sql_lateral_topk", oracle=SQL_LATERAL_TOPK)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table — top-2 customers per nation
+    where the per-group limit lives INSIDE the lateral subquery, the
+    SQL-standard alternative to the window-filter idiom
+    (`sql_segment_topk`). Catalyst decorrelates the lateral into a
+    ranked window join, so the physical plan matches the idiomatic
+    form — one dialect-portable string, two engines, hash-equal."""
+    return run_sql(spark, sf_dir, SQL_LATERAL_TOPK)
+
+
+@query("sql_recursive_date_spine", oracle=SQL_RECURSIVE_DATE_SPINE)
+def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.1's recursive CTE support) generating
+    a 91-day calendar spine, LEFT-joined to per-day order counts —
+    the gapfill-by-recursion idiom (zero-order days survive with
+    n_orders = 0), portable verbatim to DuckDB. The recursion is
+    driver-bounded (one row per day) while the join and aggregate
+    stay distributed; the date spine is the same shape
+    `timeseries_gapfill_ffill` builds with `sequence()`, here in
+    pure SQL."""
+    return run_sql(spark, sf_dir, SQL_RECURSIVE_DATE_SPINE)
