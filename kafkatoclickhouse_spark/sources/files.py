@@ -209,3 +209,48 @@ def apply_upserts(
         .drop("_rn", "_src")
     )
     merged.write.mode("overwrite").parquet(dst_path)
+
+
+def apply_cdc_batch(
+    spark: SparkSession,
+    base_path: str,
+    changes: DataFrame,
+    key_cols: tuple[str, ...],
+    version_col: str,
+    deleted_col: str,
+    dst_path: str,
+) -> None:
+    """CDC merge WITH tombstones: like :func:`apply_upserts`, but
+    ``changes`` rows flagged true in ``deleted_col`` are delete
+    records — if the delete is the newest version of its key, the
+    key disappears from the output (the Debezium ``op='d'`` /
+    ReplacingMergeTree ``is_deleted`` contract; a stale delete loses
+    to a newer upsert and is a no-op).
+
+    Same single key-hash exchange as the upsert path: the tombstone
+    filter runs AFTER the per-key latest-version pick, so deletes add
+    zero extra shuffles. Base rows are live by definition; replays
+    are idempotent under the identical tie-break (equal version →
+    the change record wins, including a tombstone — delete replays
+    converge)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    base = (
+        spark.read.parquet(base_path)
+        .withColumn("_src", F.lit(0))
+        .withColumn("_del", F.lit(False))
+    )
+    chg = changes.withColumn("_src", F.lit(1)).withColumn(
+        "_del", F.coalesce(F.col(deleted_col), F.lit(False))
+    ).drop(deleted_col)
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    merged = (
+        base.unionByName(chg)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (~F.col("_del")))
+        .drop("_rn", "_src", "_del")
+    )
+    merged.write.mode("overwrite").parquet(dst_path)

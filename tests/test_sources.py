@@ -376,3 +376,50 @@ def test_decode_roundtrip_property():
         assert (multimodal.decode_image(bmp) == pixels).all()
 
     check()
+
+
+def test_apply_cdc_batch_tombstones(spark, sf_dir, tmp_path):
+    """CDC merge with deletes: a newest-version tombstone removes the
+    key, a STALE tombstone is a no-op against a newer upsert, plain
+    upserts/inserts behave exactly as apply_upserts, and replaying
+    the same change batch converges (delete idempotence)."""
+    from pyspark.sql import functions as F
+
+    from kafkatoclickhouse_spark.sources.files import apply_cdc_batch
+    from kafkatoclickhouse_spark.tables import load_table
+
+    base_path = str(tmp_path / "base")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).withColumn("version", F.lit(1))
+    cust.write.parquet(base_path)
+    n = cust.count()
+
+    changes = spark.createDataFrame(
+        [
+            (1, "UPDATED-1", 999.0, 2, False),   # upsert
+            (2, None, None, 2, True),            # live tombstone
+            (3, "GHOST", -1.0, 0, True),         # stale tombstone
+            (999999, "NEW-KEY", 1.0, 2, False),  # insert
+        ],
+        "c_custkey long, c_name string, c_acctbal double,"
+        " version int, is_deleted boolean",
+    )
+    v1 = str(tmp_path / "v1")
+    apply_cdc_batch(
+        spark, base_path, changes, ("c_custkey",), "version",
+        "is_deleted", v1,
+    )
+    out = spark.read.parquet(v1)
+    rows = {r["c_custkey"]: r for r in out.collect()}
+    assert rows[1]["c_name"] == "UPDATED-1"
+    assert 2 not in rows                          # deleted
+    assert rows[3]["c_name"] != "GHOST"           # stale delete no-op
+    assert rows[999999]["c_name"] == "NEW-KEY"
+    assert out.count() == n                       # -1 delete +1 insert
+    v2 = str(tmp_path / "v2")
+    apply_cdc_batch(
+        spark, v1, changes, ("c_custkey",), "version", "is_deleted", v2
+    )
+    assert spark.read.parquet(v2).exceptAll(out).count() == 0
+    assert out.exceptAll(spark.read.parquet(v2)).count() == 0
