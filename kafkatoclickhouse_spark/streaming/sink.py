@@ -164,3 +164,47 @@ def overwrite_by_batch_parquet_writer(
         )
 
     return write_batch
+
+
+def cdc_merge_writer(
+    table_path: str,
+    key_cols: tuple[str, ...],
+    version_col: str,
+    deleted_col: str,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink that MERGES each micro-batch of change
+    records (upserts + tombstones) into a parquet table — the
+    engine-side equivalent of the reference pointing its INSERT
+    stream at a ClickHouse ReplacingMergeTree and trusting
+    background merges (SURVEY §4.3), except the merge is applied
+    eagerly and the read side always sees a fully-merged table.
+
+    Per batch: one key-hash exchange over base ∪ batch
+    (``apply_cdc_batch``), written ahead to ``<path>.next`` and
+    atomically swapped in — a crashed batch leaves the live table
+    untouched, and since merging the same batch twice converges
+    (idempotent tie-break incl. tombstones), checkpoint replays are
+    safe. State lives in the table, not the stream — no watermark
+    needed."""
+    import os
+    import shutil
+
+    from kafkatoclickhouse_spark.sources.files import apply_cdc_batch
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        nxt = f"{table_path}.next"
+        apply_cdc_batch(
+            df.sparkSession,
+            table_path,
+            df,
+            key_cols,
+            version_col,
+            deleted_col,
+            nxt,
+        )
+        shutil.rmtree(table_path)
+        os.rename(nxt, table_path)
+
+    return write_batch

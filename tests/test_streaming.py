@@ -796,3 +796,77 @@ def test_streaming_decontaminate_matches_batch(spark, sf_dir, tmp_path):
         for r in bd.text_decontaminate(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_cdc_merge_equals_batch(spark, sf_dir, tmp_path):
+    """A stream of CDC change records merged per micro-batch through
+    cdc_merge_writer must land the same final table as applying the
+    full change set once in batch — upserts, inserts, and tombstones
+    included. Exercises the write-ahead-and-swap path and the
+    delete-idempotence contract under multiple micro-batches."""
+    from pyspark.sql import functions as F
+
+    from kafkatoclickhouse_spark.sources.files import apply_cdc_batch
+    from kafkatoclickhouse_spark.streaming.sink import cdc_merge_writer
+    from kafkatoclickhouse_spark.tables import load_table
+
+    table = str(tmp_path / "cust_table")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).withColumn("version", F.lit(1))
+    cust.write.parquet(table)
+
+    schema = (
+        "c_custkey long, c_name string, c_acctbal double,"
+        " version int, is_deleted boolean"
+    )
+    changes = [
+        (1, "UP-A", 10.0, 2, False),
+        (2, None, None, 2, True),
+        (1, "UP-B", 20.0, 3, False),
+        (999999, "NEW", 1.0, 2, False),
+        (999999, None, None, 3, True),
+    ]
+    feed = tmp_path / "cdc_feed"
+    feed.mkdir()
+    # several files → several micro-batches (maxFilesPerTrigger=1)
+    for i, row in enumerate(changes):
+        spark.createDataFrame([row], schema).write.parquet(
+            str(feed / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed) + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            cdc_merge_writer(
+                table, ("c_custkey",), "version", "is_deleted"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch_dst = str(tmp_path / "batch_applied")
+    base2 = str(tmp_path / "base2")
+    cust.write.parquet(base2)
+    apply_cdc_batch(
+        spark,
+        base2,
+        spark.createDataFrame(changes, schema),
+        ("c_custkey",),
+        "version",
+        "is_deleted",
+        batch_dst,
+    )
+    got = spark.read.parquet(table)
+    want = spark.read.parquet(batch_dst)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    rows = {r["c_custkey"]: r for r in got.collect()}
+    assert rows[1]["c_name"] == "UP-B"
+    assert 2 not in rows and 999999 not in rows
