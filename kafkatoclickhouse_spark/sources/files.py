@@ -254,3 +254,89 @@ def apply_cdc_batch(
         .drop("_rn", "_src", "_del")
     )
     merged.write.mode("overwrite").parquet(dst_path)
+
+
+ZORDER_BITS = 16
+
+
+def zorder_value(a, b):
+    """Interleave the low ``ZORDER_BITS`` bits of two non-negative
+    int columns into one Morton (Z-order) key — pure bit expressions,
+    whole-stage codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(
+                F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)),
+                2 * i,
+            )
+            + F.shiftleft(
+                F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)),
+                2 * i + 1,
+            )
+        )
+    return z
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+) -> None:
+    """Write parquet Z-order-clustered on TWO columns — the
+    multi-dimensional generalization of ``write_range_clustered``
+    (Delta's OPTIMIZE ZORDER, engine-side): each column is mapped to
+    a 16-bit bucket id, the two ids interleave into a Morton key,
+    and files are range-partitioned + sorted on that key. Because Z-order preserves locality in BOTH dimensions,
+    footer min/max stats stay narrow for col_a AND col_b — a
+    predicate on EITHER column skips most files, where single-column
+    range clustering helps only its own column.
+
+    Buckets are equi-width over each column's [min, max] — the
+    min/max pair is ONE tiny aggregate collected as four scalars
+    (the same K-scalars driver sync k-means uses), and the bucket +
+    Morton computation is then pure map-side: no global window, no
+    single-partition sort, nothing that chokes at 100 TB. (Heavy
+    value skew concentrates bucket ids and costs skipping
+    selectivity, not correctness; rank-based bucketing would fix
+    that at the price of a full sort per dimension — the trade is
+    documented, not hidden.)
+
+    Cost at write time: one scalar agg + one range exchange on the
+    Morton key — amortized over every subsequent selective read,
+    the same trade Delta/Iceberg make."""
+    from pyspark.sql import functions as F
+
+    buckets = 1 << ZORDER_BITS
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+
+    def bucket(col, lo, hi):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            return F.lit(0).cast("long")
+        return F.least(
+            F.lit(buckets - 1),
+            F.floor(
+                (F.col(col).cast("double") - F.lit(float(lo)))
+                * F.lit(float(buckets))
+                / F.lit(span + 1e-9)
+            ).cast("long"),
+        )
+
+    ra = bucket(col_a, lo_a, hi_a)
+    rb = bucket(col_b, lo_b, hi_b)
+    zed = df.withColumn("_z", zorder_value(ra, rb))
+    (
+        zed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -423,3 +423,51 @@ def test_apply_cdc_batch_tombstones(spark, sf_dir, tmp_path):
     )
     assert spark.read.parquet(v2).exceptAll(out).count() == 0
     assert out.exceptAll(spark.read.parquet(v2)).count() == 0
+
+
+def test_zorder_write_narrows_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering must leave per-file footer ranges narrow on
+    BOTH interleaved columns — the property single-column range
+    clustering cannot give: each file's (max - min) span on each
+    dimension must average well under the span a random row layout
+    produces (where every file covers ~the full domain). Also a
+    row-preservation check."""
+    import glob
+
+    from kafkatoclickhouse_spark.sources.files import (
+        write_zorder_clustered,
+    )
+
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    path = str(tmp_path / "cust_z")
+    write_zorder_clustered(cu, path, "c_custkey", "c_acctbal", n_files=16)
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) > 4
+    full = cu.selectExpr(
+        "max(c_custkey) - min(c_custkey) AS sa",
+        "max(c_acctbal) - min(c_acctbal) AS sb",
+    ).first()
+    spans_a, spans_b = [], []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .selectExpr(
+                "max(c_custkey) - min(c_custkey) AS sa",
+                "max(c_acctbal) - min(c_acctbal) AS sb",
+                "count(*) AS n",
+            )
+            .first()
+        )
+        if r["n"]:
+            spans_a.append(r["sa"] / full["sa"])
+            spans_b.append(r["sb"] / full["sb"])
+    # a random layout gives ~1.0 per file on both; Z-order must
+    # compress the average span markedly on BOTH dimensions.
+    avg_a = sum(spans_a) / len(spans_a)
+    avg_b = sum(spans_b) / len(spans_b)
+    assert avg_a < 0.5, (avg_a, spans_a)
+    assert avg_b < 0.5, (avg_b, spans_b)
+    assert spark.read.parquet(path).count() == cu.count()
