@@ -889,7 +889,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The all-pairs hamming join this replaces is O(n²); this is the
     construction Google ran at 8 B pages (64-bit fp, k=3, 4 bands —
     same shape, bigger constants)."""
-    fp = dedup_simhash(spark, sf_dir)
+    # cache: the band self-join consumes fp on BOTH sides, and the
+    # fingerprint lineage (shingle explode + per-bit vote aggregation)
+    # is the dominant cost — same reason dedup_minhash_estimate
+    # caches its signatures (one materialization serves both sides).
+    fp = dedup_simhash(spark, sf_dir).cache()
     mask = (1 << SIMHASH_BAND_BITS) - 1
     band_vals = F.array(
         *[

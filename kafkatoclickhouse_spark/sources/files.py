@@ -222,38 +222,70 @@ def apply_cdc_batch(
 ) -> None:
     """CDC merge WITH tombstones: like :func:`apply_upserts`, but
     ``changes`` rows flagged true in ``deleted_col`` are delete
-    records — if the delete is the newest version of its key, the
-    key disappears from the output (the Debezium ``op='d'`` /
-    ReplacingMergeTree ``is_deleted`` contract; a stale delete loses
-    to a newer upsert and is a no-op).
+    records (the Debezium ``op='d'`` / ReplacingMergeTree
+    ``is_deleted`` contract).
 
-    Same single key-hash exchange as the upsert path: the tombstone
-    filter runs AFTER the per-key latest-version pick, so deletes add
-    zero extra shuffles. Base rows are live by definition; replays
-    are idempotent under the identical tie-break (equal version →
-    the change record wins, including a tombstone — delete replays
-    converge)."""
+    Tombstones are PERSISTED in the output table (``deleted_col``
+    stays a column; :func:`read_cdc_table` is the live view that
+    filters them) rather than physically dropped — dropping them
+    would let a stale lower-version upsert in a LATER batch
+    resurrect a deleted key, because nothing would remain to outrank
+    it (review finding). With the tombstone stored, late stale
+    upserts lose to it under the same version rule in every future
+    merge, so the result is order-independent across batches;
+    compaction may physically drop tombstones once the feed's
+    out-of-orderness horizon has passed.
+
+    Missing ``base_path`` bootstraps from an empty base (first batch
+    of a fresh table). Ties are fully deterministic: newest version
+    wins; at equal version a change row beats a base row, a
+    tombstone beats an upsert (conservative), and a final
+    whole-row-hash tiebreak orders even identical-version distinct
+    payloads — so checkpoint replays converge bit-for-bit. One
+    key-hash exchange, as before."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
 
-    base = (
-        spark.read.parquet(base_path)
-        .withColumn("_src", F.lit(0))
-        .withColumn("_del", F.lit(False))
-    )
     chg = changes.withColumn("_src", F.lit(1)).withColumn(
-        "_del", F.coalesce(F.col(deleted_col), F.lit(False))
-    ).drop(deleted_col)
+        deleted_col,
+        F.coalesce(F.col(deleted_col), F.lit(False)),
+    )
+    try:
+        base = spark.read.parquet(base_path)
+    except AnalysisException:
+        base = spark.createDataFrame([], chg.drop("_src").schema)
+    if deleted_col not in base.columns:
+        base = base.withColumn(deleted_col, F.lit(False))
+    base = base.withColumn("_src", F.lit(0))
+    all_cols = [c for c in chg.columns if c != "_src"]
     w = W.partitionBy(*key_cols).orderBy(
-        F.col(version_col).desc(), F.col("_src").desc()
+        F.col(version_col).desc(),
+        F.col("_src").desc(),
+        F.col(deleted_col).desc(),
+        F.xxhash64(F.struct(*all_cols)).desc(),
     )
     merged = (
-        base.unionByName(chg)
+        base.select(*all_cols, "_src")
+        .unionByName(chg.select(*all_cols, "_src"))
         .withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (~F.col("_del")))
-        .drop("_rn", "_src", "_del")
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
     )
     merged.write.mode("overwrite").parquet(dst_path)
+
+
+def read_cdc_table(
+    spark: SparkSession, path: str, deleted_col: str
+) -> DataFrame:
+    """The LIVE view of a CDC-merged table: rows whose newest record
+    is not a tombstone, with the tombstone column projected away.
+    Readers use this; the stored table keeps tombstones so late
+    stale upserts can never resurrect a deleted key."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    return df.filter(~F.col(deleted_col)).drop(deleted_col)
 
 
 ZORDER_BITS = 16
@@ -316,6 +348,11 @@ def write_zorder_clustered(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).collect()[0]
+    if lo_a is None or lo_b is None:
+        # empty input: write the empty table like the plain writers
+        # instead of float(None)-crashing in the bucket math.
+        df.write.mode("overwrite").parquet(path)
+        return
 
     def bucket(col, lo, hi):
         span = float(hi) - float(lo)

@@ -177,24 +177,46 @@ def cdc_merge_writer(
     engine-side equivalent of the reference pointing its INSERT
     stream at a ClickHouse ReplacingMergeTree and trusting
     background merges (SURVEY §4.3), except the merge is applied
-    eagerly and the read side always sees a fully-merged table.
+    eagerly; ``read_cdc_table`` is the always-fully-merged live view
+    (tombstones are persisted so late stale upserts can't resurrect
+    deleted keys — see ``apply_cdc_batch``).
 
-    Per batch: one key-hash exchange over base ∪ batch
-    (``apply_cdc_batch``), written ahead to ``<path>.next`` and
-    atomically swapped in — a crashed batch leaves the live table
-    untouched, and since merging the same batch twice converges
-    (idempotent tie-break incl. tombstones), checkpoint replays are
-    safe. State lives in the table, not the stream — no watermark
-    needed."""
+    Crash safety without a filesystem that can swap directories
+    atomically: the merge writes ahead to ``<path>.next``, then the
+    swap renames live → ``<path>.old`` → promotes ``.next`` →
+    deletes ``.old`` (each rename atomic on one filesystem), and a
+    RECOVERY step at the top of every batch finishes or rolls back
+    any interrupted swap — after a crash at any point the table is
+    either the pre-batch or the post-batch state, never missing, and
+    the checkpoint replay of the same batch converges (deterministic
+    merge tie-breaks). First batch against a missing table
+    bootstraps it."""
     import os
     import shutil
 
     from kafkatoclickhouse_spark.sources.files import apply_cdc_batch
 
+    nxt = f"{table_path}.next"
+    old = f"{table_path}.old"
+
+    def _recover() -> None:
+        if not os.path.exists(table_path):
+            if os.path.exists(nxt):
+                # crashed between demote and promote: .next holds the
+                # COMPLETED merge of some batch — promote it; the
+                # checkpoint replay of that batch then converges.
+                os.rename(nxt, table_path)
+            elif os.path.exists(old):
+                # crashed with only the demoted copy left: restore.
+                os.rename(old, table_path)
+        for p in (nxt, old):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+
     def write_batch(df: DataFrame, batch_id: int) -> None:
         if df.isEmpty():
             return
-        nxt = f"{table_path}.next"
+        _recover()
         apply_cdc_batch(
             df.sparkSession,
             table_path,
@@ -204,7 +226,10 @@ def cdc_merge_writer(
             deleted_col,
             nxt,
         )
-        shutil.rmtree(table_path)
+        if os.path.exists(table_path):
+            os.rename(table_path, old)
         os.rename(nxt, table_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     return write_batch

@@ -379,13 +379,20 @@ def test_decode_roundtrip_property():
 
 
 def test_apply_cdc_batch_tombstones(spark, sf_dir, tmp_path):
-    """CDC merge with deletes: a newest-version tombstone removes the
-    key, a STALE tombstone is a no-op against a newer upsert, plain
-    upserts/inserts behave exactly as apply_upserts, and replaying
-    the same change batch converges (delete idempotence)."""
+    """CDC merge with deletes: a newest-version tombstone hides the
+    key from the LIVE view (read_cdc_table) while staying persisted
+    in the table, a STALE tombstone is a no-op against a newer
+    upsert, plain upserts/inserts behave as apply_upserts, and
+    replaying the same change batch converges. A stale upsert in a
+    LATER batch must NOT resurrect a deleted key — the persisted
+    tombstone outranks it (review finding: physically dropping
+    tombstones made deletes order-dependent across batches)."""
     from pyspark.sql import functions as F
 
-    from kafkatoclickhouse_spark.sources.files import apply_cdc_batch
+    from kafkatoclickhouse_spark.sources.files import (
+        apply_cdc_batch,
+        read_cdc_table,
+    )
     from kafkatoclickhouse_spark.tables import load_table
 
     base_path = str(tmp_path / "base")
@@ -395,6 +402,10 @@ def test_apply_cdc_batch_tombstones(spark, sf_dir, tmp_path):
     cust.write.parquet(base_path)
     n = cust.count()
 
+    schema = (
+        "c_custkey long, c_name string, c_acctbal double,"
+        " version int, is_deleted boolean"
+    )
     changes = spark.createDataFrame(
         [
             (1, "UPDATED-1", 999.0, 2, False),   # upsert
@@ -402,27 +413,82 @@ def test_apply_cdc_batch_tombstones(spark, sf_dir, tmp_path):
             (3, "GHOST", -1.0, 0, True),         # stale tombstone
             (999999, "NEW-KEY", 1.0, 2, False),  # insert
         ],
-        "c_custkey long, c_name string, c_acctbal double,"
-        " version int, is_deleted boolean",
+        schema,
     )
     v1 = str(tmp_path / "v1")
     apply_cdc_batch(
         spark, base_path, changes, ("c_custkey",), "version",
         "is_deleted", v1,
     )
-    out = spark.read.parquet(v1)
-    rows = {r["c_custkey"]: r for r in out.collect()}
+    live = read_cdc_table(spark, v1, "is_deleted")
+    rows = {r["c_custkey"]: r for r in live.collect()}
     assert rows[1]["c_name"] == "UPDATED-1"
-    assert 2 not in rows                          # deleted
+    assert 2 not in rows                          # deleted (live view)
     assert rows[3]["c_name"] != "GHOST"           # stale delete no-op
     assert rows[999999]["c_name"] == "NEW-KEY"
-    assert out.count() == n                       # -1 delete +1 insert
+    assert live.count() == n                      # -1 delete +1 insert
+    stored = spark.read.parquet(v1)
+    assert stored.filter("c_custkey = 2 AND is_deleted").count() == 1
+
+    # replay idempotence
     v2 = str(tmp_path / "v2")
     apply_cdc_batch(
         spark, v1, changes, ("c_custkey",), "version", "is_deleted", v2
     )
-    assert spark.read.parquet(v2).exceptAll(out).count() == 0
-    assert out.exceptAll(spark.read.parquet(v2)).count() == 0
+    got2 = spark.read.parquet(v2)
+    assert got2.exceptAll(stored).count() == 0
+    assert stored.exceptAll(got2).count() == 0
+
+    # resurrection guard: stale upsert for the deleted key 2 in a
+    # LATER batch loses to the stored tombstone.
+    late = spark.createDataFrame(
+        [(2, "ZOMBIE", 5.0, 1, False)], schema
+    )
+    v3 = str(tmp_path / "v3")
+    apply_cdc_batch(
+        spark, v2, late, ("c_custkey",), "version", "is_deleted", v3
+    )
+    assert (
+        read_cdc_table(spark, v3, "is_deleted")
+        .filter("c_custkey = 2")
+        .count()
+        == 0
+    )
+
+
+def test_apply_cdc_batch_bootstrap_and_equal_version_tie(
+    spark, tmp_path
+):
+    """First batch against a MISSING base bootstraps the table; an
+    equal-version upsert-vs-tombstone pair for one key resolves
+    deterministically (tombstone wins) on every apply."""
+    from kafkatoclickhouse_spark.sources.files import (
+        apply_cdc_batch,
+        read_cdc_table,
+    )
+
+    schema = "k long, v string, version int, is_deleted boolean"
+    batch = spark.createDataFrame(
+        [(1, "A", 1, False), (2, "B", 1, False),
+         (2, None, 1, True)],
+        schema,
+    )
+    outs = []
+    for i in range(3):
+        dst = str(tmp_path / f"boot{i}")
+        apply_cdc_batch(
+            spark, str(tmp_path / "missing"), batch, ("k",),
+            "version", "is_deleted", dst,
+        )
+        outs.append(
+            sorted(
+                tuple(r)
+                for r in spark.read.parquet(dst).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]          # deterministic
+    live = read_cdc_table(spark, str(tmp_path / "boot0"), "is_deleted")
+    assert {r["k"] for r in live.collect()} == {1}  # tombstone won
 
 
 def test_zorder_write_narrows_both_dimensions(spark, sf_dir, tmp_path):
@@ -431,7 +497,8 @@ def test_zorder_write_narrows_both_dimensions(spark, sf_dir, tmp_path):
     clustering cannot give: each file's (max - min) span on each
     dimension must average well under the span a random row layout
     produces (where every file covers ~the full domain). Also a
-    row-preservation check."""
+    row-preservation check, and the empty-input case must write an
+    empty table instead of crashing in the bucket math."""
     import glob
 
     from kafkatoclickhouse_spark.sources.files import (
@@ -471,3 +538,10 @@ def test_zorder_write_narrows_both_dimensions(spark, sf_dir, tmp_path):
     assert avg_a < 0.5, (avg_a, spans_a)
     assert avg_b < 0.5, (avg_b, spans_b)
     assert spark.read.parquet(path).count() == cu.count()
+
+    empty_path = str(tmp_path / "empty_z")
+    write_zorder_clustered(
+        cu.filter("c_custkey < 0"), empty_path,
+        "c_custkey", "c_acctbal", n_files=4,
+    )
+    assert spark.read.parquet(empty_path).count() == 0

@@ -867,6 +867,13 @@ def test_streaming_cdc_merge_equals_batch(spark, sf_dir, tmp_path):
     want = spark.read.parquet(batch_dst)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
-    rows = {r["c_custkey"]: r for r in got.collect()}
-    assert rows[1]["c_name"] == "UP-B"
-    assert 2 not in rows and 999999 not in rows
+    from kafkatoclickhouse_spark.sources.files import read_cdc_table
+
+    live = {
+        r["c_custkey"]: r
+        for r in read_cdc_table(spark, table, "is_deleted").collect()
+    }
+    assert live[1]["c_name"] == "UP-B"
+    assert 2 not in live and 999999 not in live  # tombstoned keys
+    # tombstones persisted, not dropped (anti-resurrection contract)
+    assert got.filter("c_custkey = 2 AND is_deleted").count() == 1
