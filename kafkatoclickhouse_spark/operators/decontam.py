@@ -158,8 +158,8 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_BASE}
     SELECT d.source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN o.n_overlap > 0 THEN 1 ELSE 0 END)
-             AS n_contaminated,
+           CAST(SUM(CASE WHEN o.n_overlap > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
            {sql_stable_round6(
                "SUM(CASE WHEN o.n_overlap > 0 THEN 1 ELSE 0 END)"
                " / CAST(COUNT(*) AS DOUBLE)"

@@ -206,7 +206,7 @@ def _sql_rounds() -> str:
     WITH {_sql_rounds()},
     df AS (SELECT e.vec_id, c.cid, {_SQL_DIST} AS d
            FROM e, c{KM_ITERS} c, rng)
-    SELECT vec_id, cid AS cluster, d AS dist_sq_micro
+    SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist_sq_micro
     FROM (SELECT *, ROW_NUMBER() OVER (
             PARTITION BY vec_id ORDER BY d, cid) AS rn
           FROM df)

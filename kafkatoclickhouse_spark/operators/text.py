@@ -425,9 +425,9 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     o AS (
       SELECT doc_id, n_toks,
-             COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+             CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS token_offset
+               AS BIGINT) AS token_offset
       FROM t
     )
     SELECT doc_id, n_toks, token_offset,

@@ -237,12 +237,18 @@ def apply_cdc_batch(
     out-of-orderness horizon has passed.
 
     Missing ``base_path`` bootstraps from an empty base (first batch
-    of a fresh table). Ties are fully deterministic: newest version
-    wins; at equal version a change row beats a base row, a
-    tombstone beats an upsert (conservative), and a final
-    whole-row-hash tiebreak orders even identical-version distinct
-    payloads — so checkpoint replays converge bit-for-bit. One
-    key-hash exchange, as before."""
+    of a fresh table). Ties are fully deterministic AND
+    batching-independent: newest version wins; at equal version a
+    tombstone beats an upsert (conservative), then a whole-row-hash
+    tiebreak orders distinct payloads. Batch provenance (``_src``)
+    deliberately does NOT participate in the ordering — if it did,
+    two conflicting equal-version upserts would resolve differently
+    depending on whether they arrived in one batch (hash decides) or
+    two (later batch wins), breaking the order-independence claim
+    (review finding). A replayed batch re-presents rows identical to
+    what the base already holds, so the hash tie is between equal
+    payloads and converges either way. One key-hash exchange, as
+    before."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
@@ -261,7 +267,6 @@ def apply_cdc_batch(
     all_cols = [c for c in chg.columns if c != "_src"]
     w = W.partitionBy(*key_cols).orderBy(
         F.col(version_col).desc(),
-        F.col("_src").desc(),
         F.col(deleted_col).desc(),
         F.xxhash64(F.struct(*all_cols)).desc(),
     )

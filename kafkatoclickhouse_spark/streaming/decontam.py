@@ -40,8 +40,15 @@ def streaming_decontaminate(
         docs_stream.withColumn("shingles", sh)
         .crossJoin(F.broadcast(evals))
         .withColumn(
+            # coalesce: a NULL text column yields NULL shingles and a
+            # NULL overlap; batch semantics (explode drops such docs)
+            # treat them as not contaminated, so the flag must be a
+            # TOTAL boolean here too.
             "contaminated",
-            F.arrays_overlap(F.col("shingles"), F.col("eval_set")),
+            F.coalesce(
+                F.arrays_overlap(F.col("shingles"), F.col("eval_set")),
+                F.lit(False),
+            ),
         )
         .drop("shingles", "eval_set")
     )

@@ -214,9 +214,12 @@ def cdc_merge_writer(
                 shutil.rmtree(p)
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
+        # recover FIRST: a crash mid-swap can leave the live dir
+        # renamed away, and a run of empty micro-batches must not
+        # leave readers of read_cdc_table failing in the interim.
+        _recover()
         if df.isEmpty():
             return
-        _recover()
         apply_cdc_batch(
             df.sparkSession,
             table_path,

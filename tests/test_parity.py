@@ -43,3 +43,31 @@ def test_entry_runs(spark):
 
     df = e.entry(spark)
     assert df.count() >= 0
+
+
+ORACLED_QUERIES = sorted(registry.ORACLES)
+
+# DuckDB result types the driver's typed/Arrow value hash cannot match
+# against Spark output: Spark has no 128-bit integer, so an oracle
+# column typed HUGEINT hash-mismatches even when every value is equal
+# (the r6 text_decontaminate_by_source red — VERDICT r6 §What's wrong).
+# Integer SUM() in DuckDB widens to HUGEINT; oracles must CAST such
+# aggregates to BIGINT.
+_UNHASHABLE_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+@pytest.mark.parametrize("name", ORACLED_QUERIES)
+def test_oracle_has_no_int128_columns(duck, name):
+    """No oracle may type a result column as 128-bit integer — the
+    class of driver-side hash mismatch that hit r6. Binding only
+    (relation .types), so the sweep over all oracles is cheap."""
+    rel = duck.sql(registry.ORACLES[name])
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(u in str(t).upper() for u in _UNHASHABLE_DUCK_TYPES)
+    ]
+    assert not bad, (
+        f"{name}: oracle columns typed int128 {bad} — wrap the "
+        f"aggregate in CAST(... AS BIGINT)"
+    )

@@ -545,3 +545,63 @@ def test_zorder_write_narrows_both_dimensions(spark, sf_dir, tmp_path):
         "c_custkey", "c_acctbal", n_files=4,
     )
     assert spark.read.parquet(empty_path).count() == 0
+
+
+def test_apply_cdc_batch_order_independent_interleavings(
+    spark, tmp_path
+):
+    """The same change set, split into random batch interleavings,
+    must converge to ONE final table — including equal-version
+    conflicts with distinct payloads, which resolve by the
+    (tombstone, row-hash) rule independent of which batch each row
+    arrived in (ADVICE r6: batch provenance must not participate in
+    the ordering)."""
+    import random
+
+    from kafkatoclickhouse_spark.sources.files import apply_cdc_batch
+
+    schema = "k long, v string, version int, is_deleted boolean"
+    changes = [
+        (1, "x", 2, False), (1, "y", 2, False),       # equal-version conflict
+        (2, "del", 3, True), (2, "up", 3, False),     # tie: tombstone wins
+        (3, "a", 1, False), (3, "b", 2, False),
+        (4, "n", 5, False),
+    ]
+    base_dir = str(tmp_path / "base")
+    spark.createDataFrame(
+        [(1, "base", 1, False), (3, "base", 1, False)], schema
+    ).write.parquet(base_dir)
+
+    def run(batches, tag):
+        cur = base_dir
+        for i, rows in enumerate(batches):
+            if not rows:
+                continue
+            dst = str(tmp_path / f"{tag}_{i}")
+            apply_cdc_batch(
+                spark, cur, spark.createDataFrame(rows, schema),
+                ("k",), "version", "is_deleted", dst,
+            )
+            cur = dst
+        return sorted(
+            tuple(r) for r in spark.read.parquet(cur).collect()
+        )
+
+    want = run([changes], "oneshot")
+    rng = random.Random(7)
+    for trial in range(4):
+        perm = changes[:]
+        rng.shuffle(perm)
+        n_cuts = rng.randint(1, 3)
+        cuts = sorted(rng.sample(range(1, len(perm)), n_cuts))
+        batches = [
+            perm[a:b]
+            for a, b in zip([0] + cuts, cuts + [len(perm)])
+        ]
+        got = run(batches, f"t{trial}")
+        assert got == want, f"trial {trial}: {got} != {want}"
+    # the equal-version conflicts themselves resolved as documented
+    final = dict()
+    for r in want:
+        final[r[0]] = r
+    assert final[2][3] is True  # tombstone beat the equal-version upsert

@@ -764,6 +764,13 @@ def test_streaming_decontaminate_matches_batch(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     feed = tmp_path / "docs_feed"
     docs.write.parquet(str(feed))
+    # inject a NULL-text doc: batch explode drops it entirely, so the
+    # stream must emit it with a TOTAL contaminated=false flag, never
+    # NULL (ADVICE r6).
+    null_id = -12345
+    docs.limit(1).withColumn("doc_id", F.lit(null_id)).withColumn(
+        "text", F.lit(None).cast("string")
+    ).write.mode("append").parquet(str(feed))
     stream = spark.readStream.schema(docs.schema).parquet(str(feed))
     assert stream.isStreaming
 
@@ -795,6 +802,7 @@ def test_streaming_decontaminate_matches_batch(spark, sf_dir, tmp_path):
         r["doc_id"]: r["contaminated"]
         for r in bd.text_decontaminate(spark, sf_dir).collect()
     }
+    assert got.pop(null_id) is False  # total flag, not NULL
     assert got == want and len(got) > 0
 
 
@@ -877,3 +885,63 @@ def test_streaming_cdc_merge_equals_batch(spark, sf_dir, tmp_path):
     assert 2 not in live and 999999 not in live  # tombstoned keys
     # tombstones persisted, not dropped (anti-resurrection contract)
     assert got.filter("c_custkey = 2 AND is_deleted").count() == 1
+
+
+def test_cdc_merge_writer_crash_recovery_states(spark, tmp_path):
+    """Crash-injection for the write-ahead-and-swap: construct every
+    interrupted on-disk state the three-rename protocol can leave
+    (.next+live; .old+.next without live; .next only; .old only),
+    run recovery (an empty micro-batch triggers it) and assert the
+    table is exactly the pre-batch or the post-batch state — never
+    missing, never a third state — and that read_cdc_table works in
+    the interim. Then replay the batch and assert convergence to the
+    post-batch state (VERDICT r6 brief #3)."""
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kafkatoclickhouse_spark.sources.files import (
+        apply_cdc_batch,
+        read_cdc_table,
+    )
+    from kafkatoclickhouse_spark.streaming.sink import cdc_merge_writer
+
+    schema = "k long, v string, version int, is_deleted boolean"
+    t0_rows = [(1, "a", 1, False), (2, "b", 1, False)]
+    batch_rows = [(1, "a2", 2, False), (2, None, 2, True),
+                  (3, "c", 1, False)]
+    batch = spark.createDataFrame(batch_rows, schema)
+    empty = spark.createDataFrame([], schema)
+
+    def snap(path):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(path).collect()
+        )
+
+    t0_dir = str(tmp_path / "t0")
+    spark.createDataFrame(t0_rows, schema).write.parquet(t0_dir)
+    t1_dir = str(tmp_path / "t1")
+    apply_cdc_batch(
+        spark, t0_dir, batch, ("k",), "version", "is_deleted", t1_dir
+    )
+    t0, t1 = snap(t0_dir), snap(t1_dir)
+
+    states = {
+        "next_and_live": {"": t0_dir, ".next": t1_dir},
+        "old_next_no_live": {".old": t0_dir, ".next": t1_dir},
+        "next_only": {".next": t1_dir},
+        "old_only": {".old": t0_dir},
+    }
+    for name, layout in states.items():
+        table = str(tmp_path / f"tbl_{name}")
+        for suffix, src in layout.items():
+            shutil.copytree(src, table + suffix)
+        writer = cdc_merge_writer(
+            table, ("k",), "version", "is_deleted"
+        )
+        writer(empty, 0)  # empty batch must still finish the swap
+        got = snap(table)
+        assert got in (t0, t1), f"{name}: third state {got}"
+        read_cdc_table(spark, table, "is_deleted").count()  # no error
+        writer(batch, 1)  # checkpoint replay of the batch
+        assert snap(table) == t1, f"{name}: replay did not converge"
