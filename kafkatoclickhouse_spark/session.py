@@ -27,6 +27,11 @@ def get_spark(
     ``SPARK_GRAFT_CPUS`` (default 32). On a real cluster you would
     pass ``master=None`` and let spark-submit own master/memory.
     """
+    # must run before the JVM starts so Python workers inherit the
+    # protobuf shim via PYTHONPATH (transformWithState state protocol)
+    from kafkatoclickhouse_spark.protoshim import ensure_protobuf
+
+    ensure_protobuf()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
