@@ -62,8 +62,9 @@ def jdbc_writer(
     """Parameterized JDBC batch append (ClickHouse-compatible: pass a
     multi-host URL ``jdbc:clickhouse://h1:8123,h2:8123/db`` for the
     balanced-connection behavior of `ClickHouseSink.scala:42-43`).
-    Untested locally (no broker/driver in the container); the retry
-    and batching logic around it is what our tests pin down."""
+    Integration-tested live against embedded Derby (the JDBC driver
+    on Spark's own classpath — tests/test_jdbc.py): round-trip,
+    retry on injected failure, and replayed-batch idempotency."""
 
     def write(df: DataFrame) -> None:
         w = (
