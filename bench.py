@@ -82,6 +82,10 @@ HEADLINE = [
     "text_decontaminate",
     "embedding_kmeans_assign",
     "sim_ivf_kmeans_topk",
+    # round-7 additions
+    "events_trending_topk",
+    "corpus_top_bigrams",
+    "cdc_apply_batch_merge",
 ]
 
 
@@ -178,7 +182,9 @@ def main() -> None:
             "bucketed..asof_join_nearest_events); round 6 added 5 "
             "(dedup_minhash_estimate, multimodal_decode_stats, "
             "text_decontaminate, embedding_kmeans_assign, "
-            "sim_ivf_kmeans_topk) — "
+            "sim_ivf_kmeans_topk); round 7 added 3 "
+            "(events_trending_topk, corpus_top_bigrams, "
+            "cdc_apply_batch_merge) — "
             "compare totals across rounds over shared keys only. "
             "since round 6, "
             "per-query times are medians of `repeats` interleaved "

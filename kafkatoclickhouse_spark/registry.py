@@ -43,6 +43,7 @@ def load_all() -> None:
     from kafkatoclickhouse_spark.operators import (  # noqa: F401
         advanced as _advanced,
         asof as _asof,
+        cdc as _cdc,
         decontam as _decontam,
         dedup as _dedup,
         event_windows as _event_windows,

@@ -211,6 +211,42 @@ def apply_upserts(
     merged.write.mode("overwrite").parquet(dst_path)
 
 
+def cdc_merge_plan(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: tuple[str, ...],
+    version_col: str,
+    deleted_col: str,
+) -> DataFrame:
+    """The CDC merge as a pure DataFrame plan (shared by
+    :func:`apply_cdc_batch` and the registered/benchable
+    ``cdc_apply_batch_merge`` query): newest version per key wins,
+    tombstone beats upsert at equal version, whole-row hash breaks
+    the remaining ties — deterministic and batching-independent (see
+    :func:`apply_cdc_batch`). One key-hash exchange."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    chg = changes.withColumn(
+        deleted_col, F.coalesce(F.col(deleted_col), F.lit(False))
+    )
+    if deleted_col not in base.columns:
+        base = base.withColumn(deleted_col, F.lit(False))
+    all_cols = chg.columns
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(),
+        F.col(deleted_col).desc(),
+        F.xxhash64(F.struct(*all_cols)).desc(),
+    )
+    return (
+        base.select(*all_cols)
+        .unionByName(chg.select(*all_cols))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def apply_cdc_batch(
     spark: SparkSession,
     base_path: str,
@@ -249,33 +285,18 @@ def apply_cdc_batch(
     what the base already holds, so the hash tie is between equal
     payloads and converges either way. One key-hash exchange, as
     before."""
-    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
-    chg = changes.withColumn("_src", F.lit(1)).withColumn(
-        deleted_col,
-        F.coalesce(F.col(deleted_col), F.lit(False)),
+    chg = changes.withColumn(
+        deleted_col, F.coalesce(F.col(deleted_col), F.lit(False))
     )
     try:
         base = spark.read.parquet(base_path)
     except AnalysisException:
-        base = spark.createDataFrame([], chg.drop("_src").schema)
-    if deleted_col not in base.columns:
-        base = base.withColumn(deleted_col, F.lit(False))
-    base = base.withColumn("_src", F.lit(0))
-    all_cols = [c for c in chg.columns if c != "_src"]
-    w = W.partitionBy(*key_cols).orderBy(
-        F.col(version_col).desc(),
-        F.col(deleted_col).desc(),
-        F.xxhash64(F.struct(*all_cols)).desc(),
-    )
-    merged = (
-        base.select(*all_cols, "_src")
-        .unionByName(chg.select(*all_cols, "_src"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src")
+        base = spark.createDataFrame([], chg.schema)
+    merged = cdc_merge_plan(
+        base, chg, key_cols, version_col, deleted_col
     )
     merged.write.mode("overwrite").parquet(dst_path)
 
@@ -296,14 +317,14 @@ def read_cdc_table(
 ZORDER_BITS = 16
 
 
-def zorder_value(a, b):
-    """Interleave the low ``ZORDER_BITS`` bits of two non-negative
-    int columns into one Morton (Z-order) key — pure bit expressions,
+def zorder_value(a, b, bits: int = ZORDER_BITS):
+    """Interleave the low ``bits`` bits of two non-negative int
+    columns into one Morton (Z-order) key — pure bit expressions,
     whole-stage codegen, no UDF."""
     from pyspark.sql import functions as F
 
     z = F.lit(0).cast("long")
-    for i in range(ZORDER_BITS):
+    for i in range(bits):
         z = (
             z
             + F.shiftleft(
@@ -324,6 +345,7 @@ def write_zorder_clustered(
     col_a: str,
     col_b: str,
     n_files: int,
+    quantile_buckets: int = 0,
 ) -> None:
     """Write parquet Z-order-clustered on TWO columns — the
     multi-dimensional generalization of ``write_range_clustered``
@@ -338,43 +360,76 @@ def write_zorder_clustered(
     min/max pair is ONE tiny aggregate collected as four scalars
     (the same K-scalars driver sync k-means uses), and the bucket +
     Morton computation is then pure map-side: no global window, no
-    single-partition sort, nothing that chokes at 100 TB. (Heavy
-    value skew concentrates bucket ids and costs skipping
-    selectivity, not correctness; rank-based bucketing would fix
-    that at the price of a full sort per dimension — the trade is
-    documented, not hidden.)
+    single-partition sort, nothing that chokes at 100 TB.
+
+    Heavy value skew concentrates equi-width bucket ids and costs
+    skipping selectivity (the write-path scale curve measured 0%
+    value-side pruning on the exponential ``events.value`` at 8
+    files). ``quantile_buckets = B`` (power of two, e.g. 64) fixes
+    it WITHOUT the full per-dimension sort rank-bucketing needs:
+    one ``approx_percentile`` agg returns B-1 boundaries per
+    dimension as driver scalars, and each row's bucket is a
+    searchsorted over that broadcast literal array
+    (``size(filter(boundaries, b -> b <= x))`` — a higher-order
+    function, vectorized JVM-side, O(B) per row). Equal mass per
+    bucket regardless of distribution; same single range exchange.
 
     Cost at write time: one scalar agg + one range exchange on the
     Morton key — amortized over every subsequent selective read,
     the same trade Delta/Iceberg make."""
     from pyspark.sql import functions as F
 
-    buckets = 1 << ZORDER_BITS
-    lo_a, hi_a, lo_b, hi_b = df.agg(
-        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
-    ).collect()[0]
-    if lo_a is None or lo_b is None:
-        # empty input: write the empty table like the plain writers
-        # instead of float(None)-crashing in the bucket math.
-        df.write.mode("overwrite").parquet(path)
-        return
+    if quantile_buckets:
+        bits = max(1, (quantile_buckets - 1).bit_length())
 
-    def bucket(col, lo, hi):
-        span = float(hi) - float(lo)
-        if span <= 0:
-            return F.lit(0).cast("long")
-        return F.least(
-            F.lit(buckets - 1),
-            F.floor(
-                (F.col(col).cast("double") - F.lit(float(lo)))
-                * F.lit(float(buckets))
-                / F.lit(span + 1e-9)
-            ).cast("long"),
-        )
+        def boundaries(col):
+            qs = [i / quantile_buckets for i in range(1, quantile_buckets)]
+            row = df.agg(
+                F.percentile_approx(
+                    F.col(col).cast("double"), qs, 10_000
+                )
+            ).collect()[0][0]
+            return row
 
-    ra = bucket(col_a, lo_a, hi_a)
-    rb = bucket(col_b, lo_b, hi_b)
-    zed = df.withColumn("_z", zorder_value(ra, rb))
+        bnd_a, bnd_b = boundaries(col_a), boundaries(col_b)
+        if bnd_a is None or bnd_b is None:
+            df.write.mode("overwrite").parquet(path)
+            return
+
+        def bucket(col, bnd):
+            arr = F.array(*[F.lit(float(v)) for v in bnd])
+            x = F.col(col).cast("double")
+            return F.size(F.filter(arr, lambda b: b <= x)).cast("long")
+
+        ra, rb = bucket(col_a, bnd_a), bucket(col_b, bnd_b)
+        zed = df.withColumn("_z", zorder_value(ra, rb, bits))
+    else:
+        buckets = 1 << ZORDER_BITS
+        lo_a, hi_a, lo_b, hi_b = df.agg(
+            F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+        ).collect()[0]
+        if lo_a is None or lo_b is None:
+            # empty input: write the empty table like the plain
+            # writers instead of float(None)-crashing in bucket math.
+            df.write.mode("overwrite").parquet(path)
+            return
+
+        def bucket(col, lo, hi):
+            span = float(hi) - float(lo)
+            if span <= 0:
+                return F.lit(0).cast("long")
+            return F.least(
+                F.lit(buckets - 1),
+                F.floor(
+                    (F.col(col).cast("double") - F.lit(float(lo)))
+                    * F.lit(float(buckets))
+                    / F.lit(span + 1e-9)
+                ).cast("long"),
+            )
+
+        ra = bucket(col_a, lo_a, hi_a)
+        rb = bucket(col_b, lo_b, hi_b)
+        zed = df.withColumn("_z", zorder_value(ra, rb))
     (
         zed.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
