@@ -202,6 +202,10 @@ def main() -> None:
     # also persist in-repo: the driver records only stdout, which has
     # truncated before (BENCH_r06 lost its first keys) — BENCH_LAST.json
     # gives the judge the full numbers regardless (VERDICT r6 #8).
+    # Suppressible (scalecurve runs bench at synthesized SFs and must
+    # not clobber the driver-context numbers).
+    if os.environ.get("SPARK_GRAFT_NO_BENCH_FILE"):
+        return
     try:
         with open(
             os.path.join(

@@ -295,6 +295,93 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_unigram_logperp",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM uni),
+    scored AS (
+      SELECT k.doc_id,
+             CAST(FLOOR(ln(CAST(u.c + 1 AS DOUBLE)
+                           / CAST(tot.t + tot.v AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS lnp_micro
+      FROM tok k JOIN uni u USING (token) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           FLOOR((-CAST(SUM(lnp_micro) AS DOUBLE) / 1000000.0
+                  / COUNT(*)) * 1000000 + 0.5) / 1000000
+             AS avg_nll_nats
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logperp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the CCNet-style
+    quality signal: train a unigram model on the corpus itself
+    (add-one smoothing over the vocabulary) and score each doc by
+    its average negative log-likelihood; boilerplate/keyword-stuffed
+    docs score low, gibberish scores high, and the distribution tail
+    is the filter threshold.
+
+    Determinism: per-token ln p is quantized to integer micro-nats
+    (floor(x·1e6+0.5), the engine-stable rule), so the per-doc SUM
+    is exact integer arithmetic — immune to accumulation order under
+    any partitioning — and only the final division re-enters
+    doubles, re-quantized once.
+
+    Shuffle shape at scale: one token exchange for the unigram
+    counts, the (often broadcastable, not assumed) vocab join back
+    to token occurrences, corpus totals as a broadcast scalar, one
+    doc_id exchange for the per-doc sum — linear, no all-pairs
+    anything. [EXT] — no reference counterpart (SURVEY §2.2)."""
+    from kafkatoclickhouse_spark.functions.exact import stable_round6
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    uni = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = uni.agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count("*").cast("long").alias("v"),
+    )
+    scored = (
+        tok.join(uni, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("c") + F.lit(1)).cast("double")
+                    / (F.col("t") + F.col("v")).cast("double")
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lnp_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_toks"),
+        stable_round6(
+            -F.sum("lnp_micro").cast("double")
+            / F.lit(1000000.0)
+            / F.count("*")
+        ).alias("avg_nll_nats"),
+    )
+
+
+@query(
     "corpus_clean_pipeline",
     oracle=_TEXT_QUALITY_BASE
     + """

@@ -945,3 +945,90 @@ def test_cdc_merge_writer_crash_recovery_states(spark, tmp_path):
         read_cdc_table(spark, table, "is_deleted").count()  # no error
         writer(batch, 1)  # checkpoint replay of the batch
         assert snap(table) == t1, f"{name}: replay did not converge"
+
+
+def test_sessionize_stream_tws_matches_batch_gaps(
+    spark, sf_dir, tmp_path
+):
+    """transformWithState sessionization (event-time TIMERS): a
+    ts-ordered multi-batch drain must emit exactly the batch
+    gaps-and-islands sessions whose close the watermark has proven
+    final — each exactly once, none early, none mangled by
+    cross-batch merging. The full typed-state API surface (ListState
+    + event-time timers + watermark), runnable since the r7 protobuf
+    shim."""
+    from kafkatoclickhouse_spark.streaming.sessions_tws import (
+        DEFAULT_GAP_MS,
+        sessionize_stream_tws,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .orderBy("ts")
+        .toPandas()
+    )
+    # expected sessions: the batch twin's rule (30-min gap) in pandas
+    expected = set()
+    max_ms = 0
+    for uid, grp in ev.groupby("user_id"):
+        ms = sorted(int(t.value // 1_000_000) for t in grp["ts"])
+        max_ms = max(max_ms, ms[-1])
+        start = last = ms[0]
+        n = 1
+        for t in ms[1:]:
+            if t - last > DEFAULT_GAP_MS:
+                expected.add((int(uid), start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        expected.add((int(uid), start, last, n))
+
+    # feed: 4 ts-ordered chunks → 4 micro-batches, watermark advances
+    # monotonically between them (no late drops, real timer flushes)
+    feed = tmp_path / "sess_feed"
+    feed.mkdir()
+    chunk = (len(ev) + 3) // 4
+    for i in range(4):
+        # ONE part-file per chunk — the default 32 partitions would
+        # split each chunk into unordered files and maxFilesPerTrigger
+        # would replay them out of ts order, breaking the watermark's
+        # monotone advance the test depends on
+        spark.createDataFrame(
+            ev.iloc[i * chunk : (i + 1) * chunk]
+        ).coalesce(1).write.parquet(str(feed / f"c{i}"))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed) + "/*")
+        )
+        out = run_stream(
+            sessionize_stream_tws(stream, watermark="10 minutes"),
+            "sess_tws",
+            tmp_path / "sess_ckpt",
+        )
+        got = {
+            (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"])
+            for r in out.collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", prev
+        )
+
+    assert got, "no sessions flushed"
+    assert got <= expected, f"phantom sessions: {sorted(got - expected)[:3]}"
+    # everything the final watermark (max ts − 10 min) proved closed
+    # must have been emitted
+    wm = max_ms - 10 * 60 * 1000
+    due = {s for s in expected if s[2] + DEFAULT_GAP_MS <= wm}
+    missing = due - got
+    assert not missing, f"due sessions not flushed: {sorted(missing)[:3]}"

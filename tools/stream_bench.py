@@ -12,6 +12,13 @@ Usage: python tools/stream_bench.py [sf_dir] [window_size]
 Prints ONE JSON line:
   {"metric": "stream_ingest_rows_per_sec", "value": N,
    "rows": R, "wall_sec": W, "window_size": K, "sf": ...}
+
+``--breakdown`` (VERDICT r6 #9) additionally drains ABLATED
+topologies so cost attributes to stages by differencing: source →
+sink alone; + JSON parse/validate; + the count window on the legacy
+applyInPandasWithState path; + the count window on the Spark-4
+transformWithState path (runnable since the r7 protobuf shim) —
+the direct measurement of whether a tws rewrite matters at 100×.
 """
 
 from __future__ import annotations
@@ -34,11 +41,81 @@ from kafkatoclickhouse_spark.streaming import job, sink, source  # noqa: E402
 from kafkatoclickhouse_spark.tables import load_table  # noqa: E402
 
 
+def breakdown(spark, feed: str, n_rows: int, work: str, window_size: int):
+    """rows/sec for each ablated topology (warm + timed drain each;
+    fresh checkpoint per drain). Differences between consecutive
+    stages attribute the cost."""
+    from kafkatoclickhouse_spark.streaming import count_window, pipeline
+
+    def variant(name, transform, extra_conf=None):
+        prev = {}
+        for k, v in (extra_conf or {}).items():
+            prev[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        try:
+            for rnd in ("warm", "timed"):
+                ckpt = os.path.join(work, f"bk_{name}_{rnd}_ckpt")
+                out = os.path.join(work, f"bk_{name}_{rnd}_out")
+                raw = source.file_raw_stream(spark, feed)
+                t0 = time.perf_counter()
+                q = (
+                    transform(raw)
+                    .writeStream.foreachBatch(
+                        sink.foreach_batch_writer(sink.parquet_writer(out))
+                    )
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(600)
+                wall = time.perf_counter() - t0
+        finally:
+            for k, v in prev.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+        return round(n_rows / wall, 1)
+
+    def parse_only(raw):
+        clean, _ = pipeline.streaming_ingest(raw)
+        return clean
+
+    def with_legacy_window(raw):
+        clean, _ = pipeline.streaming_ingest(raw)
+        return count_window.keyed_count_window(
+            clean, key="essCode", n=window_size, timeout_ms=None
+        )
+
+    def with_tws_window(raw):
+        clean, _ = pipeline.streaming_ingest(raw)
+        return count_window.keyed_count_window_tws(
+            clean, key="essCode", n=window_size
+        )
+
+    out = {
+        "source_sink": variant("src", lambda raw: raw),
+        "parse_validate": variant("parse", parse_only),
+        "window_legacy": variant("legacy", with_legacy_window),
+    }
+    try:
+        out["window_tws"] = variant(
+            "tws",
+            with_tws_window,
+            extra_conf={
+                "spark.sql.streaming.stateStore.providerClass": (
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider"
+                )
+            },
+        )
+    except Exception as exc:  # noqa: BLE001 — protobuf/env-gated
+        out["window_tws"] = f"unavailable: {type(exc).__name__}"
+    return out
+
+
 def main() -> None:
-    sf_dir = (
-        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    )
-    window_size = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    window_size = int(args[1]) if len(args) > 1 else 20
     sf = float(
         os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1
     )
@@ -73,20 +150,21 @@ def main() -> None:
             q.awaitTermination(600)
             wall = time.perf_counter() - t0
         landed = spark.read.parquet(out_dir).count()
-        print(
-            json.dumps(
-                {
-                    "metric": "stream_ingest_rows_per_sec",
-                    "value": round(n_rows / wall, 1),
-                    "unit": "rows/sec",
-                    "rows": n_rows,
-                    "landed_rows": landed,
-                    "wall_sec": round(wall, 3),
-                    "window_size": window_size,
-                    "sf": sf,
-                }
+        payload = {
+            "metric": "stream_ingest_rows_per_sec",
+            "value": round(n_rows / wall, 1),
+            "unit": "rows/sec",
+            "rows": n_rows,
+            "landed_rows": landed,
+            "wall_sec": round(wall, 3),
+            "window_size": window_size,
+            "sf": sf,
+        }
+        if "--breakdown" in sys.argv:
+            payload["breakdown_rows_per_sec"] = breakdown(
+                spark, feed, n_rows, work, window_size
             )
-        )
+        print(json.dumps(payload))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
