@@ -957,6 +957,10 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+    # the unpartitioned window runs AFTER TakeOrderedAndProject has
+    # reduced the input to NGRAM_TOP_K rows — Spark's single-partition
+    # WindowExec warning fires, but over k rows, not the corpus; the
+    # heavy lifting (global top-k) never globally sorts.
     w = W.orderBy(F.desc("n_occurrences"), "bigram")
     return (
         agg.orderBy(F.desc("n_occurrences"), "bigram")

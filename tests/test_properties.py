@@ -576,3 +576,52 @@ def test_top_bigrams_survive_short_documents(spark, tmp_path):
     rows = corpus_top_bigrams(spark, str(d)).collect()
     got = {(r["bigram"], r["n_occurrences"], r["n_docs"]) for r in rows}
     assert got == {("two words", 2, 2), ("words here", 2, 2)}
+
+
+def test_session_merge_kernel_equals_sorted_split():
+    """The tws sessionizer's incremental merge kernel must compute,
+    for ANY event arrival order, exactly the sessions the canonical
+    sorted gaps-and-islands split produces — including events that
+    bridge two previously-separate pending sessions (the case plain
+    last-event tracking gets wrong). Pure-Python property test over
+    the kernel (the Spark-side smoke covers the streaming plumbing)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafkatoclickhouse_spark.streaming.sessions_tws import _merge
+
+    GAP = 100
+
+    def sorted_split(ts: list[int]) -> set[tuple[int, int, int]]:
+        out = set()
+        ts = sorted(ts)
+        start = last = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - last > GAP:
+                out.add((start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        out.add((start, last, n))
+        return out
+
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2000),
+            min_size=1,
+            max_size=60,
+        ),
+        st.randoms(),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(ts, rng):
+        arrival = ts[:]
+        rng.shuffle(arrival)
+        pending: list[list[int]] = []
+        for t in arrival:
+            _merge(pending, t, GAP)
+        got = {(s[0], s[1], s[2]) for s in pending}
+        assert got == sorted_split(ts)
+
+    check()
