@@ -328,3 +328,70 @@ def asof_join_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest_id.alias("nearest_view_id"),
         nearest_delta.alias("nearest_delta_us"),
     )
+
+
+@query(
+    "asof_join_tolerance_events",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT event_id AS view_event_id, user_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.value,
+           CASE WHEN epoch_us(p.ts) - epoch_us(v.view_ts)
+                     <= 7200000000 THEN v.view_event_id END
+             AS asof_view_event_id,
+           CASE WHEN epoch_us(p.ts) - epoch_us(v.view_ts)
+                     <= 7200000000
+                THEN epoch_us(p.ts) - epoch_us(v.view_ts) END
+             AS asof_delta_us
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    """,
+)
+def asof_join_tolerance_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backward as-of join with a TOLERANCE (pandas
+    ``merge_asof(tolerance=...)`` semantics): the most recent view at
+    or before each purchase counts only if it happened within 2
+    hours — staler matches become NULL, because "the user viewed
+    this last Tuesday" is not attribution. Same single union-tag
+    window pass as :func:`asof_join` (the reference ts rides along
+    as a payload column); the tolerance is a post-window map, so the
+    plan cost is identical to the untoleranced join. Deltas in exact
+    integer microseconds."""
+    tol_us = 2 * 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+        "user_id",
+        "ts",
+    )
+    joined = asof_join(
+        probe=purchases,
+        reference=views,
+        key="user_id",
+        ts="ts",
+        payload_cols=["view_event_id", "view_ts"],
+    )
+    delta = micros("ts") - micros("asof_view_ts")
+    in_tol = delta <= F.lit(tol_us)
+    return joined.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(in_tol, F.col("asof_view_event_id")).alias(
+            "asof_view_event_id"
+        ),
+        F.when(in_tol, delta).alias("asof_delta_us"),
+    )

@@ -541,3 +541,64 @@ def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT date_trunc('hour', ts) AS bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY date_trunc('hour', ts)) AS cnt
+      FROM events
+    )
+    SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           MAX(CASE WHEN rn = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn = cnt THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM numbered GROUP BY 1
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open-high-low-close) bars over the event stream —
+    the candlestick rollup time-series stores ship as a built-in
+    (TimescaleDB's ``first``/``last`` aggregates; here [EXT], no
+    reference counterpart). Open/close are the values of the
+    chronologically first/last event in the bucket with (ts,
+    event_id) as the total order, so ties cannot flap across engines
+    or partitionings.
+
+    Plan: ONE exchange on the hour bucket serves the row-numbering
+    window, the bucket-count window (same sort, Catalyst shares it)
+    and the final aggregate; open/close fall out as conditional
+    aggregates instead of a second descending window or an arg-min
+    shuffle. Linear, bucket-parallel — at 100 TB the bucket key is
+    the natural partition."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    w_rn = W.partitionBy(bucket).orderBy("ts", "event_id")
+    w_cnt = W.partitionBy(bucket)
+    numbered = ev.select(
+        bucket.alias("bucket"),
+        "value",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count("*").over(w_cnt).alias("cnt"),
+    )
+    return numbered.groupBy(
+        F.date_format("bucket", _FMT).alias("bucket")
+    ).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(
+            F.when(F.col("rn") == F.col("cnt"), F.col("value"))
+        ).alias("close"),
+        F.count("*").alias("n_events"),
+        dsum("value", "total_value"),
+    )
