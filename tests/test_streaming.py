@@ -1032,3 +1032,65 @@ def test_sessionize_stream_tws_matches_batch_gaps(
     due = {s for s in expected if s[2] + DEFAULT_GAP_MS <= wm}
     missing = due - got
     assert not missing, f"due sessions not flushed: {sorted(missing)[:3]}"
+
+
+def test_type_counts_tws_running_totals(spark, sf_dir, tmp_path):
+    """MapState running counters (the third typed-state shape, after
+    ValueState and ListState+timers): over a multi-batch drain the
+    max-seq snapshot per (user, type) must equal the batch
+    groupBy count, totals must be monotone in seq, and every
+    batch's rows share one per-key seq."""
+    from kafkatoclickhouse_spark.streaming.type_counts_tws import (
+        keyed_type_counts_tws,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    feed = tmp_path / "tc_feed"
+    feed.mkdir()
+    pdf = ev.toPandas()
+    chunk = (len(pdf) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            pdf.iloc[i * chunk : (i + 1) * chunk]
+        ).coalesce(1).write.parquet(str(feed / f"c{i}"))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed) + "/*")
+        )
+        out = run_stream(
+            keyed_type_counts_tws(stream), "tc_tws", tmp_path / "tc_ckpt"
+        ).collect()
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", prev
+        )
+
+    assert out
+    latest: dict[tuple, tuple] = {}
+    series: dict[tuple, list] = {}
+    for r in out:
+        k = (r["user_id"], r["event_type"])
+        series.setdefault(k, []).append((r["seq"], r["n_total"]))
+        if k not in latest or r["seq"] > latest[k][0]:
+            latest[k] = (r["seq"], r["n_total"])
+    for k, pts in series.items():
+        pts.sort()
+        totals = [t for _, t in pts]
+        assert totals == sorted(totals), f"non-monotone totals {k}"
+    want = {
+        (r["user_id"], r["event_type"]): r["count"]
+        for r in ev.groupBy("user_id", "event_type").count().collect()
+    }
+    got = {k: t for k, (_, t) in latest.items()}
+    assert got == want
