@@ -86,6 +86,7 @@ HEADLINE = [
     "events_trending_topk",
     "corpus_top_bigrams",
     "cdc_apply_batch_merge",
+    "sim_pq_adc_topk",
 ]
 
 
@@ -182,9 +183,9 @@ def main() -> None:
             "bucketed..asof_join_nearest_events); round 6 added 5 "
             "(dedup_minhash_estimate, multimodal_decode_stats, "
             "text_decontaminate, embedding_kmeans_assign, "
-            "sim_ivf_kmeans_topk); round 7 added 3 "
+            "sim_ivf_kmeans_topk); round 7 added 4 "
             "(events_trending_topk, corpus_top_bigrams, "
-            "cdc_apply_batch_merge) — "
+            "cdc_apply_batch_merge, sim_pq_adc_topk) — "
             "compare totals across rounds over shared keys only. "
             "since round 6, "
             "per-query times are medians of `repeats` interleaved "

@@ -133,27 +133,34 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _train(
-    spark: SparkSession, sf_dir: str
+def train_on(
+    e: DataFrame, k: int = KM_K, iters: int = KM_ITERS
 ) -> list[tuple[int, list[int], int]]:
-    """Run the Lloyd loop; return the final (cid, cq, n_vectors)
-    rows. The per-round driver sync is a ``collect()`` of K·DIM int64
-    scalars — kilobytes, the canonical distributed-Lloyd round
-    barrier (MLlib's KMeans does exactly this) and NOT a data-path
-    collect: vectors never leave the executors. Collecting also
-    truncates lineage between rounds, so round N's plan doesn't
-    re-nest rounds 1..N-1 (the iterative-DataFrame trap)."""
-    e = _quantized(spark, sf_dir)
-    seeds = e.orderBy("vec_id").limit(KM_K).collect()
+    """Run the Lloyd loop over any (vec_id, vq) frame; return the
+    final (cid, cq, n_vectors) rows. The per-round driver sync is a
+    ``collect()`` of K·DIM int64 scalars — kilobytes, the canonical
+    distributed-Lloyd round barrier (MLlib's KMeans does exactly
+    this) and NOT a data-path collect: vectors never leave the
+    executors. Collecting also truncates lineage between rounds, so
+    round N's plan doesn't re-nest rounds 1..N-1 (the
+    iterative-DataFrame trap). Shared by the full-space queries here
+    and the per-subspace PQ codebooks (operators/pq.py)."""
+    seeds = e.orderBy("vec_id").limit(k).collect()
     cents = [(i, list(r["vq"])) for i, r in enumerate(seeds)]
     rows: list[tuple[int, list[int], int]] = []
-    for _ in range(KM_ITERS):
+    for _ in range(iters):
         rows = sorted(
             (int(r["cid"]), list(r["cq"]), int(r["n_vectors"]))
             for r in _update(_assign(e, cents)).collect()
         )
         cents = [(cid, cq) for cid, cq, _ in rows]
     return rows
+
+
+def _train(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[int], int]]:
+    return train_on(_quantized(spark, sf_dir))
 
 
 # --- DuckDB oracle: replay the identical trajectory -----------------
@@ -164,40 +171,63 @@ _SQL_DIST = (
 )
 
 
-def _sql_rounds() -> str:
+def sql_lloyd_ctes(
+    e_name: str, sfx: str, dim: int, k: int, iters: int
+) -> str:
+    """The Lloyd trajectory as suffixable DuckDB CTEs over an
+    existing vector CTE ``e_name`` with (vec_id, vq): emits
+    ``rng{sfx}``, ``c{sfx}0`` … ``c{sfx}{iters}`` plus the per-round
+    ``d/a/u`` tables — the same exact-integer-grid replay the
+    full-space oracle uses, parametrized so product-quantization
+    subspaces (operators/pq.py) train their codebooks with the
+    identical machinery."""
+    dist = (
+        "list_aggregate(list_transform(rs, i -> "
+        "(e.vq[i + 1] - c.cq[i + 1]) * (e.vq[i + 1] - c.cq[i + 1]))"
+        ", 'sum')"
+    )
     ctes = [
         f"""
-    rng AS (SELECT list(CAST(i AS INTEGER)) AS rs
-            FROM (SELECT unnest(range({_DIM})) AS i)),
+    rng{sfx} AS (SELECT list(CAST(i AS INTEGER)) AS rs
+            FROM (SELECT unnest(range({dim})) AS i)),
+    c{sfx}0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                       AS INTEGER) AS cid, vq AS cq
+           FROM (SELECT * FROM {e_name} ORDER BY vec_id LIMIT {k}))
+    """
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(f"""
+    d{sfx}{it} AS (SELECT e.vec_id, e.vq, c.cid, {dist} AS d
+              FROM {e_name} e, c{sfx}{it - 1} c, rng{sfx}),
+    a{sfx}{it} AS (SELECT vec_id, vq, cid
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id ORDER BY d, cid) AS rn
+                    FROM d{sfx}{it})
+              WHERE rn = 1),
+    u{sfx}{it} AS (SELECT cid, r AS pos,
+                     CAST(FLOOR(CAST(SUM(vq[r + 1]) AS DOUBLE)
+                                / COUNT(*)) AS BIGINT) AS c,
+                     COUNT(*) AS n
+              FROM a{sfx}{it}, (SELECT unnest(range({dim})) AS r)
+              GROUP BY cid, r),
+    c{sfx}{it} AS (SELECT cid, list(c ORDER BY pos) AS cq,
+                          MAX(n) AS n_vectors
+              FROM u{sfx}{it} GROUP BY cid)
+    """)
+    return ",".join(ctes)
+
+
+SQL_E_CTE = f"""
     e AS (SELECT vec_id,
                  list_transform(CAST(embedding AS DOUBLE[]),
                                 x -> CAST(FLOOR(x * {int(_GRID)})
                                           AS BIGINT)) AS vq
-          FROM embeddings),
-    c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
-                       AS INTEGER) AS cid, vq AS cq
-           FROM (SELECT * FROM e ORDER BY vec_id LIMIT {KM_K}))
-    """
-    ]
-    for it in range(1, KM_ITERS + 1):
-        ctes.append(f"""
-    d{it} AS (SELECT e.vec_id, e.vq, c.cid, {_SQL_DIST} AS d
-              FROM e, c{it - 1} c, rng),
-    a{it} AS (SELECT vec_id, vq, cid
-              FROM (SELECT *, ROW_NUMBER() OVER (
-                      PARTITION BY vec_id ORDER BY d, cid) AS rn
-                    FROM d{it})
-              WHERE rn = 1),
-    u{it} AS (SELECT cid, r AS pos,
-                     CAST(FLOOR(CAST(SUM(vq[r + 1]) AS DOUBLE)
-                                / COUNT(*)) AS BIGINT) AS c,
-                     COUNT(*) AS n
-              FROM a{it}, (SELECT unnest(range({_DIM})) AS r)
-              GROUP BY cid, r),
-    c{it} AS (SELECT cid, list(c ORDER BY pos) AS cq, MAX(n) AS n_vectors
-              FROM u{it} GROUP BY cid)
-    """)
-    return ",".join(ctes)
+          FROM embeddings)
+"""
+
+
+def _sql_rounds() -> str:
+    return SQL_E_CTE + "," + sql_lloyd_ctes("e", "", _DIM, KM_K, KM_ITERS)
 
 
 @query(

@@ -50,6 +50,7 @@ def load_all() -> None:
         graph as _graph,
         kmeans as _kmeans,
         multimodal as _multimodal,
+        pq as _pq,
         queries as _queries,
         similarity as _similarity,
         text as _text,
