@@ -87,6 +87,7 @@ HEADLINE = [
     "corpus_top_bigrams",
     "cdc_apply_batch_merge",
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
 ]
 
 
@@ -183,9 +184,9 @@ def main() -> None:
             "bucketed..asof_join_nearest_events); round 6 added 5 "
             "(dedup_minhash_estimate, multimodal_decode_stats, "
             "text_decontaminate, embedding_kmeans_assign, "
-            "sim_ivf_kmeans_topk); round 7 added 4 "
+            "sim_ivf_kmeans_topk); round 7 added 5 "
             "(events_trending_topk, corpus_top_bigrams, "
-            "cdc_apply_batch_merge, sim_pq_adc_topk) — "
+            "cdc_apply_batch_merge, sim_pq_adc_topk, sim_ivfpq_topk) — "
             "compare totals across rounds over shared keys only. "
             "since round 6, "
             "per-query times are medians of `repeats` interleaved "

@@ -269,3 +269,153 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").alias("rank"),
         )
     )
+
+
+IVFPQ_NPROBE = 3
+
+
+def _sql_ivfpq() -> str:
+    coarse = KM.sql_lloyd_ctes("e", "", KM._DIM, KM.KM_K, KM.KM_ITERS)
+    coarse_dist = (
+        "list_aggregate(list_transform(rs, i -> "
+        "(e.vq[i + 1] - c.cq[i + 1]) * (e.vq[i + 1] - c.cq[i + 1]))"
+        ", 'sum')"
+    )
+    adc_terms = " + ".join(
+        "list_aggregate(list_transform("
+        f"range(1, {PQ_SUBDIM} + 1), "
+        f"i -> (q.qvq[{m} * {PQ_SUBDIM} + i] - cb{m}.cq[i])"
+        f" * (q.qvq[{m} * {PQ_SUBDIM} + i] - cb{m}.cq[i]))"
+        ", 'sum')"
+        for m in range(PQ_M)
+    )
+    cb_joins = " ".join(
+        f"JOIN cs{m}{PQ_ITERS} cb{m} ON cb{m}.cid = n.code{m}"
+        for m in range(PQ_M)
+    )
+    sub_slices = ",".join(
+        f"""
+    es{m} AS (SELECT vec_id, vq[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]
+                     AS vq FROM e)
+    """
+        + ","
+        + KM.sql_lloyd_ctes(f"es{m}", f"s{m}", PQ_SUBDIM, PQ_K, PQ_ITERS)
+        for m in range(PQ_M)
+    )
+    return f"""
+    WITH {KM.SQL_E_CTE},
+    {coarse},
+    {sub_slices},
+    {_sql_codes("enc")},
+    cd AS (SELECT e.vec_id, c.cid, {coarse_dist} AS d
+           FROM e, c{KM.KM_ITERS} c, rng),
+    acell AS (SELECT vec_id, cid AS cell
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id ORDER BY d, cid) AS rn
+                    FROM cd)
+              WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, vq AS qvq FROM e
+          WHERE vec_id % {ADC_QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {ADC_QUERY_LIMIT}),
+    probes AS (SELECT query_id, cell
+               FROM (SELECT c.vec_id AS query_id, c.cid AS cell,
+                            ROW_NUMBER() OVER (
+                              PARTITION BY c.vec_id
+                              ORDER BY c.d, c.cid) AS rn
+                     FROM cd c JOIN q ON q.query_id = c.vec_id)
+               WHERE rn <= {IVFPQ_NPROBE}),
+    adc AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id, {adc_terms} AS d
+      FROM probes p
+      JOIN q ON q.query_id = p.query_id
+      JOIN acell ac ON ac.cell = p.cell
+      JOIN enc n ON n.vec_id = ac.vec_id AND n.vec_id <> q.query_id
+      {cb_joins}
+    )
+    SELECT query_id, neighbor_id,
+           CAST(d AS BIGINT) AS adc_dist_sq_micro,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+          FROM adc)
+    WHERE rn <= {ADC_TOP_K}
+    """
+
+
+@query("sim_ivfpq_topk", oracle=_sql_ivfpq())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition FAISS ships for billion-scale ANN
+    (Jégou 2011): the full-space k-means coarse quantizer prunes the
+    corpus to each query's {IVFPQ_NPROBE} best cells, and inside
+    them candidates are scored from their PQ codes with the query's
+    ADC lookup tables. Both halves are the already-oracled pieces
+    (`sim_ivf_kmeans_topk`'s cell structure; `sim_pq_adc_topk`'s
+    compressed scoring) and remain integer-exact, so even the
+    composed candidate sets replay bit-for-bit.
+
+    Scale: the cell equi-join prunes ~(1 - nprobe/K) of the codes
+    table, and what remains is scanned as M bytes + M lookups per
+    candidate — no vector column is touched at retrieval time. This
+    is the 100 TB retrieval plan; everything else in the similarity
+    family is either its ground truth or one of its halves."""
+    coarse = [
+        (cid, cq) for cid, cq, _ in KM._train(spark, sf_dir)
+    ]
+    enc = _encoded(spark, sf_dir).withColumn(
+        "cell", F.expr(KM._ranked_cells("vq", coarse) + "[0].cid")
+    )
+    books = _codebooks(spark, sf_dir)
+    luts = []
+    for m, book in enumerate(books):
+        sub = f"slice(vq, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+        luts.append(
+            F.expr(
+                f"map_from_entries(transform({KM._cent_literal(book)}, "
+                f"s -> struct(s.cid, aggregate(zip_with({sub}, s.v, "
+                "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b))))"
+            ).alias(f"lut{m}")
+        )
+    queries = (
+        _quantized(spark, sf_dir)
+        .filter((F.col("vec_id") % ADC_QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(ADC_QUERY_LIMIT)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.expr(
+                    f"slice({KM._ranked_cells('vq', coarse)}, 1, "
+                    f"{IVFPQ_NPROBE}).cid"
+                )
+            ).alias("qcell"),
+            *luts,
+        )
+    )
+    scored = enc.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    d = sum(
+        (
+            F.element_at(F.col(f"lut{m}"), F.col(f"code{m}"))
+            for m in range(1, PQ_M)
+        ),
+        F.element_at(F.col("lut0"), F.col("code0")),
+    )
+    w = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            d.alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("d").alias("adc_dist_sq_micro"),
+            F.col("rn").alias("rank"),
+        )
+    )
