@@ -168,8 +168,8 @@ def _sql_codes(alias: str) -> str:
     """,
 )
 def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each vector's PQ code word (M={PQ_M} subspaces × K={PQ_K}
-    codewords — one byte each in storage) plus the exact integer
+    """Each vector's PQ code word (one code per subspace — M=4
+    subspaces x K=8 codewords, one byte each in storage) plus the exact integer
     reconstruction distance, the quantization-quality number an
     index build monitors. Training + encoding replayed bit-for-bit
     by the oracle."""
@@ -346,7 +346,7 @@ def _sql_ivfpq() -> str:
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the composition FAISS ships for billion-scale ANN
     (Jégou 2011): the full-space k-means coarse quantizer prunes the
-    corpus to each query's {IVFPQ_NPROBE} best cells, and inside
+    corpus to each query's NPROBE best cells, and inside
     them candidates are scored from their PQ codes with the query's
     ADC lookup tables. Both halves are the already-oracled pieces
     (`sim_ivf_kmeans_topk`'s cell structure; `sim_pq_adc_topk`'s
