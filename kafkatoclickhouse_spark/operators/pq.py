@@ -27,6 +27,16 @@ of Q×M×K lookup ints against a map-side scan of the codes table —
 the compressed linear scan PQ exists to enable, and the piece an IVF
 cell-join would prune further (compose with ``sim_ivf_kmeans_topk``'s
 cell assignment exactly as FAISS's IVFPQ does).
+
+Recall caveat, measured: the fixture embeddings are iid-random —
+PQ's worst case, since per-subspace codebooks exploit correlation
+structure real embedding manifolds have and random vectors lack.
+Recall@10 vs exact L2 at sf0.001: M=4/K=8 → 0.13, K=16 → 0.23,
+K=32 → 0.27 (diminishing). The configuration here keeps the cheap
+64× setting and the recall test gates a sanity floor; production
+tuning raises M/K (FAISS default M=8..64, K=256) — a compression/
+recall dial, not a correctness fix (the oracle proves the computed
+result exact either way).
 """
 
 from __future__ import annotations
