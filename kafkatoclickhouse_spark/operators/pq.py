@@ -71,18 +71,37 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BOOK_CACHE: dict[str, list] = {}
+_BOOK_CACHE: dict[tuple, list] = {}
+
+
+def _table_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
+    """(path, mtime_ns, size) of the fixture file — the memo key
+    component that invalidates a trained artifact when the data at
+    the same path is regenerated within one process (a plain
+    per-path memo would serve stale codebooks while the oracle
+    retrains from the new file)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, 0, 0)
 
 
 def _codebooks(
     spark: SparkSession, sf_dir: str
 ) -> list[list[tuple[int, list[int]]]]:
     """One trained codebook per subspace: M × [(cid, centroid_vq)].
-    Memoized per fixture dir — training is deterministic in the
-    input, and encode + ADC both consume the same books (an index
-    build trains once and persists; the memo is that persistence)."""
-    if sf_dir in _BOOK_CACHE:
-        return _BOOK_CACHE[sf_dir]
+    Memoized per (fixture dir, file fingerprint) — training is
+    deterministic in the input, and encode + ADC both consume the
+    same books (an index build trains once and persists; the memo is
+    that persistence). The fingerprint in the key means regenerating
+    the fixture in-process retrains instead of serving stale books."""
+    key = _table_fingerprint(sf_dir)
+    if key in _BOOK_CACHE:
+        return _BOOK_CACHE[key]
     e = _quantized(spark, sf_dir)
     books = []
     for m in range(PQ_M):
@@ -92,7 +111,7 @@ def _codebooks(
         )
         rows = KM.train_on(sub, k=PQ_K, iters=PQ_ITERS)
         books.append([(cid, cq) for cid, cq, _ in rows])
-    _BOOK_CACHE[sf_dir] = books
+    _BOOK_CACHE[key] = books
     return books
 
 

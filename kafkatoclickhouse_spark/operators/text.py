@@ -337,6 +337,18 @@ def text_unigram_logperp(spark: SparkSession, sf_dir: str) -> DataFrame:
     any partitioning — and only the final division re-enters
     doubles, re-quantized once.
 
+    Known libm dependence (unlike the grid-exact integer paths in
+    kmeans/pq): ln itself is computed independently by DuckDB (libm)
+    and the JVM (StrictMath-backed ``Math.log``), so a 1-ULP
+    divergence landing EXACTLY on a .5 quantization boundary would
+    flip one lnp_micro and fail the hash gate. Both are
+    correctly-rounded-to-sub-ULP on the token-probability range and
+    the inputs (c+1)/(t+v) are low-entropy rationals, so the flake
+    probability is ~|tokens|·2^-52 per run — accepted and documented
+    rather than engineered away; a re-run distinguishes it from a
+    real regression (it is input-dependent, not partition-dependent,
+    so within one platform the result is stable).
+
     Shuffle shape at scale: one token exchange for the unigram
     counts, the (often broadcastable, not assumed) vocab join back
     to token occurrences, corpus totals as a broadcast scalar, one

@@ -27,12 +27,19 @@ from __future__ import annotations
 
 import os
 import sys
-import tempfile
 
 # Known pure-Python protobuf bundles, in preference order.
 _BUNDLE_CANDIDATES = (
     "/usr/lib/google-cloud-sdk/platform/google_appengine",
 )
+
+# Shim lives INSIDE this package's directory tree, not the shared
+# temp dir: a fixed path under world-writable /tmp would let another
+# local user pre-plant a malicious ``protobuf`` package at a location
+# we then import from (arbitrary code execution at import time). The
+# package dir is owned by whoever deployed this code — the same trust
+# root as the code itself.
+_SHIM_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_protoshim")
 
 
 def _importable() -> bool:
@@ -53,20 +60,24 @@ def ensure_protobuf() -> bool:
         src = os.path.join(base, "google", "protobuf")
         if not os.path.isdir(src):
             continue
-        shim = os.path.join(
-            tempfile.gettempdir(), "kc_spark_protoshim", "google"
-        )
+        shim = os.path.join(_SHIM_ROOT, "google")
         try:
-            os.makedirs(shim, exist_ok=True)
+            os.makedirs(shim, mode=0o700, exist_ok=True)
             link = os.path.join(shim, "protobuf")
-            if not os.path.lexists(link):
+            if os.path.lexists(link):
+                # Trust an existing link only if it points exactly at
+                # the bundle we would have created it for.
+                if (
+                    not os.path.islink(link)
+                    or os.readlink(link) != src
+                ):
+                    os.remove(link)
+                    os.symlink(src, link)
+            else:
                 os.symlink(src, link)
         except OSError:
             continue
         root = os.path.dirname(shim)
-        os.environ.setdefault(
-            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
-        )
         if root not in sys.path:
             sys.path.insert(0, root)
         parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
@@ -74,6 +85,16 @@ def ensure_protobuf() -> bool:
             os.environ["PYTHONPATH"] = os.pathsep.join(
                 [root] + [p for p in parts if p]
             )
+        # The version-check escape hatch must be in place before the
+        # import attempt (protobuf reads it at import), but must not
+        # linger process-wide if the bundle turns out unusable.
+        env_key = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+        prior = os.environ.get(env_key)
+        os.environ[env_key] = "true"
         if _importable():
             return True
+        if prior is None:
+            del os.environ[env_key]
+        else:
+            os.environ[env_key] = prior
     return False

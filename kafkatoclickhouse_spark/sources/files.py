@@ -380,6 +380,13 @@ def write_zorder_clustered(
     from pyspark.sql import functions as F
 
     if quantile_buckets:
+        if quantile_buckets < 2 or quantile_buckets & (quantile_buckets - 1):
+            raise ValueError(
+                "quantile_buckets must be a power of two >= 2, got "
+                f"{quantile_buckets}: 1 yields an empty percentile "
+                "list, and a non-power-of-two wastes interleave bits "
+                "and misaligns the two Morton dimensions"
+            )
         bits = max(1, (quantile_buckets - 1).bit_length())
 
         def boundaries(col):

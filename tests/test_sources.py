@@ -647,6 +647,32 @@ def test_zorder_quantile_buckets_handle_skew(spark, sf_dir, tmp_path):
     )
 
 
+def test_zorder_quantile_buckets_validated(spark, sf_dir, tmp_path):
+    """quantile_buckets=1 would build an empty percentile list and a
+    non-power-of-two silently wastes interleave bits — both must be
+    an explicit ValueError, not a latent crash/misalignment (r7
+    ADVICE)."""
+    import pytest
+
+    from kafkatoclickhouse_spark.sources.files import (
+        write_zorder_clustered,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    for bad in (1, 3, 48):
+        with pytest.raises(ValueError, match="power of two"):
+            write_zorder_clustered(
+                ev,
+                str(tmp_path / "ev_bad"),
+                "user_id",
+                "value",
+                n_files=4,
+                quantile_buckets=bad,
+            )
+
+
 def test_bmp_fixture_larger_dims_decode_roundtrip(spark, sf_dir):
     """Larger-image BMP fixture (VERDICT r6 #7): 97×64 exercises the
     stride-padding path (97·3 = 291 → padded 292), bottom-up row

@@ -73,6 +73,12 @@ def breakdown(spark, feed: str, n_rows: int, work: str, window_size: int):
             for k, v in prev.items():
                 if v is not None:
                     spark.conf.set(k, v)
+                else:
+                    # prior value None means the key was UNSET before
+                    # this variant; restore that, or the variant's
+                    # conf (e.g. the RocksDB provider) leaks into
+                    # every later variant / session user.
+                    spark.conf.unset(k)
         return round(n_rows / wall, 1)
 
     def parse_only(raw):
