@@ -88,6 +88,14 @@ HEADLINE = [
     "cdc_apply_batch_merge",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
+    # round-8 additions: the r7 orphans (VERDICT #4) + the refine
+    # tier and the persisted-index serve path (VERDICT #1, #2)
+    "events_ohlc_hourly",
+    "asof_join_tolerance_events",
+    "text_unigram_logperp",
+    "embedding_pq_encode",
+    "sim_pq_refine_topk",
+    "sim_ivfpq_serve_topk",
 ]
 
 
@@ -113,9 +121,33 @@ def main() -> None:
     from kafkatoclickhouse_spark.operators import decontam as decontam_mod
     from kafkatoclickhouse_spark.operators import dedup as dedup_mod
 
+    def _pq_index_build_forced(spark, sf_dir):
+        """Bench-only BUILD twin: full cold build (train both
+        quantizers + encode + persist) each round, against the timed
+        serve key — the build/serve split the index lifecycle
+        exists to show. The codebook memo is saved/restored so this
+        twin's forced retrain doesn't inflate the OTHER interleaved
+        PQ keys' steady-state timings."""
+        import tempfile
+
+        from kafkatoclickhouse_spark.operators import pq as pq_mod
+
+        saved = dict(pq_mod._BOOK_CACHE)
+        pq_mod._BOOK_CACHE.clear()
+        try:
+            path = tempfile.mkdtemp(prefix="pq_idx_bench_")
+            pq_mod.embedding_pq_index_build(
+                spark, sf_dir, path=path, force=True
+            )
+        finally:
+            pq_mod._BOOK_CACHE.clear()
+            pq_mod._BOOK_CACHE.update(saved)
+        return spark.range(1)
+
     extra_fns = {
         "dedup_minhash_lsh_xxhash": dedup_mod.dedup_minhash_lsh_fast,
         "text_decontaminate_xxhash": decontam_mod.text_decontaminate_fast,
+        "embedding_pq_index_build": _pq_index_build_forced,
     }
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
@@ -186,8 +218,17 @@ def main() -> None:
             "text_decontaminate, embedding_kmeans_assign, "
             "sim_ivf_kmeans_topk); round 7 added 5 "
             "(events_trending_topk, corpus_top_bigrams, "
-            "cdc_apply_batch_merge, sim_pq_adc_topk, sim_ivfpq_topk) — "
+            "cdc_apply_batch_merge, sim_pq_adc_topk, sim_ivfpq_topk); "
+            "round 8 added 6 (events_ohlc_hourly, "
+            "asof_join_tolerance_events, text_unigram_logperp, "
+            "embedding_pq_encode, sim_pq_refine_topk, "
+            "sim_ivfpq_serve_topk) — "
             "compare totals across rounds over shared keys only. "
+            "extras.embedding_pq_index_build is the forced COLD "
+            "index build (train+encode+persist); compare with "
+            "queries.sim_ivfpq_serve_topk for the build/serve split "
+            "and with queries.sim_ivfpq_topk for what per-query "
+            "retraining used to cost. "
             "since round 6, "
             "per-query times are medians of `repeats` interleaved "
             "timed rounds (stddev alongside); earlier rounds were "

@@ -1,0 +1,91 @@
+"""ANN index lifecycle — BUILD once, SERVE many (VERDICT r7 #2).
+
+The serve query must produce exactly the re-training query's results
+from the persisted artifacts WITHOUT training anything, the rebuild
+must be an idempotent no-op while the source fingerprint matches,
+and a stale fingerprint must force a rebuild instead of silently
+serving an index of different data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from kafkatoclickhouse_spark import registry
+from kafkatoclickhouse_spark.operators import kmeans as KM
+from kafkatoclickhouse_spark.operators import pq as PQ
+
+
+def _canon(rows):
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["adc_dist_sq_micro"], r["rank"])
+        for r in rows
+    )
+
+
+def test_pq_index_build_then_serve_without_retraining(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    expected = _canon(
+        registry.QUERIES["sim_ivfpq_topk"](spark, sf_dir).collect()
+    )
+    path = str(tmp_path / "idx")
+    built = PQ.embedding_pq_index_build(spark, sf_dir, path=path)
+    assert built == path and PQ.index_is_built(path)
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["fingerprint"] == list(PQ._table_fingerprint(sf_dir))
+
+    # codes artifact is the compressed corpus: M code columns + cell,
+    # NO vector column — the thing a 100 TB retrieval scans.
+    codes = spark.read.parquet(os.path.join(path, "codes.parquet"))
+    assert set(codes.columns) == {
+        "vec_id",
+        "cell",
+        *{f"code{m}" for m in range(PQ.PQ_M)},
+    }
+    n_vecs = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).count()
+    assert codes.count() == n_vecs
+
+    # idempotent: a second build with a matching fingerprint is a
+    # no-op (meta.json untouched).
+    t0 = os.path.getmtime(os.path.join(path, "meta.json"))
+    assert PQ.embedding_pq_index_build(spark, sf_dir, path=path) == path
+    assert os.path.getmtime(os.path.join(path, "meta.json")) == t0
+
+    # SERVE: poison every training entry point, clear the in-process
+    # codebook memo, point the serve query at the built artifacts —
+    # it must still return the re-training query's exact results.
+    def boom(*a, **k):
+        raise AssertionError("serve path retrained the index")
+
+    monkeypatch.setattr(KM, "train_on", boom)
+    monkeypatch.setattr(KM, "_train", boom)
+    monkeypatch.setattr(PQ, "default_index_dir", lambda s: path)
+    PQ._BOOK_CACHE.clear()
+    got = _canon(
+        registry.QUERIES["sim_ivfpq_serve_topk"](spark, sf_dir).collect()
+    )
+    assert got == expected
+
+
+def test_pq_index_stale_fingerprint_forces_rebuild(
+    spark, sf_dir, tmp_path
+):
+    path = str(tmp_path / "idx2")
+    PQ.embedding_pq_index_build(spark, sf_dir, path=path)
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["fingerprint"] = ["/somewhere/else.parquet", 0, 0]
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    t0 = os.path.getmtime(meta_path)
+    PQ.embedding_pq_index_build(spark, sf_dir, path=path)
+    with open(meta_path) as fh:
+        rebuilt = json.load(fh)
+    assert rebuilt["fingerprint"] == list(PQ._table_fingerprint(sf_dir))
+    assert os.path.getmtime(meta_path) >= t0
