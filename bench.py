@@ -130,10 +130,13 @@ def main() -> None:
         PQ keys' steady-state timings."""
         import tempfile
 
+        from kafkatoclickhouse_spark.operators import kmeans as km_mod
         from kafkatoclickhouse_spark.operators import pq as pq_mod
 
-        saved = dict(pq_mod._BOOK_CACHE)
+        saved_books = dict(pq_mod._BOOK_CACHE)
+        saved_train = dict(km_mod._TRAIN_CACHE)
         pq_mod._BOOK_CACHE.clear()
+        km_mod._TRAIN_CACHE.clear()
         try:
             path = tempfile.mkdtemp(prefix="pq_idx_bench_")
             pq_mod.embedding_pq_index_build(
@@ -141,7 +144,9 @@ def main() -> None:
             )
         finally:
             pq_mod._BOOK_CACHE.clear()
-            pq_mod._BOOK_CACHE.update(saved)
+            pq_mod._BOOK_CACHE.update(saved_books)
+            km_mod._TRAIN_CACHE.clear()
+            km_mod._TRAIN_CACHE.update(saved_train)
         return spark.range(1)
 
     extra_fns = {

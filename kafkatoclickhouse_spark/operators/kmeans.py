@@ -157,10 +157,26 @@ def train_on(
     return rows
 
 
+_TRAIN_CACHE: dict[tuple, list[tuple[int, list[int], int]]] = {}
+
+
 def _train(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[int, list[int], int]]:
-    return train_on(_quantized(spark, sf_dir))
+    """Full-space coarse quantizer for one fixture dir, memoized per
+    (path, mtime, size) fingerprint — training is deterministic in
+    the input (grid-exact Lloyd), so the trained rows ARE a
+    persistable artifact; the memo is the in-process half of the
+    train-once-serve-many lifecycle (`operators/pq.py`'s
+    ``embedding_pq_index_build`` is the durable half), and the
+    fingerprint key invalidates it if the fixture is regenerated
+    (r7 ADVICE on the codebook memo)."""
+    from kafkatoclickhouse_spark.tables import table_fingerprint
+
+    key = table_fingerprint(sf_dir, "embeddings")
+    if key not in _TRAIN_CACHE:
+        _TRAIN_CACHE[key] = train_on(_quantized(spark, sf_dir))
+    return _TRAIN_CACHE[key]
 
 
 # --- DuckDB oracle: replay the identical trajectory -----------------

@@ -79,19 +79,11 @@ _BOOK_CACHE: dict[tuple, list] = {}
 
 
 def _table_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
-    """(path, mtime_ns, size) of the fixture file — the memo key
-    component that invalidates a trained artifact when the data at
-    the same path is regenerated within one process (a plain
-    per-path memo would serve stale codebooks while the oracle
-    retrains from the new file)."""
-    import os
+    """See :func:`kafkatoclickhouse_spark.tables.table_fingerprint`
+    — the shared stale-artifact invalidation key."""
+    from kafkatoclickhouse_spark.tables import table_fingerprint
 
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        st = os.stat(path)
-        return (path, st.st_mtime_ns, st.st_size)
-    except OSError:
-        return (path, 0, 0)
+    return table_fingerprint(sf_dir, table)
 
 
 def _codebooks(

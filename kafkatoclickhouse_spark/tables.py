@@ -38,6 +38,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """(path, mtime_ns, size) of a fixture file — the memo-key
+    component trained-artifact caches (k-means centroids, PQ
+    codebooks, persisted ANN indexes) use so that regenerating the
+    data at the same path invalidates the artifact instead of
+    serving stale state (r7 ADVICE)."""
+    path = table_path(sf_dir, name)
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, 0, 0)
+
+
 # columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as raw
 # ns longs (spark.sql.legacy.parquet.nanosAsLong); converted here to
 # µs timestamps (floor division, same truncation DuckDB applies).
