@@ -18,6 +18,17 @@ Scale: state per key is ≤ N buffered rows (N≈20 in prod config,
 `test.properties:25`); keys shard across executors by hash — the
 same layout as the reference's keyBy, with RocksDB-backed state at
 cluster scale (session config, SURVEY §2.1 R9).
+
+Throughput shape (measured, BASELINE.md r8 attribution): the
+operator's wall time is the grouped-UDF PROTOCOL, not this code —
+an identity ``applyInPandas`` over the same keys costs the same,
+and the decomposition is key-shuffle + Arrow transfer + ~0.9 ms of
+per-key-per-batch pandas/UDF-call overhead; the state get/put
+pickle round-trip is unmeasurable beside it. Consequences: emit one
+frame per key-batch (``_annotate_many``), never per window; and at
+scale, throughput recovers with rows/key/batch (larger
+micro-batches) and with executor count (keys shard) — per-row cost
+is NOT constant, it is per-key-batch amortized.
 """
 
 from __future__ import annotations
@@ -57,6 +68,26 @@ def _annotate(
     return out
 
 
+def _annotate_many(
+    pdf: pd.DataFrame, n: int, first_window: int, reason: str
+) -> pd.DataFrame:
+    """Annotate a run of CONSECUTIVE windows in one vectorized pass:
+    row i belongs to window ``first_window + i // n`` at position
+    ``i % n``. Emitting one frame per key-batch instead of one per
+    fired window removes the per-window ``DataFrame.copy`` loop that
+    dominated the legacy path's wall time (measured: ~4.3k window
+    copies per 100k-row drain; see tools/stream_bench.py
+    --breakdown)."""
+    import numpy as np
+
+    out = pdf.copy()
+    idx = np.arange(len(out), dtype=np.int64)
+    out["window_id"] = first_window + idx // n
+    out["window_pos"] = (idx % n).astype(np.int32)
+    out["flush_reason"] = reason
+    return out
+
+
 def make_count_window_fn(n: int, timeout_ms: int | None):
     """The per-key state-transition function, exposed for direct unit
     testing with a stub GroupState (timeout paths can't fire under an
@@ -87,9 +118,9 @@ def make_count_window_fn(n: int, timeout_ms: int | None):
         buf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
 
         n_full = len(buf) // n
-        for i in range(n_full):
-            yield _annotate(
-                buf.iloc[i * n : (i + 1) * n], next_window + i, "count"
+        if n_full:
+            yield _annotate_many(
+                buf.iloc[: n_full * n], n, next_window, "count"
             )
         next_window += n_full
         tail = buf.iloc[n_full * n :].reset_index(drop=True)
@@ -179,9 +210,9 @@ def make_count_window_processor(n: int):
                 else pd.DataFrame()
             )
             n_full = len(buf) // n
-            for i in range(n_full):
-                yield _annotate(
-                    buf.iloc[i * n : (i + 1) * n], next_window + i, "count"
+            if n_full:
+                yield _annotate_many(
+                    buf.iloc[: n_full * n], n, next_window, "count"
                 )
             next_window += n_full
             tail = buf.iloc[n_full * n :].reset_index(drop=True)

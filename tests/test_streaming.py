@@ -204,10 +204,13 @@ def test_count_window_fn_emits_full_windows_keeps_tail():
     fn = cw.make_count_window_fn(n=5, timeout_ms=1000)
     st = FakeState()
     out = list(fn(("E",), [_pdf(12)], st))
-    assert [len(o) for o in out] == [5, 5]
-    assert list(out[0]["window_id"].unique()) == [0]
-    assert list(out[1]["window_id"].unique()) == [1]
-    assert list(out[0]["window_pos"]) == list(range(5))
+    # full windows arrive as ONE vectorized frame per key-batch
+    # (window boundaries are in the window_id/window_pos columns,
+    # not in frame boundaries — the per-window-copy loop was the
+    # measured hot spot, see module docstring)
+    assert [len(o) for o in out] == [10]
+    assert list(out[0]["window_id"]) == [0] * 5 + [1] * 5
+    assert list(out[0]["window_pos"]) == list(range(5)) * 2
     nxt, raw = st.get
     assert nxt == 2 and len(pickle.loads(raw)) == 2
 
