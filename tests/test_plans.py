@@ -347,6 +347,35 @@ def test_kmeans_assignment_is_pure_map(spark, sf_dir):
     assert plan.count("Exchange") <= 1, plan
 
 
+def test_pq_serve_scan_is_codes_only_and_broadcast(spark, sf_dir):
+    """The persisted-index serve plan must be the 100 TB retrieval
+    shape: candidates come from the compressed codes artifact pruned
+    by a BROADCAST equi-join on cell id — never a cartesian/nested-
+    loop pairing — and the embeddings table contributes ONLY the
+    quantized query vectors (its scan must not feed the candidate
+    side; the codes scan carries no vector column by construction)."""
+    df = registry.QUERIES["sim_ivfpq_serve_topk"](spark, sf_dir)
+    plan = plans.plan_string(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_pq_refine_hydrates_by_broadcast_join(spark, sf_dir):
+    """The refine stage's exact re-rank must hydrate ONLY the
+    over-fetched candidates: a broadcast of the Q·C candidate list
+    equi-joined against the vector table on neighbor_id. The single
+    permitted BroadcastNestedLoopJoin is the ADC scan's Q-row
+    query-LUT fan-in (the blessed broadcast-scalar pattern shared
+    with sim_pq_adc_topk); a second one — or any CartesianProduct —
+    means exact scoring fell back to all-pairs, defeating PQ."""
+    df = registry.QUERIES["sim_pq_refine_topk"](spark, sf_dir)
+    plan = plans.plan_string(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "BroadcastHashJoin [neighbor_id" in plan, plan
+
+
 def test_bucketed_embedding_dedup_never_cartesian(spark, sf_dir):
     """The adaptive banded-LSH dedup must pair candidates through an
     equi-join on (band_id, band_bits) — a CartesianProduct or
