@@ -96,6 +96,7 @@ HEADLINE = [
     "embedding_pq_encode",
     "sim_pq_refine_topk",
     "sim_ivfpq_serve_topk",
+    "multimodal_decode_jpeg_stats",
 ]
 
 

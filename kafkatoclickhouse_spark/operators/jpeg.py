@@ -1,0 +1,476 @@
+"""Dependency-free baseline JPEG codec (VERDICT r7 #9 — closes the
+last multimodal gap without pip).
+
+Decoder: baseline sequential DCT, Huffman entropy coding (ITU T.81
+Annex F), 8-bit precision, grayscale or 3-component 4:4:4 YCbCr —
+SOI/APP/COM/DQT/SOF0/DHT/SOS/EOI segment parsing, canonical Huffman
+table construction from BITS/HUFFVAL, byte-unstuffing bit reader,
+DC-prediction + AC run-length decode, dequantization, inverse
+zigzag, float iDCT, level shift + clip. Progressive (SOF2),
+subsampled, 12-bit, arithmetic-coded and restart-interval streams
+are rejected LOUDLY (ValueError), never silently mis-decoded; on a
+real cluster those fall through to PIL (see ``multimodal.py``).
+
+Encoder: the matching baseline writer (used for fixture synthesis
+and round-trip tests) — forward DCT, quantization, zigzag, canonical
+Huffman encode, byte stuffing. Tables ride IN the stream (DQT/DHT),
+so encoder and decoder are self-consistent by construction; the
+Huffman tables used are the ITU T.81 Annex K typical tables.
+
+Exactness story for the oracled query
+(``multimodal_decode_jpeg_stats``): JPEG is lossy in general, but a
+block-CONSTANT 8×8 tile has only a DC coefficient (AC are exactly
+zero under the DCT), and with the DC quantizer set to 8 the
+quantized DC is exactly ``v − 128`` — integer, no rounding anywhere
+— so decode reproduces the original pixels BIT-EXACTLY and DuckDB
+can replay the per-document statistics from the closed-form block
+rule without ever seeing a byte of JPEG. The lossy general path
+(all 64 coefficients live) is exercised by pytest round-trip bounds
+instead (``tests/test_jpeg.py``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ITU T.81 Annex K.3 "typical" Huffman tables: (BITS[1..16], HUFFVAL).
+# Correctness does not require these to match the standard byte-for-
+# byte — they are embedded in DHT and read back by any decoder — but
+# they are the interoperable defaults every camera/libjpeg uses.
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHR_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Orthonormal 8-point DCT-II basis matrix: A @ block @ A.T = DCT,
+# A.T @ coef @ A = iDCT. A constant block maps exactly to a lone DC
+# coefficient of 8*(v - 128) — the exactness hinge documented above.
+_A = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _A[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8)
+        )
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 Annex C code generation."""
+    code, k, out = 0, 0, {}
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for the decoder."""
+    return {
+        (ln, code): sym
+        for sym, (code, ln) in _canonical_codes(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self._out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self._out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self._out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        self._pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        if self._pos >= len(self._data):
+            raise ValueError("JPEG entropy stream exhausted")
+        b = self._data[self._pos]
+        self._pos += 1
+        if b == 0xFF:
+            if (
+                self._pos >= len(self._data)
+                or self._data[self._pos] != 0x00
+            ):
+                raise ValueError("unexpected marker in entropy data")
+            self._pos += 1  # skip stuffed 0x00
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bits(self, n: int) -> int:
+        while self._n < n:
+            self._fill()
+        self._n -= n
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        self._acc &= (1 << self._n) - 1  # keep the int small
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``size`` raw bits to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+# --------------------------- decoder ---------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline-JPEG bytes -> (h, w, 3) uint8 RGB array (grayscale
+    streams are expanded to RGB so the kernel signature matches the
+    other decoders). Strict: anything outside baseline sequential /
+    8-bit / 1×1 sampling raises ValueError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    scan = None
+    data_start = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC2, 0xC1, 0xC3) or 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
+            raise ValueError(
+                f"unsupported JPEG frame type 0x{marker:02x} "
+                "(only baseline SOF0)"
+            )
+        if marker == 0xDD:
+            raise ValueError("restart intervals (DRI) unsupported")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = np.frombuffer(
+                    seg, dtype=np.uint8, count=64, offset=p + 1
+                ).astype(np.int32)
+                p += 65
+        elif marker == 0xC0:  # SOF0
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG unsupported (only 4:4:4/gray)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                table = _decode_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                p += 17 + nv
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            data_start = pos + seglen
+            break
+        # APPn/COM and anything else: skip
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG stream missing SOF0/SOS")
+    h, w, comps = frame
+    if len(scan) != len(comps):
+        raise ValueError("scan/frame component mismatch")
+    # find EOI to bound entropy data (a raw 0xFF inside entropy data
+    # is always stuffed with 0x00, so FFD9 cannot occur spuriously)
+    end = payload.find(b"\xff\xd9", data_start)
+    if end < 0:
+        end = len(payload)
+    reader = _BitReader(payload[data_start:end])
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    planes = [
+        np.zeros((by * 8, bx * 8), dtype=np.float64) for _ in comps
+    ]
+    pred = [0] * len(comps)
+    comp_q = {cid: tq for cid, tq in comps}
+    for my in range(by):
+        for mx in range(bx):
+            for ci, (cid, td, ta) in enumerate(scan):
+                coef = np.zeros(64, dtype=np.int64)
+                s = reader.huff(huff_dc[td])
+                diff = _extend(reader.bits(s), s) if s else 0
+                pred[ci] += diff
+                coef[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.huff(huff_ac[ta])
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = rs >> 4, rs & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient overrun")
+                    coef[k] = _extend(reader.bits(size), size)
+                    k += 1
+                dq = (coef * qt[comp_q[cid]]).astype(np.float64)
+                block = dq[UNZIGZAG].reshape(8, 8)
+                pix = _A.T @ block @ _A
+                planes[ci][
+                    my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+                ] = pix
+    planes = [p[:h, :w] + 128.0 for p in planes]
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if len(planes) != 3:
+        raise ValueError(f"unsupported component count {len(planes)}")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+# --------------------------- encoder ---------------------------------
+
+
+def _encode_block(
+    writer: _BitWriter,
+    qcoef: np.ndarray,
+    pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """Huffman-encode one quantized, zigzagged 64-vector; returns the
+    new DC predictor."""
+    dc = int(qcoef[0])
+    diff = dc - pred
+    s = _category(diff)
+    code, ln = dc_codes[s]
+    writer.put(code, ln)
+    if s:
+        writer.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max(np.nonzero(qcoef)[0]) if np.any(qcoef) else 0
+    for k in range(1, 64):
+        v = int(qcoef[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            writer.put(code, ln)
+            run -= 16
+        size = _category(v)
+        code, ln = ac_codes[(run << 4) | size]
+        writer.put(code, ln)
+        writer.put(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]
+        writer.put(code, ln)
+    return dc
+
+
+def _quant_seg(tq: int, table: np.ndarray) -> bytes:
+    return (
+        b"\xff\xdb"
+        + struct.pack(">H", 67)
+        + bytes([tq])
+        + bytes(int(x) for x in table)
+    )
+
+
+def _dht_seg(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _component_blocks(plane: np.ndarray, quant: np.ndarray):
+    """Yield zigzagged quantized 64-vectors in MCU raster order."""
+    h, w = plane.shape
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    padded = np.empty((by * 8, bx * 8), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[h - 1 : h, :]  # edge-replicate pad
+    padded[:, w:] = padded[:, w - 1 : w]
+    for my in range(by):
+        for mx in range(bx):
+            block = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
+            coef = (_A @ block @ _A.T).reshape(64)[ZIGZAG]
+            yield np.round(coef / quant[np.arange(64)]).astype(np.int64)
+
+
+# quant tables: DC step 8 makes constant blocks lossless (module
+# docstring); AC step small enough for tight round-trip bounds.
+GRAY_QUANT = np.array([8] + [16] * 63, dtype=np.int32)
+COLOR_QUANT = np.array([8] + [16] * 63, dtype=np.int32)
+
+
+def encode_jpeg_gray(img: np.ndarray, quant: np.ndarray = GRAY_QUANT) -> bytes:
+    """(h, w) uint8 -> baseline grayscale JPEG bytes."""
+    h, w = img.shape
+    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    writer = _BitWriter()
+    pred = 0
+    for q in _component_blocks(img.astype(np.float64), quant):
+        pred = _encode_block(writer, q, pred, dc_codes, ac_codes)
+    out = bytearray(b"\xff\xd8")
+    out += _quant_seg(0, quant)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    out += _dht_seg(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+    out += _dht_seg(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_rgb(img: np.ndarray, quant: np.ndarray = COLOR_QUANT) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline 4:4:4 YCbCr JPEG bytes."""
+    h, w, _ = img.shape
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [np.round(p) for p in (y, cb, cr)]
+    tabs = [
+        (_canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
+         _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)),
+        (_canonical_codes(DC_CHR_BITS, DC_CHR_VALS),
+         _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)),
+        (_canonical_codes(DC_CHR_BITS, DC_CHR_VALS),
+         _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)),
+    ]
+    gens = [_component_blocks(p, quant) for p in planes]
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    for _ in range(by * bx):
+        for ci in range(3):
+            preds[ci] = _encode_block(
+                writer, next(gens[ci]), preds[ci], *tabs[ci]
+            )
+    out = bytearray(b"\xff\xd8")
+    out += _quant_seg(0, quant)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 9, 8, h, w, 3)
+    for cid in (1, 2, 3):
+        out += bytes([cid, 0x11, 0])
+    out += _dht_seg(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+    out += _dht_seg(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+    out += _dht_seg(0, 1, DC_CHR_BITS, DC_CHR_VALS)
+    out += _dht_seg(1, 1, AC_CHR_BITS, AC_CHR_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3)
+    out += bytes([1, 0x00])
+    out += bytes([2, 0x11])
+    out += bytes([3, 0x11])
+    out += bytes([0, 63, 0])
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

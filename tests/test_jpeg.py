@@ -1,0 +1,113 @@
+"""Baseline-JPEG codec (operators/jpeg.py — VERDICT r7 #9).
+
+The oracled query covers the bit-exact block-constant path; these
+tests cover everything else: the lossy general path (live AC
+coefficients) within tight error bounds, the 4:4:4 color transform,
+odd dimensions (edge-replicate padding), marker strictness (loud
+rejection of non-baseline streams), and the dispatch through
+``decode_image``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kafkatoclickhouse_spark.operators import jpeg as J
+from kafkatoclickhouse_spark.operators.multimodal import decode_image
+
+
+def test_block_constant_gray_is_bit_exact():
+    rng = np.random.RandomState(7)
+    for _ in range(8):
+        by, bx = rng.randint(1, 6), rng.randint(1, 6)
+        blocks = rng.randint(0, 256, (by, bx))
+        img = np.kron(blocks, np.ones((8, 8), dtype=int)).astype(np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg_gray(img))
+        assert dec.shape == (by * 8, bx * 8, 3)
+        assert (dec[..., 0] == img).all()
+        assert (dec[..., 0] == dec[..., 1]).all()
+        assert (dec[..., 1] == dec[..., 2]).all()
+
+
+def test_lossy_gray_roundtrip_bounded():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg_gray(img))[..., 0].astype(int)
+    # iid noise is JPEG's worst case; AC quantizer 16 bounds the
+    # per-coefficient error at 8, concentrated by the iDCT
+    assert np.abs(dec - img.astype(int)).max() <= 24
+    yy, xx = np.mgrid[0:32, 0:48]
+    smooth = ((np.sin(xx / 7) + np.cos(yy / 5)) * 60 + 128).astype(np.uint8)
+    dec2 = J.decode_jpeg(J.encode_jpeg_gray(smooth))[..., 0].astype(int)
+    assert np.abs(dec2 - smooth.astype(int)).max() <= 8
+
+
+def test_color_444_roundtrip_bounded():
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.stack(
+        [(xx * 3 + yy * 2) % 256, (xx + yy * 5) % 256, (xx * 7) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg_rgb(img)).astype(int)
+    assert dec.shape == img.shape
+    assert np.abs(dec - img.astype(int)).max() <= 16
+
+
+def test_odd_dimensions_pad_and_crop():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (13, 21)).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg_gray(img))
+    assert dec.shape == (13, 21, 3)
+    # constant odd-dim image: padding is edge-replicate, so every
+    # block is still constant -> bit-exact even off-grid
+    flat = np.full((13, 21), 201, dtype=np.uint8)
+    dec2 = J.decode_jpeg(J.encode_jpeg_gray(flat))
+    assert (dec2[..., 0] == flat).all()
+
+
+def test_dc_prediction_across_blocks():
+    """Alternating block values exercise the DC-difference predictor
+    in both directions (positive and negative diffs)."""
+    blocks = np.array([[10, 250, 20, 240], [235, 15, 245, 5]])
+    img = np.kron(blocks, np.ones((8, 8), dtype=int)).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg_gray(img))
+    assert (dec[..., 0] == img).all()
+
+
+def test_non_baseline_streams_rejected_loudly():
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    enc = bytearray(J.encode_jpeg_gray(img))
+    # flip SOF0 -> SOF2 (progressive)
+    i = bytes(enc).find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF0"):
+        J.decode_jpeg(bytes(enc))
+    # 4:2:0 subsampling flag
+    enc2 = bytearray(J.encode_jpeg_gray(img))
+    i = bytes(enc2).find(b"\xff\xc0")
+    enc2[i + 2 + 2 + 6 + 1] = 0x22  # sampling byte of component 1
+    with pytest.raises(ValueError, match="subsampl"):
+        J.decode_jpeg(bytes(enc2))
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"not a jpeg")
+
+
+def test_decode_image_dispatches_jpeg():
+    blocks = np.array([[40, 90], [140, 190]])
+    img = np.kron(blocks, np.ones((8, 8), dtype=int)).astype(np.uint8)
+    arr = decode_image(J.encode_jpeg_gray(img))
+    assert arr.shape == (16, 16, 3)
+    assert (arr[..., 0] == img).all()
+
+
+def test_app_and_comment_segments_skipped():
+    """Real-world JPEGs carry APPn/COM segments before SOF; the
+    parser must skip them transparently."""
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    enc = J.encode_jpeg_gray(img)
+    app0 = b"\xff\xe0" + (2 + 14).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    com = b"\xff\xfe" + (2 + 5).to_bytes(2, "big") + b"hello"
+    patched = enc[:2] + app0 + com + enc[2:]
+    dec = J.decode_jpeg(patched)
+    assert (dec[..., 0] == img).all()
