@@ -139,7 +139,14 @@ def test_count_window_conservation(values, n):
         pdf = pd.DataFrame({"essCode": ["E"] * len(chunk), "v": chunk})
         for out in fn(("E",), [pdf], st_):
             emitted.extend(out["v"].tolist())
-            assert len(out) == n  # only full windows fire on data
+            # only full windows fire on data; consecutive windows
+            # arrive as ONE vectorized frame (window_id delimits)
+            assert len(out) % n == 0 and len(out) > 0
+            ids = out["window_id"].tolist()
+            assert ids == sorted(ids)
+            assert out["window_pos"].tolist() == list(range(n)) * (
+                len(out) // n
+            )
     st_.hasTimedOut = True
     for out in fn(("E",), [], st_):
         emitted.extend(out["v"].tolist())
