@@ -97,6 +97,7 @@ HEADLINE = [
     "sim_pq_refine_topk",
     "sim_ivfpq_serve_topk",
     "multimodal_decode_jpeg_stats",
+    "text_bm25_topk",
 ]
 
 

@@ -980,3 +980,167 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .select("bigram", "n_occurrences", "n_docs", "rank")
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QK = 5  # query = the corpus's QK highest-df tokens
+BM25_TOP = 20
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ),
+    dlen AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dlen
+    ),
+    dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    qterms AS (
+      SELECT token, df, CAST(rk AS INTEGER) AS trank
+      FROM (SELECT token, df, ROW_NUMBER() OVER (
+              ORDER BY df DESC, token) AS rk
+            FROM dfreq)
+      WHERE rk <= {BM25_QK}
+    ),
+    w AS (
+      SELECT t.doc_id, q.trank,
+             ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * (t.tf * ({BM25_K1} + 1.0))
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * d.dl / s.avgdl)) AS w
+      FROM tf t
+      JOIN qterms q USING (token)
+      JOIN dlen d USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    sc AS (
+      SELECT doc_id,
+             {" + ".join(
+                 f"COALESCE(MAX(CASE WHEN trank = {k} THEN w END), 0.0)"
+                 for k in range(1, BM25_QK + 1)
+             )} AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25, n_terms_hit,
+           CAST(rk AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY score DESC, doc_id) AS rk
+          FROM sc)
+    WHERE rk <= {BM25_TOP}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones; the Okapi
+    scoring Lucene/Elasticsearch default to): score every document
+    against a deterministic query — the corpus's {BM25_QK} highest-df
+    tokens (ties toward the lexicographically smaller token) — and
+    return the top {BM25_TOP} documents. Complements
+    ``text_tfidf_topterms``: tf-idf ranks terms within a doc, BM25
+    ranks docs for a query, with tf saturation (k1) and length
+    normalization (b).
+
+    Cross-engine determinism: a per-doc SUM of ≤{BM25_QK} doubles
+    would depend on accumulation order, so each query term keeps its
+    rank and the doc score is a FIXED-ORDER chain of conditional
+    aggregates (w1 + w2 + ... — identical association in both
+    engines); idf/tf factors are single double expressions over
+    exact integers, and only the final score rounds.
+
+    Shuffle shape at scale: the (doc, token) tf exchange and the
+    token df exchange are shared with tf-idf; qterms is {BM25_QK}
+    rows (broadcast), doc lengths join on the doc_id partitioning the
+    per-doc agg reuses, corpus stats ride in as a broadcast scalar,
+    and the final top-k is a TakeOrdered — no global sort."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dlen.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # query-term selection is a TakeOrdered + a QK-row driver sync
+    # (the blessed scalar-literal pattern, NOT a global window over
+    # the vocabulary): the ranked terms re-enter the plan as a tiny
+    # broadcast table.
+    qrows = dfreq.orderBy(F.desc("df"), "token").limit(BM25_QK).collect()
+    qterms = spark.createDataFrame(
+        [
+            (r["token"], int(r["df"]), i + 1)
+            for i, r in enumerate(qrows)
+        ],
+        schema="token string, df long, trank int",
+    )
+    w = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "trank",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (
+                        F.col("n_docs") - F.col("df") + F.lit(0.5)
+                    ) / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("w"),
+        )
+    )
+    parts = [
+        F.coalesce(
+            F.max(F.when(F.col("trank") == k, F.col("w"))), F.lit(0.0)
+        )
+        for k in range(1, BM25_QK + 1)
+    ]
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    sc = w.groupBy("doc_id").agg(
+        score.alias("score"),
+        F.count("*").cast("long").alias("n_terms_hit"),
+    )
+    # top-k FIRST via TakeOrderedAndProject (no global sort, no
+    # unpartitioned window over the full doc set); the rank column
+    # is then a window over only BM25_TOP rows.
+    top = sc.orderBy(F.desc("score"), "doc_id").limit(BM25_TOP)
+    rw = W.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(rw)).select(
+        "doc_id",
+        F.round("score", 6).alias("bm25"),
+        "n_terms_hit",
+        F.col("rank").cast("int").alias("rank"),
+    )

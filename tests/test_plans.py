@@ -376,6 +376,18 @@ def test_pq_refine_hydrates_by_broadcast_join(spark, sf_dir):
     assert "BroadcastHashJoin [neighbor_id" in plan, plan
 
 
+def test_bm25_topk_is_takeordered_with_broadcast_query(spark, sf_dir):
+    """BM25's final top-k must be a TakeOrderedAndProject (no global
+    sort / no unpartitioned window over the scored doc set — the
+    only Window allowed is the rank stamp over the BM25_TOP result
+    rows), and the 5-row query-term table must join by broadcast."""
+    df = registry.QUERIES["text_bm25_topk"](spark, sf_dir)
+    plan = plans.plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Window [") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_bucketed_embedding_dedup_never_cartesian(spark, sf_dir):
     """The adaptive banded-LSH dedup must pair candidates through an
     equi-join on (band_id, band_bits) — a CartesianProduct or
