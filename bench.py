@@ -98,6 +98,7 @@ HEADLINE = [
     "sim_ivfpq_serve_topk",
     "multimodal_decode_jpeg_stats",
     "text_bm25_topk",
+    "sim_ivfpq_refine_topk",
 ]
 
 

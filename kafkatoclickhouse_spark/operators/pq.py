@@ -313,7 +313,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_NPROBE = 3
 
 
-def _sql_ivfpq() -> str:
+def _sql_ivfpq_prefix() -> str:
     coarse = KM.sql_lloyd_ctes("e", "", KM._DIM, KM.KM_K, KM.KM_ITERS)
     coarse_dist = (
         "list_aggregate(list_transform(rs, i -> "
@@ -371,12 +371,49 @@ def _sql_ivfpq() -> str:
       JOIN enc n ON n.vec_id = ac.vec_id AND n.vec_id <> q.query_id
       {cb_joins}
     )
+    """
+
+
+def _sql_ivfpq() -> str:
+    return f"""
+    {_sql_ivfpq_prefix()}
     SELECT query_id, neighbor_id,
            CAST(d AS BIGINT) AS adc_dist_sq_micro,
            CAST(rn AS INTEGER) AS rank
     FROM (SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
           FROM adc)
+    WHERE rn <= {ADC_TOP_K}
+    """
+
+
+def _sql_ivfpq_refine() -> str:
+    return f"""
+    {_sql_ivfpq_prefix()},
+    rngf AS (SELECT list(CAST(i AS INTEGER)) AS rs
+             FROM (SELECT unnest(range({KM._DIM})) AS i)),
+    cand2 AS (SELECT query_id, neighbor_id
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY query_id
+                      ORDER BY d, neighbor_id) AS rn
+                    FROM adc)
+              WHERE rn <= {REFINE_C}),
+    ex2 AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_aggregate(list_transform(rs, i ->
+               (q.qvq[i + 1] - e.vq[i + 1])
+               * (q.qvq[i + 1] - e.vq[i + 1])), 'sum') AS d
+      FROM cand2 c
+      JOIN q ON q.query_id = c.query_id
+      JOIN e ON e.vec_id = c.neighbor_id
+      CROSS JOIN rngf
+    )
+    SELECT query_id, neighbor_id,
+           CAST(d AS BIGINT) AS dist_sq_micro,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+          FROM ex2)
     WHERE rn <= {ADC_TOP_K}
     """
 
@@ -397,6 +434,25 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate — no vector column is touched at retrieval time. This
     is the 100 TB retrieval plan; everything else in the similarity
     family is either its ground truth or one of its halves."""
+    w = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    return (
+        _ivfpq_scored(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("d").alias("adc_dist_sq_micro"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, d): ADC distances over ONLY the
+    members of each query's NPROBE best coarse cells — the pruned
+    compressed scan shared by the direct IVF-PQ top-k and the
+    refined tier."""
     coarse = [
         (cid, cq) for cid, cq, _ in KM._train(spark, sf_dir)
     ]
@@ -432,21 +488,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.element_at(F.col("lut0"), F.col("code0")),
     )
-    w = W.partitionBy("query_id").orderBy("d", "neighbor_id")
-    return (
-        scored.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            d.alias("d"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= ADC_TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("d").alias("adc_dist_sq_micro"),
-            F.col("rn").alias("rank"),
-        )
+    return scored.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        d.alias("d"),
     )
 
 
@@ -736,6 +781,63 @@ def sim_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy("d", "neighbor_id")
     cand = (
         _adc_scored(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= REFINE_C)
+        .select("query_id", "neighbor_id")
+    )
+    qv = (
+        _quantized(spark, sf_dir)
+        .filter((F.col("vec_id") % ADC_QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(ADC_QUERY_LIMIT)
+        .select(F.col("vec_id").alias("query_id"), F.col("vq").alias("qvq"))
+    )
+    vecs = _quantized(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vq").alias("nvq")
+    )
+    exact = vecs.join(
+        F.broadcast(cand.join(qv, "query_id")), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with("qvq", "nvq", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("d"),
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("d").alias("dist_sq_micro"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+@query("sim_ivfpq_refine_topk", oracle=_sql_ivfpq_refine())
+def sim_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production retrieval tier — FAISS's
+    ``IndexIVFPQ + IndexRefineFlat`` composition: the coarse cells
+    prune the corpus, the PQ codes scan scores the survivors with
+    ADC lookups (``_ivfpq_scored``), the top-``REFINE_C`` candidates
+    per query hydrate their true vectors by broadcast equi-join, and
+    the exact integer-L2 re-rank produces the final top-k. All three
+    pruning stages stay on the exact integer grid, so even this
+    doubly-approximate candidate set replays bit-for-bit in the
+    oracle.
+
+    vs ``sim_pq_refine_topk``: same refine mechanics but the
+    over-fetch pool is cell-pruned, so recall additionally pays for
+    coarse-probe misses — the nprobe/REFINE_C dial a deployment
+    tunes; the recall gate in ``tests/test_invariants.py`` floors
+    the composition above the raw-ADC tier on the fixture."""
+    w = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    cand = (
+        _ivfpq_scored(spark, sf_dir)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= REFINE_C)
         .select("query_id", "neighbor_id")

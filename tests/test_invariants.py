@@ -310,3 +310,22 @@ def test_pq_adc_recall_and_structure(spark, sf_dir):
         recs.append(len({n for _, _, n in lst} & truth[q]) / len(truth[q]))
     mean_rec = sum(recs) / len(recs)
     assert mean_rec >= 0.5, f"refined mean recall {mean_rec:.3f} < 0.5"
+
+    # The composed production tier (IVF prune + ADC + exact refine)
+    # additionally pays for coarse-probe misses; measured 0.65 at
+    # both fixture SFs (nprobe=3/8 cells) — gated at >= 0.4, still
+    # far above the raw-ADC floor, and distances stay exact.
+    rows = registry.QUERIES["sim_ivfpq_refine_topk"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        exact_d = float(
+            ((em[r["query_id"]] - em[r["neighbor_id"]]) ** 2).sum()
+        )
+        assert float(r["dist_sq_micro"]) == exact_d
+        per_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recs = [len(v & truth[q]) / len(truth[q]) for q, v in per_q.items()]
+    mean_rec = sum(recs) / len(recs)
+    assert mean_rec >= 0.4, f"ivfpq+refine mean recall {mean_rec:.3f} < 0.4"
