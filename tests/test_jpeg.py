@@ -111,3 +111,41 @@ def test_app_and_comment_segments_skipped():
     patched = enc[:2] + app0 + com + enc[2:]
     dec = J.decode_jpeg(patched)
     assert (dec[..., 0] == img).all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_property_block_constant_bit_exact(by, bx, seed):
+    """ANY block-constant grayscale image round-trips bit-exactly —
+    the exactness carve-out holds across the whole value range, not
+    just the fixture's rule."""
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    blocks = rng.randint(0, 256, (by, bx))
+    img = np.kron(blocks, np.ones((8, 8), dtype=int)).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg_gray(img))
+    assert (dec[..., 0] == img).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_property_lossy_roundtrip_bounded_any_dims(h, w, seed):
+    """ANY grayscale image at ANY dimensions (padding paths included)
+    round-trips within the quantizer error bound — the general lossy
+    path never produces wild pixels or crashes on odd shapes."""
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg_gray(img))
+    assert dec.shape == (h, w, 3)
+    assert np.abs(dec[..., 0].astype(int) - img.astype(int)).max() <= 24
