@@ -131,6 +131,7 @@ def main() -> None:
         exists to show. The codebook memo is saved/restored so this
         twin's forced retrain doesn't inflate the OTHER interleaved
         PQ keys' steady-state timings."""
+        import shutil
         import tempfile
 
         from kafkatoclickhouse_spark.operators import kmeans as km_mod
@@ -140,6 +141,7 @@ def main() -> None:
         saved_train = dict(km_mod._TRAIN_CACHE)
         pq_mod._BOOK_CACHE.clear()
         km_mod._TRAIN_CACHE.clear()
+        path = None
         try:
             path = tempfile.mkdtemp(prefix="pq_idx_bench_")
             pq_mod.embedding_pq_index_build(
@@ -150,6 +152,8 @@ def main() -> None:
             pq_mod._BOOK_CACHE.update(saved_books)
             km_mod._TRAIN_CACHE.clear()
             km_mod._TRAIN_CACHE.update(saved_train)
+            if path is not None:
+                shutil.rmtree(path, ignore_errors=True)
         return spark.range(1)
 
     extra_fns = {

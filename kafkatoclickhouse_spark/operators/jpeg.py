@@ -203,7 +203,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline-JPEG bytes -> (h, w, 3) uint8 RGB array (grayscale
     streams are expanded to RGB so the kernel signature matches the
     other decoders). Strict: anything outside baseline sequential /
-    8-bit / 1×1 sampling raises ValueError."""
+    8-bit / 1×1 sampling raises ValueError — and so does any
+    truncated/malformed stream: internal IndexError/KeyError/
+    struct.error from arbitrary garbage bytes are normalized to
+    ValueError so the contract (and decode_image's except-ValueError
+    fallback) holds for ALL inputs, not just well-formed ones."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, KeyError, OverflowError, struct.error) as exc:
+        raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2

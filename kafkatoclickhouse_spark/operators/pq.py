@@ -562,6 +562,14 @@ def embedding_pq_index_build(
             meta = json.load(fh)
         if meta.get("fingerprint") == list(_table_fingerprint(sf_dir)):
             return path
+    # meta.json is the build-complete marker: remove it BEFORE
+    # touching any artifact so a crash mid-rebuild leaves a dir that
+    # reads as "not built" (rebuild on next call), never a stale
+    # marker pointing at half-rewritten codes.
+    try:
+        os.remove(os.path.join(path, "meta.json"))
+    except FileNotFoundError:
+        pass
     books = _codebooks(spark, sf_dir)
     coarse = [(cid, cq) for cid, cq, _ in KM._train(spark, sf_dir)]
     codes = (

@@ -77,17 +77,20 @@ def ensure_protobuf() -> bool:
                 os.symlink(src, link)
         except OSError:
             continue
+        # sys.path / PYTHONPATH / the version-check escape hatch must
+        # all be in place before the import attempt, but none of them
+        # may linger process-wide (or leak to executor workers) if the
+        # bundle turns out unusable — save, try, restore on failure.
         root = os.path.dirname(shim)
-        if root not in sys.path:
+        path_added = root not in sys.path
+        if path_added:
             sys.path.insert(0, root)
-        parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        prior_pythonpath = os.environ.get("PYTHONPATH")
+        parts = (prior_pythonpath or "").split(os.pathsep)
         if root not in parts:
             os.environ["PYTHONPATH"] = os.pathsep.join(
                 [root] + [p for p in parts if p]
             )
-        # The version-check escape hatch must be in place before the
-        # import attempt (protobuf reads it at import), but must not
-        # linger process-wide if the bundle turns out unusable.
         env_key = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
         prior = os.environ.get(env_key)
         os.environ[env_key] = "true"
@@ -97,4 +100,10 @@ def ensure_protobuf() -> bool:
             del os.environ[env_key]
         else:
             os.environ[env_key] = prior
+        if path_added and root in sys.path:
+            sys.path.remove(root)
+        if prior_pythonpath is None:
+            os.environ.pop("PYTHONPATH", None)
+        else:
+            os.environ["PYTHONPATH"] = prior_pythonpath
     return False

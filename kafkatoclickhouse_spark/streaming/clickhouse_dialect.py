@@ -71,19 +71,30 @@ def escape(value: str | None) -> str:
 def format_value(
     value: str | None,
     clickhouse_type: str,
-    string_types: Sequence[str],
+    string_types: Sequence[str] | frozenset[str],
 ) -> str | None:
     """`MyWindowFunction.formatValue` (`MyWindowFunction.scala:85-95`)
     twin: null/empty → None (rendered as unquoted ``null``),
     stringTypes member (matched on the LOWERCASED RAW type — see
     module docstring) → quoted+escaped, else the raw value spliced
-    as-is."""
+    as-is. ``string_types`` may be pre-lowered via
+    :func:`_lowered_types` to avoid per-value set rebuilds."""
     if value is None or value == "":
         return None
-    lowered = {s.strip().lower() for s in string_types}
+    lowered = _lowered_types(string_types)
     if clickhouse_type.lower() in lowered:
         return f"'{escape(value)}'"
     return value
+
+
+def _lowered_types(
+    string_types: Sequence[str] | frozenset[str],
+) -> frozenset[str]:
+    """Normalize the stringTypes set once (idempotent: an already-
+    prepared frozenset passes through by identity)."""
+    if isinstance(string_types, frozenset):
+        return string_types
+    return frozenset(s.strip().lower() for s in string_types)
 
 
 def render_batch_insert(
@@ -105,11 +116,12 @@ def render_batch_insert(
     if not rows:
         raise ValueError("render_batch_insert requires at least one row")
     names = [name for name, _ in columns]
+    lowered = _lowered_types(string_types)
     tuples = []
     for row in rows:
         vals = []
         for name, ch_type in columns:
-            v = format_value(row.get(name), ch_type, string_types)
+            v = format_value(row.get(name), ch_type, lowered)
             vals.append("null" if v is None else v)
         tuples.append("(" + ",".join(vals) + ")")
     return (

@@ -149,3 +149,27 @@ def test_property_lossy_roundtrip_bounded_any_dims(h, w, seed):
     dec = J.decode_jpeg(J.encode_jpeg_gray(img))
     assert dec.shape == (h, w, 3)
     assert np.abs(dec[..., 0].astype(int) - img.astype(int)).max() <= 24
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=400),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_property_malformed_streams_raise_valueerror_only(cut, seed):
+    """Truncating or corrupting a valid stream at ANY point raises
+    ValueError — never IndexError/KeyError/struct.error (ADVICE r8:
+    the loud-rejection contract must hold for arbitrary garbage so
+    decode_image's except-ValueError fallback always engages)."""
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    payload = J.encode_jpeg_gray(img)
+    cut = min(cut, len(payload) - 1)
+    truncated = payload[:cut]
+    corrupted = bytearray(payload)
+    corrupted[cut % len(payload)] ^= 0xFF
+    for stream in (truncated, bytes(corrupted), b"\xff\xd8" + bytes(rng.randint(0, 256, 64, dtype=np.uint8))):
+        try:
+            J.decode_jpeg(stream)
+        except ValueError:
+            pass
