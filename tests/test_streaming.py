@@ -1209,3 +1209,116 @@ def test_type_counts_tws_running_totals(spark, sf_dir, tmp_path):
     }
     got = {k: t for k, (_, t) in latest.items()}
     assert got == want
+
+
+def _jvm_feed(spark, raw_feed_dir, path, slices=1):
+    """Stage the raw feed as `slices` sequential files, each internally
+    sorted by offset and covering a contiguous offset range — so both
+    arrival order (what the grouped-UDF path consumes) and explicit
+    offset order (what the JVM path sorts by) agree, making the two
+    implementations exactly comparable."""
+    raw = spark.read.parquet(raw_feed_dir).orderBy("offset").collect()
+    step = (len(raw) + slices - 1) // slices
+    for i in range(slices):
+        chunk = raw[i * step : (i + 1) * step]
+        if chunk:
+            spark.createDataFrame(
+                chunk, schema=spark.read.parquet(raw_feed_dir).schema
+            ).repartition(1).sortWithinPartitions("offset").write.mode(
+                "append"
+            ).parquet(path)
+    return path
+
+
+def test_count_window_jvm_matches_legacy(spark, raw_feed_dir, tmp_path):
+    """VERDICT r8 #1 parity pin: the JVM-only count window (foreachBatch
+    + row_number modular windowing + versioned state table, zero Python
+    in the hot path) emits EXACTLY the rows of keyed_count_window
+    (timeout_ms=None) on the same single-batch feed."""
+    from kafkatoclickhouse_spark.streaming import count_window_jvm as cwj
+
+    n = 20
+    feed = _jvm_feed(spark, raw_feed_dir, str(tmp_path / "jvm_feed"))
+    raw = source.file_raw_stream(spark, feed)
+    clean, _ = pipeline.streaming_ingest(raw)
+    out = str(tmp_path / "jvm_out")
+    q = cwj.run_count_window_jvm(
+        clean,
+        checkpoint_dir=str(tmp_path / "jvm_ckpt"),
+        state_dir=str(tmp_path / "jvm_state"),
+        n=n,
+        available_now=True,
+        publish_dir=out,  # the zero-copy hardlink-publish file sink
+    )
+    q.awaitTermination(300)
+    cols = ["essCode", "topicOffset", "window_id", "window_pos", "flush_reason"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(cols).collect()))
+    assert got, "no windows fired"
+
+    raw2 = source.file_raw_stream(spark, feed)
+    clean2, _ = pipeline.streaming_ingest(raw2)
+    legacy = run_stream(
+        cw.keyed_count_window(clean2, key="essCode", n=n, timeout_ms=None),
+        "jvm_pin_legacy",
+        tmp_path / "jvm_legacy_ckpt",
+    )
+    assert got == sorted(map(tuple, legacy.select(cols).collect()))
+
+
+def test_count_window_jvm_multi_batch_carryover(spark, raw_feed_dir, tmp_path):
+    """Tails must carry across micro-batches through the versioned
+    state table: a 4-batch drain (maxFilesPerTrigger=1) emits exactly
+    the windows the closed-form batch rule predicts — per key ordered
+    by offset, row i fires in window i//n at position i%n iff its
+    key's cumulative count at its batch boundary reached past it."""
+    from kafkatoclickhouse_spark.streaming import count_window_jvm as cwj
+
+    n = 20
+    feed = _jvm_feed(spark, raw_feed_dir, str(tmp_path / "mb_feed"), slices=4)
+    raw = spark.readStream.schema(source.RAW_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(feed)
+    clean, _ = pipeline.streaming_ingest(raw)
+    out = str(tmp_path / "mb_out")
+    q = cwj.run_count_window_jvm(
+        clean,
+        write_fn=sink.parquet_writer(out),  # the generic-sink path
+        checkpoint_dir=str(tmp_path / "mb_ckpt"),
+        state_dir=str(tmp_path / "mb_state"),
+        n=n,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+
+    # closed-form expectation: global per-key offset order, i//n // i%n,
+    # windows fire only once filled (tails held) — equivalently every
+    # emitted window is full and ids are dense from 0.
+    from pyspark.sql import Window as W
+
+    full = pipeline.streaming_ingest(
+        spark.createDataFrame(
+            spark.read.parquet(feed).collect(), schema=source.RAW_SCHEMA
+        )
+    )[0]
+    idx = F.row_number().over(
+        W.partitionBy("essCode").orderBy("topicOffset")
+    ) - 1
+    expect = (
+        full.withColumn("_i", idx)
+        .withColumn("_fires", (F.count(F.lit(1)).over(
+            W.partitionBy("essCode")
+        ) / n).cast("long") * n)
+        .filter(F.col("_i") < F.col("_fires"))
+        .select(
+            "essCode",
+            "topicOffset",
+            (F.col("_i") / n).cast("long").alias("window_id"),
+            (F.col("_i") % n).cast("int").alias("window_pos"),
+        )
+    )
+    cols = ["essCode", "topicOffset", "window_id", "window_pos"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, expect.select(cols).collect())
+    )
+    assert got.filter(F.col("flush_reason") != "count").count() == 0

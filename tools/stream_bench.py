@@ -48,12 +48,18 @@ def breakdown(spark, feed: str, n_rows: int, work: str, window_size: int):
     from kafkatoclickhouse_spark.streaming import count_window, pipeline
 
     def variant(name, transform, extra_conf=None):
+        """warm drain + median of 3 timed drains (single drains were
+        ±20% on this box — the median keeps round-over-round
+        attribution honest)."""
+        import statistics
+
         prev = {}
         for k, v in (extra_conf or {}).items():
             prev[k] = spark.conf.get(k, None)
             spark.conf.set(k, v)
+        walls = []
         try:
-            for rnd in ("warm", "timed"):
+            for rnd in ("warm", "t0", "t1", "t2"):
                 ckpt = os.path.join(work, f"bk_{name}_{rnd}_ckpt")
                 out = os.path.join(work, f"bk_{name}_{rnd}_out")
                 raw = source.file_raw_stream(spark, feed)
@@ -68,7 +74,8 @@ def breakdown(spark, feed: str, n_rows: int, work: str, window_size: int):
                     .start()
                 )
                 q.awaitTermination(600)
-                wall = time.perf_counter() - t0
+                if rnd != "warm":
+                    walls.append(time.perf_counter() - t0)
         finally:
             for k, v in prev.items():
                 if v is not None:
@@ -79,7 +86,7 @@ def breakdown(spark, feed: str, n_rows: int, work: str, window_size: int):
                     # conf (e.g. the RocksDB provider) leaks into
                     # every later variant / session user.
                     spark.conf.unset(k)
-        return round(n_rows / wall, 1)
+        return round(n_rows / statistics.median(walls), 1)
 
     def parse_only(raw):
         clean, _ = pipeline.streaming_ingest(raw)
@@ -97,10 +104,46 @@ def breakdown(spark, feed: str, n_rows: int, work: str, window_size: int):
             clean, key="essCode", n=window_size
         )
 
+    def jvm_variant():
+        """The VERDICT r8 #1 path: foreachBatch + row_number modular
+        windowing + versioned state table — no Python in the hot
+        path. Runs its own query wiring (the window happens inside
+        foreachBatch, not as a stream transform). Same warm + 3-timed
+        median protocol as variant()."""
+        import statistics
+
+        from kafkatoclickhouse_spark.streaming import count_window_jvm
+
+        walls = []
+        for rnd in ("warm", "t0", "t1", "t2"):
+            ckpt = os.path.join(work, f"bk_jvm_{rnd}_ckpt")
+            state = os.path.join(work, f"bk_jvm_{rnd}_state")
+            out_dir = os.path.join(work, f"bk_jvm_{rnd}_out")
+            raw = source.file_raw_stream(spark, feed)
+            clean, _ = pipeline.streaming_ingest(raw)
+            t0 = time.perf_counter()
+            q = count_window_jvm.run_count_window_jvm(
+                clean,
+                checkpoint_dir=ckpt,
+                state_dir=state,
+                n=window_size,
+                available_now=True,
+                publish_dir=out_dir,
+                # ~100k-row micro-batches: size the window shuffle to
+                # the batch (≈ bytes/64MB), not the scan-tuned session
+                # default (see apply_count_window_batch docstring)
+                shuffle_partitions=8,
+            )
+            q.awaitTermination(600)
+            if rnd != "warm":
+                walls.append(time.perf_counter() - t0)
+        return round(n_rows / statistics.median(walls), 1)
+
     out = {
         "source_sink": variant("src", lambda raw: raw),
         "parse_validate": variant("parse", parse_only),
         "window_legacy": variant("legacy", with_legacy_window),
+        "window_jvm": jvm_variant(),
     }
     try:
         out["window_tws"] = variant(
