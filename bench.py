@@ -99,6 +99,10 @@ HEADLINE = [
     "multimodal_decode_jpeg_stats",
     "text_bm25_topk",
     "sim_ivfpq_refine_topk",
+    # round-9 additions: the PNG codec (VERDICT r8 #2) and the BM25
+    # postings build/serve lifecycle (VERDICT r8 #3)
+    "multimodal_decode_png_stats",
+    "text_bm25_serve_topk",
 ]
 
 
@@ -156,10 +160,31 @@ def main() -> None:
                 shutil.rmtree(path, ignore_errors=True)
         return spark.range(1)
 
+    def _bm25_index_build_forced(spark, sf_dir):
+        """Bench-only BUILD twin for the BM25 lifecycle: full cold
+        tokenize + postings persist each repeat, against the timed
+        text_bm25_serve_topk key — the build/serve split."""
+        import shutil
+        import tempfile
+
+        from kafkatoclickhouse_spark.operators import text as text_mod
+
+        path = None
+        try:
+            path = tempfile.mkdtemp(prefix="bm25_idx_bench_")
+            text_mod.text_bm25_index_build(
+                spark, sf_dir, path=path, force=True
+            )
+        finally:
+            if path is not None:
+                shutil.rmtree(path, ignore_errors=True)
+        return spark.range(1)
+
     extra_fns = {
         "dedup_minhash_lsh_xxhash": dedup_mod.dedup_minhash_lsh_fast,
         "text_decontaminate_xxhash": decontam_mod.text_decontaminate_fast,
         "embedding_pq_index_build": _pq_index_build_forced,
+        "text_bm25_index_build": _bm25_index_build_forced,
     }
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
