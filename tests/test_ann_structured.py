@@ -1,0 +1,51 @@
+"""Structured-fixture ANN recall gate (VERDICT r8 #4).
+
+The driver fixture's iid embeddings are PQ's worst case; real
+embedding manifolds cluster. On a mixture-of-Gaussians fixture the
+refine tier must reach recall@10 >= 0.8 at the repo's cheap default
+(M=4, K=8) — the realistic number a user of "similarity search"
+experiences. Full table (incl. K=64 and the iid contrast) is
+measured by tools/ann_recall.py and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+_SPEC = importlib.util.spec_from_file_location(
+    "ann_recall",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "ann_recall.py",
+    ),
+)
+ann_recall = importlib.util.module_from_spec(_SPEC)
+sys.modules["ann_recall"] = ann_recall
+_SPEC.loader.exec_module(ann_recall)
+
+
+def test_refine_recall_on_structured_vectors(spark, tmp_path):
+    from kafkatoclickhouse_spark import registry
+    from kafkatoclickhouse_spark.operators import kmeans as KM
+    from kafkatoclickhouse_spark.operators import pq as PQ
+
+    sf_dir = ann_recall.make_structured_embeddings(
+        spark, str(tmp_path / "structured"), n=2000, clusters=16
+    )
+    truth = ann_recall.exact_truth(sf_dir)
+    # default repo config (M=4, K=8) — fresh caches so the codebooks
+    # train on THIS fixture
+    PQ._BOOK_CACHE.clear()
+    KM._TRAIN_CACHE.clear()
+    try:
+        rows = registry.QUERIES["sim_pq_refine_topk"](
+            spark, sf_dir
+        ).collect()
+    finally:
+        PQ._BOOK_CACHE.clear()
+        KM._TRAIN_CACHE.clear()
+    rec = ann_recall._mean_recall(rows, truth)
+    assert rec >= 0.8, f"structured refine recall@10 {rec:.3f} < 0.8"
