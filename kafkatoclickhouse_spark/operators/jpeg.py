@@ -114,12 +114,49 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol for the decoder."""
-    return {
-        (ln, code): sym
-        for sym, (code, ln) in _canonical_codes(bits, vals).items()
-    }
+_LUT_CACHE: dict[tuple, list[int]] = {}
+
+
+def _lut_table(bits: list[int], vals: list[int]) -> list[int]:
+    """16-bit-peek Huffman LUT (the libjpeg fast path): index by the
+    next 16 bits of the stream; entry = (symbol << 8) | consumed_bits
+    (0 ⇒ invalid code). Canonical codes are prefix-free, so every
+    16-bit word starting with code c of length L maps to c's symbol —
+    a slice assignment per symbol. Returned as a plain Python list
+    (C-speed scalar indexing in the decode loop; numpy scalar reads
+    are ~5× slower) and CACHED per table definition — every camera/
+    libjpeg stream ships the same Annex-K tables, so across a corpus
+    the build cost amortizes to zero."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    for sym, (code, ln) in _canonical_codes(bits, vals).items():
+        lo = code << (16 - ln)
+        hi = (code + 1) << (16 - ln)
+        lut[lo:hi] = (sym << 8) | ln
+    out = lut.tolist()
+    if len(_LUT_CACHE) > 64:  # corpus-of-distinct-tables backstop
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = out
+    return out
+
+
+def _unstuff(data: bytes) -> bytes:
+    """Remove JPEG byte stuffing (0x00 after 0xFF) in one vectorized
+    pass; reject embedded markers (0xFF followed by non-0x00) — the
+    same strictness the incremental reader had."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ff = arr == 0xFF
+    if not ff.any():
+        return data
+    ff_pos = np.nonzero(ff)[0]
+    if ff_pos[-1] == len(arr) - 1 or (arr[ff_pos + 1] != 0x00).any():
+        raise ValueError("unexpected marker in entropy data")
+    keep = np.ones(len(arr), dtype=bool)
+    keep[ff_pos + 1] = False
+    return arr[keep].tobytes()
 
 
 class _BitWriter:
@@ -143,53 +180,6 @@ class _BitWriter:
             pad = 8 - self._n
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self._out)
-
-
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self._data = data
-        self._pos = 0
-        self._acc = 0
-        self._n = 0
-
-    def _fill(self) -> None:
-        if self._pos >= len(self._data):
-            raise ValueError("JPEG entropy stream exhausted")
-        b = self._data[self._pos]
-        self._pos += 1
-        if b == 0xFF:
-            if (
-                self._pos >= len(self._data)
-                or self._data[self._pos] != 0x00
-            ):
-                raise ValueError("unexpected marker in entropy data")
-            self._pos += 1  # skip stuffed 0x00
-        self._acc = (self._acc << 8) | b
-        self._n += 8
-
-    def bits(self, n: int) -> int:
-        while self._n < n:
-            self._fill()
-        self._n -= n
-        v = (self._acc >> self._n) & ((1 << n) - 1)
-        self._acc &= (1 << self._n) - 1  # keep the int small
-        return v
-
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bits(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in JPEG stream")
-
-
-def _extend(v: int, size: int) -> int:
-    """T.81 F.2.2.1 EXTEND: map ``size`` raw bits to a signed value."""
-    if size == 0:
-        return 0
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
 def _category(v: int) -> int:
@@ -219,8 +209,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
-    huff_dc: dict[int, dict] = {}
-    huff_ac: dict[int, dict] = {}
+    huff_dc_raw: dict[int, tuple[list[int], list[int]]] = {}
+    huff_ac_raw: dict[int, tuple[list[int], list[int]]] = {}
     frame = None
     scan = None
     data_start = None
@@ -270,8 +260,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nv])
-                table = _decode_table(bits, vals)
-                (huff_dc if tc == 0 else huff_ac)[th] = table
+                (huff_dc_raw if tc == 0 else huff_ac_raw)[th] = (bits, vals)
                 p += 17 + nv
         elif marker == 0xDA:  # SOS
             ns = seg[0]
@@ -293,41 +282,100 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     end = payload.find(b"\xff\xd9", data_start)
     if end < 0:
         end = len(payload)
-    reader = _BitReader(payload[data_start:end])
+    # Hot path, r8 brief #7: (1) unstuff once, vectorized; (2) Huffman
+    # via 16-bit-peek LUTs — one lookup per symbol instead of a
+    # bit-at-a-time tree walk; (3) entropy-decode into a flat
+    # (n_blocks, 64) coefficient matrix, then dequant/unzigzag/iDCT
+    # the WHOLE image as three numpy batch ops. Only the inherently
+    # sequential symbol walk stays a Python loop.
+    data = _unstuff(payload[data_start:end]) + b"\x00\x00\x00\x00"
     by, bx = (h + 7) // 8, (w + 7) // 8
-    planes = [
-        np.zeros((by * 8, bx * 8), dtype=np.float64) for _ in comps
+    nc = len(comps)
+    n_blocks = by * bx * nc
+    luts = [
+        (_lut_table(*huff_dc_raw[td]), _lut_table(*huff_ac_raw[ta]))
+        for (_cid, td, ta) in scan
     ]
-    pred = [0] * len(comps)
+    pred = [0] * nc
+    pos = 0  # bit cursor
+    total_bits = (len(data) - 4) * 8
+    # flat Python list for the sequential fill; reshaped to numpy once
+    flat = [0] * (n_blocks * 64)
+    for blk in range(n_blocks):
+        ci = blk % nc
+        dc_lut, ac_lut = luts[ci]
+        base = blk * 64
+        # DC
+        i = pos >> 3
+        wnd = (
+            (data[i] << 24) | (data[i + 1] << 16)
+            | (data[i + 2] << 8) | data[i + 3]
+        )
+        e = dc_lut[(wnd >> (16 - (pos & 7))) & 0xFFFF]
+        if e == 0:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        s = e >> 8
+        pos += e & 0xFF
+        if s:
+            i = pos >> 3
+            wnd = (
+                (data[i] << 24) | (data[i + 1] << 16)
+                | (data[i + 2] << 8) | data[i + 3]
+            )
+            v = (wnd >> (32 - (pos & 7) - s)) & ((1 << s) - 1)
+            pos += s
+            pred[ci] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        flat[base] = pred[ci]
+        k = 1
+        while k < 64:
+            i = pos >> 3
+            wnd = (
+                (data[i] << 24) | (data[i + 1] << 16)
+                | (data[i + 2] << 8) | data[i + 3]
+            )
+            e = ac_lut[(wnd >> (16 - (pos & 7))) & 0xFFFF]
+            if e == 0:
+                raise ValueError("invalid Huffman code in JPEG stream")
+            rs = e >> 8
+            pos += e & 0xFF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            size = rs & 0x0F
+            if k > 63:
+                raise ValueError("AC coefficient overrun")
+            i = pos >> 3
+            wnd = (
+                (data[i] << 24) | (data[i + 1] << 16)
+                | (data[i + 2] << 8) | data[i + 3]
+            )
+            v = (wnd >> (32 - (pos & 7) - size)) & ((1 << size) - 1)
+            pos += size
+            flat[base + k] = (
+                v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+            )
+            k += 1
+        if pos > total_bits + 7:
+            raise ValueError("JPEG entropy stream exhausted")
+    coefs = np.array(flat, dtype=np.int64).reshape(n_blocks, 64)
+    # batch dequant (per component), unzigzag, iDCT — all vectorized
     comp_q = {cid: tq for cid, tq in comps}
-    for my in range(by):
-        for mx in range(bx):
-            for ci, (cid, td, ta) in enumerate(scan):
-                coef = np.zeros(64, dtype=np.int64)
-                s = reader.huff(huff_dc[td])
-                diff = _extend(reader.bits(s), s) if s else 0
-                pred[ci] += diff
-                coef[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.huff(huff_ac[ta])
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = rs >> 4, rs & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient overrun")
-                    coef[k] = _extend(reader.bits(size), size)
-                    k += 1
-                dq = (coef * qt[comp_q[cid]]).astype(np.float64)
-                block = dq[UNZIGZAG].reshape(8, 8)
-                pix = _A.T @ block @ _A
-                planes[ci][
-                    my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
-                ] = pix
+    qrows = np.stack(
+        [qt[comp_q[scan[ci][0]]] for ci in range(nc)]
+    ).astype(np.int64)  # (nc, 64) in zigzag order
+    dq = coefs * np.tile(qrows, (by * bx, 1))
+    blocks = dq[:, UNZIGZAG].reshape(n_blocks, 8, 8).astype(np.float64)
+    pix = np.einsum("ij,bjk,kl->bil", _A.T, blocks, _A)
+    # blocks interleave (mcu-major, component-minor); regroup per
+    # component into (by, bx, 8, 8) → (by*8, bx*8)
+    pix = pix.reshape(by, bx, nc, 8, 8)
+    planes = [
+        pix[:, :, ci].transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        for ci in range(nc)
+    ]
     planes = [p[:h, :w] + 128.0 for p in planes]
     if len(planes) == 1:
         g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -39,13 +39,23 @@ OUTPUT_SCHEMA = "user_id long, event_type string, n_total long, seq long"
 
 
 class TypeCountProcessor(StatefulProcessor):
-    """See module docstring."""
+    """See module docstring. ``ttl_ms`` (r8 brief #6) bounds state
+    lifetime: entries idle past the TTL expire from the store — the
+    state-size backstop an unbounded-key 100 TB stream needs (a
+    feature-store counter for a user never seen again must not occupy
+    RocksDB forever). Expired entries read back as absent, so a
+    returning key restarts its totals from zero."""
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        self._ttl_ms = ttl_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._counts = handle.getMapState(
-            "counts", "event_type string", "n long"
+            "counts", "event_type string", "n long", ttlDurationMs=self._ttl_ms
         )
-        self._seq = handle.getValueState("seq", "seq long")
+        self._seq = handle.getValueState(
+            "seq", "seq long", ttlDurationMs=self._ttl_ms
+        )
 
     def handleInputRows(
         self,
@@ -78,16 +88,20 @@ class TypeCountProcessor(StatefulProcessor):
         pass
 
 
-def keyed_type_counts_tws(events: DataFrame) -> DataFrame:
+def keyed_type_counts_tws(
+    events: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """(user_id, event_type) running totals as versioned snapshot
-    rows; requires the RocksDB state store provider."""
+    rows; requires the RocksDB state store provider. With ``ttl_ms``
+    set, idle state expires (TTL needs the processing-time mode —
+    expiry timestamps are wall-clock)."""
     return (
         events.select("user_id", "event_type")
         .groupBy("user_id")
         .transformWithStateInPandas(
-            statefulProcessor=TypeCountProcessor(),
+            statefulProcessor=TypeCountProcessor(ttl_ms),
             outputStructType=OUTPUT_SCHEMA,
             outputMode="append",
-            timeMode="none",
+            timeMode="none" if ttl_ms is None else "processingTime",
         )
     )

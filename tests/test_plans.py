@@ -398,3 +398,72 @@ def test_bucketed_embedding_dedup_never_cartesian(spark, sf_dir):
     plan = plans.plan_string(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_aqe_skew_join_splits_skewed_partition(spark, sf_dir):
+    """VERDICT r8 #5: `join_salted_skew` proves MANUAL salting; at
+    100× you also want evidence Spark's own adaptive skew-join fires.
+    Build a join where one key holds ~half the fact rows (synthetic
+    range — the driver fixture is below the skew detector's floor
+    even with minimum thresholds), lower the AQE skew thresholds to
+    local scale, and assert the EXECUTED plan's sort-merge join
+    carries the skew=true marker (AQE split the oversized partition
+    into parallel sub-reads).
+
+    When does manual salting still win? (1) broadcast-ineligible
+    AGGREGATIONS (AQE skew handling covers joins, not groupBy — the
+    two-phase salted agg `agg_salted_two_phase` stays the fix there);
+    (2) skewed keys on BOTH sides (AQE splits one side's partition
+    and replicates the other's matching partition wholesale — if that
+    side is itself huge, salting bounds the replication explicitly);
+    (3) engines/configs without AQE. Otherwise prefer the built-in:
+    it needs no key rewrite and adapts per-batch."""
+    from pyspark.sql import functions as F
+
+    from kafkatoclickhouse_spark import plans
+
+    prev = {}
+    tune = {
+        # force SMJ (no broadcast escape hatch) and make the skew
+        # detector fire at local scale
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": (
+            "64KB"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    for k, v in tune.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(400_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            (F.col("id") % 100).alias("val"),
+        )
+        dim = spark.range(400_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = fact.join(dim, "k").groupBy().agg(
+            F.sum("val").alias("s"), F.count("*").alias("n")
+        )
+        [row] = joined.collect()  # materialize → AQE finalizes
+        final = plans.executed_plan_string(joined)
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, (
+            "AQE did not mark the skewed join:\n" + final
+        )
+        # and the result is still exactly the unskewed semantics:
+        # every even id joins key 1 (hits dim once), odd ids hit once
+        n_even = 200_000
+        n_odd = 200_000
+        assert row["n"] == n_even + n_odd
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1322,3 +1322,81 @@ def test_count_window_jvm_multi_batch_carryover(spark, raw_feed_dir, tmp_path):
         map(tuple, expect.select(cols).collect())
     )
     assert got.filter(F.col("flush_reason") != "count").count() == 0
+
+
+def test_type_counts_tws_ttl_expires_idle_state(spark, sf_dir, tmp_path):
+    """VERDICT r8 #6 — tws state TTL, the state-size backstop a
+    100 TB stream needs: counters configured with a TTL must expire
+    between runs, so a key returning AFTER the TTL restarts its
+    totals from zero instead of resuming (and absent TTL the same
+    replay accumulates — covered by the running-totals test above).
+    Two availableNow runs share one checkpoint; the wall-clock sleep
+    between them exceeds the TTL."""
+    import time
+
+    from kafkatoclickhouse_spark.streaming.type_counts_tws import (
+        keyed_type_counts_tws,
+    )
+
+    ttl_ms = 1500
+    rows_a = [(1, "click"), (1, "click"), (2, "view")]
+    rows_b = [(1, "click"), (2, "view"), (2, "view")]
+    feed = tmp_path / "ttl_feed"
+    feed.mkdir()
+    schema = "user_id long, event_type string"
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(
+        str(feed / "a")
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    out_dir = str(tmp_path / "ttl_out")
+
+    def drain(name):
+        # file sink, not memory: the memory sink cannot resume from an
+        # existing checkpoint, and run 2 must share run 1's state.
+        stream = spark.readStream.schema(schema).parquet(str(feed) + "/*")
+        q = (
+            keyed_type_counts_tws(stream, ttl_ms=ttl_ms)
+            .writeStream.foreachBatch(
+                sink.foreach_batch_writer(sink.parquet_writer(out_dir))
+            )
+            .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_dir).collect()
+
+    try:
+        out_a = drain("ttl_run_a")
+        assert {
+            (r["user_id"], r["event_type"]): r["n_total"] for r in out_a
+        } == {(1, "click"): 2, (2, "view"): 1}
+
+        time.sleep(ttl_ms / 1000 + 1.5)  # let every entry expire
+        spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(
+            str(feed / "b")
+        )
+        out_b = drain("ttl_run_b")
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", prev
+        )
+    # the parquet sink accumulates both runs; run B's emissions are
+    # the new rows. Expired state ⇒ batch-B-only counts AND a seq
+    # restarted at 1 (the seq ValueState expired too) — resumed state
+    # would instead show n_total 3 / seq 2.
+    new_rows = {
+        (r["user_id"], r["event_type"], r["n_total"], r["seq"])
+        for r in out_b
+    } - {
+        (r["user_id"], r["event_type"], r["n_total"], r["seq"])
+        for r in out_a
+    }
+    assert new_rows == {(1, "click", 1, 1), (2, "view", 2, 1)}, new_rows
