@@ -396,14 +396,18 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
 
 def _encode_block(
     writer: _BitWriter,
-    qcoef: np.ndarray,
+    qcoef: list[int],
+    last_nz: int,
     pred: int,
     dc_codes: dict,
     ac_codes: dict,
 ) -> int:
-    """Huffman-encode one quantized, zigzagged 64-vector; returns the
-    new DC predictor."""
-    dc = int(qcoef[0])
+    """Huffman-encode one quantized, zigzagged 64-vector (a plain
+    Python list — the batched DCT hands rows over via .tolist() so
+    the symbol loop runs on C-speed int ops); returns the new DC
+    predictor. ``last_nz`` is the index of the last nonzero
+    coefficient (0 when all-zero), precomputed vectorized."""
+    dc = qcoef[0]
     diff = dc - pred
     s = _category(diff)
     code, ln = dc_codes[s]
@@ -411,11 +415,8 @@ def _encode_block(
     if s:
         writer.put(diff if diff > 0 else diff + (1 << s) - 1, s)
     run = 0
-    last_nz = max(np.nonzero(qcoef)[0]) if np.any(qcoef) else 0
-    for k in range(1, 64):
-        v = int(qcoef[k])
-        if k > last_nz:
-            break
+    for k in range(1, last_nz + 1):
+        v = qcoef[k]
         if v == 0:
             run += 1
             continue
@@ -448,19 +449,31 @@ def _dht_seg(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
 
-def _component_blocks(plane: np.ndarray, quant: np.ndarray):
-    """Yield zigzagged quantized 64-vectors in MCU raster order."""
+def _component_qcoefs(
+    plane: np.ndarray, quant: np.ndarray
+) -> tuple[list[list[int]], list[int]]:
+    """All of a plane's zigzagged quantized 64-vectors in MCU raster
+    order, DCT'd and quantized as ONE batched numpy op (per-block
+    matmuls in a Python loop dominated the old encoder), handed back
+    as Python lists for the symbol loop — plus each block's last
+    nonzero index, computed vectorized."""
     h, w = plane.shape
     by, bx = (h + 7) // 8, (w + 7) // 8
     padded = np.empty((by * 8, bx * 8), dtype=np.float64)
     padded[:h, :w] = plane
     padded[h:, :w] = plane[h - 1 : h, :]  # edge-replicate pad
     padded[:, w:] = padded[:, w - 1 : w]
-    for my in range(by):
-        for mx in range(bx):
-            block = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
-            coef = (_A @ block @ _A.T).reshape(64)[ZIGZAG]
-            yield np.round(coef / quant[np.arange(64)]).astype(np.int64)
+    blocks = (
+        padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coef = _A @ blocks @ _A.T  # batched over the leading block axis
+    q = np.round(coef.reshape(-1, 64)[:, ZIGZAG] / quant).astype(np.int64)
+    nz = q != 0
+    last_nz = np.where(
+        nz.any(axis=1), 63 - np.argmax(nz[:, ::-1], axis=1), 0
+    )
+    return q.tolist(), last_nz.tolist()
 
 
 # quant tables: DC step 8 makes constant blocks lossless (module
@@ -476,8 +489,9 @@ def encode_jpeg_gray(img: np.ndarray, quant: np.ndarray = GRAY_QUANT) -> bytes:
     ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
     writer = _BitWriter()
     pred = 0
-    for q in _component_blocks(img.astype(np.float64), quant):
-        pred = _encode_block(writer, q, pred, dc_codes, ac_codes)
+    qrows, lasts = _component_qcoefs(img.astype(np.float64), quant)
+    for q, last in zip(qrows, lasts):
+        pred = _encode_block(writer, q, last, pred, dc_codes, ac_codes)
     out = bytearray(b"\xff\xd8")
     out += _quant_seg(0, quant)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
@@ -507,14 +521,15 @@ def encode_jpeg_rgb(img: np.ndarray, quant: np.ndarray = COLOR_QUANT) -> bytes:
         (_canonical_codes(DC_CHR_BITS, DC_CHR_VALS),
          _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)),
     ]
-    gens = [_component_blocks(p, quant) for p in planes]
+    comp = [_component_qcoefs(p, quant) for p in planes]
     writer = _BitWriter()
     preds = [0, 0, 0]
     by, bx = (h + 7) // 8, (w + 7) // 8
-    for _ in range(by * bx):
+    for blk in range(by * bx):
         for ci in range(3):
+            qrows, lasts = comp[ci]
             preds[ci] = _encode_block(
-                writer, next(gens[ci]), preds[ci], *tabs[ci]
+                writer, qrows[blk], lasts[blk], preds[ci], *tabs[ci]
             )
     out = bytearray(b"\xff\xd8")
     out += _quant_seg(0, quant)
