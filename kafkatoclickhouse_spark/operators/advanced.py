@@ -661,3 +661,141 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+# -- Bloom-filter prefilter (the 100 TB join-pruning sketch) -----------------
+
+BLOOM_BITS = 8192
+BLOOM_HASHES = 3
+
+
+def _bloom_hash_sql(key_expr: str, seed: int) -> str:
+    return (
+        f"CAST('0x' || substring(md5('{seed}:' || CAST({key_expr} "
+        f"AS VARCHAR)), 1, 15) AS BIGINT) % {BLOOM_BITS}"
+    )
+
+
+@query(
+    "agg_bloom_prefilter_join",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+      SELECT DISTINCT {_bloom_hash_sql("o_custkey", 0)} AS bit FROM keys
+      UNION
+      SELECT DISTINCT {_bloom_hash_sql("o_custkey", 1)} FROM keys
+      UNION
+      SELECT DISTINCT {_bloom_hash_sql("o_custkey", 2)} FROM keys
+    ),
+    probe AS (
+      SELECT c_custkey,
+             ({_bloom_hash_sql("c_custkey", 0)} IN (SELECT bit FROM bits)
+              AND {_bloom_hash_sql("c_custkey", 1)} IN (SELECT bit FROM bits)
+              AND {_bloom_hash_sql("c_custkey", 2)} IN (SELECT bit FROM bits))
+               AS bloom_pos,
+             c_custkey IN (SELECT o_custkey FROM keys) AS is_member
+      FROM customer
+    )
+    SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_build_keys,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_positive,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_members,
+           CAST(SUM(CASE WHEN bloom_pos AND NOT is_member
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
+    FROM probe
+    """,
+)
+def agg_bloom_prefilter_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Portable Bloom-filter build + probe (Bloom 1970): the
+    join-pruning sketch a 100 TB pipeline ships to the scan side
+    instead of a multi-TB shuffle. Build: the distinct urgent-order
+    custkeys hash through {BLOOM_HASHES} portable md5 functions into
+    a {BLOOM_BITS}-bit set (materialized as a distinct bit table —
+    at most k·|keys| narrow rows, broadcastable by construction).
+    Probe: every customer is bloom-positive iff all k of its bits are
+    set; the summary row counts build keys, set bits, bloom
+    positives, true members (exact semi-join) and false positives —
+    the sketch's measurable precision. Spark's native
+    ``bloom_filter_agg`` does this JVM-side with the same plan shape;
+    the md5 family keeps it oracle-replayable (swap noted in
+    functions/hashing.py). One tiny shuffle on the distinct keys;
+    bit-set and key-set joins are broadcasts; no row ever carries
+    more than (key, bit)."""
+    from kafkatoclickhouse_spark.functions.hashing import portable_hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+
+    def bloom_bit(col: F.Column, seed: int) -> F.Column:
+        return portable_hash64(col.cast("string"), seed) % BLOOM_BITS
+
+    bits = None
+    for s in range(BLOOM_HASHES):
+        b = keys.select(bloom_bit(F.col("o_custkey"), s).alias("bit"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct()
+
+    probe = customer.select("c_custkey")
+    for s in range(BLOOM_HASHES):
+        probe = probe.withColumn(f"bit{s}", bloom_bit(F.col("c_custkey"), s))
+    flagged = probe
+    for s in range(BLOOM_HASHES):
+        flagged = flagged.join(
+            F.broadcast(
+                bits.select(
+                    F.col("bit").alias(f"bit{s}"),
+                    F.lit(1).alias(f"hit{s}"),
+                )
+            ),
+            f"bit{s}",
+            "left",
+        )
+    bloom_pos = (
+        sum(F.coalesce(F.col(f"hit{s}"), F.lit(0)) for s in range(BLOOM_HASHES))
+        == BLOOM_HASHES
+    )
+    membered = flagged.join(
+        F.broadcast(
+            keys.select(
+                F.col("o_custkey").alias("c_custkey"),
+                F.lit(1).alias("member"),
+            )
+        ),
+        "c_custkey",
+        "left",
+    ).select(
+        bloom_pos.alias("bloom_pos"),
+        (F.coalesce(F.col("member"), F.lit(0)) == 1).alias("is_member"),
+    )
+    probe_summary = membered.agg(
+        F.sum(F.when(F.col("bloom_pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_positive"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_members"),
+        F.sum(
+            F.when(F.col("bloom_pos") & ~F.col("is_member"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_positives"),
+    )
+    # scalar single-row aggregates join in as broadcast fan-ins — no
+    # driver-side count() at plan-build time
+    return (
+        keys.agg(F.count("*").cast("long").alias("n_build_keys"))
+        .crossJoin(bits.agg(F.count("*").cast("long").alias("n_bits_set")))
+        .crossJoin(probe_summary)
+    )

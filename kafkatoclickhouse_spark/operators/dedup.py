@@ -934,3 +934,84 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.cast("long").alias("hamming"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment
+# ---------------------------------------------------------------------------
+
+# containment >= 0.8 compared as 5*c >= 4*min(n_a, n_b): integer-exact
+CONTAINMENT_NUM = 4
+CONTAINMENT_DEN = 5
+
+
+def _sql_containment_pairs() -> str:
+    return f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.c AS BIGINT) AS n_shared,
+           CAST(LEAST(za.n, zb.n) AS BIGINT) AS n_smaller,
+           ROUND(s.c * 1.0 / LEAST(za.n, zb.n), 6) AS containment
+    FROM shared s
+    JOIN sizes za ON za.doc_id = s.doc_a
+    JOIN sizes zb ON zb.doc_id = s.doc_b
+    WHERE {CONTAINMENT_DEN} * s.c
+          >= {CONTAINMENT_NUM} * LEAST(za.n, zb.n)
+    """
+
+
+@query("dedup_ngram_containment", oracle=_sql_containment_pairs())
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplicate pairs by shingle-set CONTAINMENT
+    (Broder 1997's other resemblance measure): |A∩B| / min(|A|,|B|)
+    ≥ 0.8, doc_a < doc_b. Jaccard misses subset duplicates — a
+    document quoted whole inside a 5× longer page scores J ≈ 0.2 but
+    containment 1.0 — and training corpora are full of exactly that
+    (quotation, aggregation, boilerplate expansion). Candidates come
+    from the same frequency-capped shingle equi-join as
+    ``dedup_ngram_jaccard`` (cap² bound per shingle); the threshold
+    test is integer cross-multiplication (5·c ≥ 4·min), so no float
+    ratio decides membership."""
+    shingled = _shingled(spark, sf_dir).cache()
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    cands = rare_shingle_candidates(exploded, SHINGLE_DF_CAP)
+    sa = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    shared = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    smaller = F.least(F.size("sh_a"), F.size("sh_b")).cast("long")
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            shared.alias("n_shared"),
+            smaller.alias("n_smaller"),
+        )
+        .filter(
+            CONTAINMENT_DEN * F.col("n_shared")
+            >= CONTAINMENT_NUM * F.col("n_smaller")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_smaller",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_smaller"), 6
+            ).alias("containment"),
+        )
+    )

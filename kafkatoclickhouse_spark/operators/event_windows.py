@@ -602,3 +602,67 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum("value", "total_value"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS dst,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS src
+      FROM events
+    ),
+    t AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM ordered WHERE src IS NOT NULL
+      GROUP BY src, dst
+    )
+    SELECT src, dst, n_transitions,
+           CAST((n_transitions * 1000000)
+                // SUM(n_transitions) OVER (PARTITION BY src)
+                AS BIGINT) AS prob_ppm
+    FROM t
+    """,
+)
+def events_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (src, dst) counts from lag() pairs, plus the
+    conditional transition probability as an exact integer ppm
+    (floor(n·10⁶ / Σ_src) — integer division, so no float ratio can
+    flap the hash). One exchange on user_id orders the sequences;
+    the (src, dst) aggregate is tiny (|event_type|² rows) and the
+    per-src normalization is a window over that tiny result. At
+    100 TB the user_id shuffle is the only data-sized stage — the
+    plan a clickstream/session-model pipeline needs."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    )
+    t = (
+        ordered.filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
+    wsrc = W.partitionBy("src")
+    return (
+        t.withColumn(
+            "src_total", F.sum("n_transitions").over(wsrc)
+        )
+        # integer DIV, not float /: floor of a rounded double can
+        # disagree with true integer division near exact boundaries
+        .select(
+            "src",
+            "dst",
+            "n_transitions",
+            F.expr(
+                "CAST((n_transitions * 1000000) DIV src_total AS BIGINT)"
+            ).alias("prob_ppm"),
+        )
+    )

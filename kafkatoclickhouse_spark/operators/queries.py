@@ -1378,3 +1378,57 @@ def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="n",
     )
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id, event_type,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT event_type) per user in event-time
+    order — a window Spark (and ANSI SQL) cannot express directly
+    (no DISTINCT aggregates over a running frame), rewritten as the
+    standard first-occurrence-flag + prefix-sum composition:
+    row_number()=1 over (user, type) marks each type's first event,
+    then an integer running sum over (user) counts the marks. Both
+    windows hash-partition on user_id-prefixed keys and the state per
+    row is one integer, so the rewrite scales where a naive
+    collect_set-over-window (O(types) state per row) would not."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.sum("first_seen")
+            .over(w_run)
+            .cast("long")
+            .alias("distinct_types_so_far"),
+        )
+    )

@@ -1344,3 +1344,97 @@ def text_bm25_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_terms_hit",
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality gate
+# ---------------------------------------------------------------------------
+#
+# Rahimi/Rae et al., "Scaling Language Models: Methods, Analysis &
+# Insights from Training Gopher" (2021), §A1.1: documents are kept only
+# if word count, mean word length, alphabetic-word ratio and stopword
+# presence all fall inside fixed bands. Unlike ``text_quality`` (a
+# smooth [0,1] score for ranking), this is the hard boolean gate a
+# pretraining pipeline applies FIRST — so the flags must be replayable
+# bit-for-bit. Every band test below is pure integer arithmetic
+# (3·n ≤ chars ≤ 10·n instead of 3.0 ≤ chars/n ≤ 10.0), so no float
+# division can flap a boundary document between engines.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3  # inclusive lower bound, mean word length
+GOPHER_MAX_MEAN_LEN = 10  # inclusive upper bound
+GOPHER_MIN_STOPWORDS = 2
+# alpha-word ratio >= 0.8  <=>  5 * n_alpha >= 4 * n_words
+
+_SQL_GOPHER = f"""
+    WITH g AS (
+      SELECT doc_id,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_words,
+             CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+               AS n_word_chars,
+             CAST(len(list_filter({_SQL_WORDS},
+                  w -> regexp_matches(w, '^[a-z]+$'))) AS BIGINT)
+               AS n_alpha_words,
+             {_SQL_N_STOPWORDS} AS n_stopwords
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stopwords,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AS word_count_ok,
+           n_word_chars >= {GOPHER_MIN_MEAN_LEN} * n_words
+             AND n_word_chars <= {GOPHER_MAX_MEAN_LEN} * n_words
+             AS mean_word_len_ok,
+           5 * n_alpha_words >= 4 * n_words AS alpha_ratio_ok,
+           n_stopwords >= {GOPHER_MIN_STOPWORDS} AS stopwords_ok,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AND n_word_chars >= {GOPHER_MIN_MEAN_LEN} * n_words
+             AND n_word_chars <= {GOPHER_MAX_MEAN_LEN} * n_words
+             AND 5 * n_alpha_words >= 4 * n_words
+             AND n_stopwords >= {GOPHER_MIN_STOPWORDS} AS keep
+    FROM g
+    """
+
+
+@query("text_gopher_rules", oracle=_SQL_GOPHER)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 hard quality gate: per-document integer counts
+    plus the four boolean band tests and the composite ``keep`` flag.
+    Map-only (no shuffle); each band compares integers, never a float
+    ratio, so the gate is engine- and partitioning-stable. At 100 TB
+    this runs at parquet-scan speed ahead of every other filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    g = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+        .cast("long")
+        .alias("n_word_chars"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("^[a-z]+$"))
+        )
+        .cast("long")
+        .alias("n_alpha_words"),
+        textfns.stopword_count(F.col("text")).alias("n_stopwords"),
+    )
+    word_count_ok = F.col("n_words").between(
+        GOPHER_MIN_WORDS, GOPHER_MAX_WORDS
+    )
+    mean_len_ok = (
+        F.col("n_word_chars") >= GOPHER_MIN_MEAN_LEN * F.col("n_words")
+    ) & (F.col("n_word_chars") <= GOPHER_MAX_MEAN_LEN * F.col("n_words"))
+    alpha_ok = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    stop_ok = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    return g.select(
+        "doc_id",
+        "n_words",
+        "n_word_chars",
+        "n_alpha_words",
+        "n_stopwords",
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_word_len_ok"),
+        alpha_ok.alias("alpha_ratio_ok"),
+        stop_ok.alias("stopwords_ok"),
+        (word_count_ok & mean_len_ok & alpha_ok & stop_ok).alias("keep"),
+    )

@@ -329,3 +329,119 @@ def test_pq_adc_recall_and_structure(spark, sf_dir):
     recs = [len(v & truth[q]) / len(truth[q]) for q, v in per_q.items()]
     mean_rec = sum(recs) / len(recs)
     assert mean_rec >= 0.4, f"ivfpq+refine mean recall {mean_rec:.3f} < 0.4"
+
+
+# -- round-9 session additions ----------------------------------------------
+
+
+def test_containment_superset_of_jaccard(spark, sf_dir):
+    """Every Jaccard>=0.8 pair is a containment>=0.8 pair (containment
+    >= jaccard pointwise), and containment values are in (0, 1]."""
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_ngram_jaccard"](
+            spark, sf_dir
+        ).collect()
+    }
+    cont_rows = registry.QUERIES["dedup_ngram_containment"](
+        spark, sf_dir
+    ).collect()
+    cont = {(r.doc_a, r.doc_b) for r in cont_rows}
+    assert jac <= cont
+    assert all(0.0 < r.containment <= 1.0 for r in cont_rows)
+    assert all(r.n_shared <= r.n_smaller for r in cont_rows)
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Bloom membership is one-sided: every true member is
+    bloom-positive, so positives = members + false positives exactly;
+    the bit table can't exceed k·keys or the filter width."""
+    row = registry.QUERIES["agg_bloom_prefilter_join"](
+        spark, sf_dir
+    ).collect()[0]
+    from kafkatoclickhouse_spark.operators import advanced as adv
+
+    assert row.n_bloom_positive == row.n_true_members + row.n_false_positives
+    assert row.n_bits_set <= min(
+        adv.BLOOM_BITS, adv.BLOOM_HASHES * row.n_build_keys
+    )
+    assert row.n_true_members > 0
+
+
+def test_sq8_recall_vs_bruteforce(spark, sf_dir):
+    """INT8-quantized top-10 retains >=60% of the exact cosine top-10
+    per query on average (4x compression; iid-noise fixture is the
+    quantizer's worst case, like PQ — see operators/pq.py docstring).
+    Also: every SQ8 score ties out as a bona fide BIGINT (no float)."""
+    exact = registry.QUERIES["sim_topk_bruteforce"](spark, sf_dir)
+    sq8 = registry.QUERIES["sim_sq8_topk"](spark, sf_dir)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in sq8.collect():
+        assert isinstance(r.score_scaled, int)
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(got) == set(ex)
+    recalls = [
+        len(ex[q] & got[q]) / len(ex[q]) for q in ex
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_gopher_gate_matches_recomputed_flags(spark, sf_dir):
+    """The composite keep flag is exactly the AND of the four band
+    tests, and the bands are live (both outcomes occur at sf0.01)."""
+    rows = registry.QUERIES["text_gopher_rules"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.keep == (
+            r.word_count_ok
+            and r.mean_word_len_ok
+            and r.alpha_ratio_ok
+            and r.stopwords_ok
+        )
+    keeps = {r.keep for r in rows}
+    assert keeps == {True, False}
+
+
+def test_markov_rows_are_probabilities(spark, sf_dir):
+    """Per-src ppm sums land in (1e6 - n_dst, 1e6] (floor rounding
+    loses < 1 ppm per destination), counts are positive, and the
+    transition count total equals events minus one per user."""
+    rows = registry.QUERIES["events_markov_transitions"](
+        spark, sf_dir
+    ).collect()
+    by_src = {}
+    total = 0
+    for r in rows:
+        assert r.n_transitions > 0
+        by_src.setdefault(r.src, []).append(r.prob_ppm)
+        total += r.n_transitions
+    for src, ppms in by_src.items():
+        assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000, src
+    ev = registry.QUERIES["ingest_keyed_counts"]  # noqa: F841 (anchor)
+    from kafkatoclickhouse_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert total == n_events - n_users
+
+
+def test_running_distinct_monotone_and_bounded(spark, sf_dir):
+    """distinct_so_far is per-user monotone nondecreasing in event
+    order and ends at the user's exact distinct-type count."""
+    df = registry.QUERIES["window_running_distinct"](spark, sf_dir)
+    pdf = df.toPandas()
+    from kafkatoclickhouse_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").toPandas()
+    order = events.sort_values(["user_id", "ts", "event_id"])
+    merged = order.merge(
+        pdf, on=["user_id", "event_id", "event_type"], how="inner"
+    )
+    assert len(merged) == len(events)
+    for uid, g in merged.groupby("user_id"):
+        vals = g["distinct_types_so_far"].tolist()
+        assert vals == sorted(vals)
+        assert vals[-1] == g["event_type"].nunique()
