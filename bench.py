@@ -103,6 +103,17 @@ HEADLINE = [
     # postings build/serve lifecycle (VERDICT r8 #3)
     "multimodal_decode_png_stats",
     "text_bm25_serve_topk",
+    # round-9 session additions: quality gate, containment dedup,
+    # quantized-similarity tier (SQ8 flat + IVF-SQ8), Bloom prefilter,
+    # Markov transitions, running-distinct window
+    "text_gopher_rules",
+    "dedup_ngram_containment",
+    "sim_sq8_topk",
+    "sim_ivf_sq8_topk",
+    "sim_mmr_rerank_topk",
+    "agg_bloom_prefilter_join",
+    "events_markov_transitions",
+    "window_running_distinct",
 ]
 
 

@@ -732,20 +732,31 @@ def agg_bloom_prefilter_join(
 
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    # cache the tiny distinct key set: it feeds the bit table, the
+    # exact-membership broadcast AND the n_build_keys aggregate — one
+    # orders scan instead of three (at 100 TB the scan is the cost)
     keys = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
         .distinct()
+        .cache()
     )
 
     def bloom_bit(col: F.Column, seed: int) -> F.Column:
         return portable_hash64(col.cast("string"), seed) % BLOOM_BITS
 
-    bits = None
-    for s in range(BLOOM_HASHES):
-        b = keys.select(bloom_bit(F.col("o_custkey"), s).alias("bit"))
-        bits = b if bits is None else bits.unionByName(b)
-    bits = bits.distinct()
+    # all k bits in ONE pass over the key set (explode of a k-array),
+    # not a k-way union that re-reads the keys per hash function
+    bits = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    bloom_bit(F.col("o_custkey"), s)
+                    for s in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("bit")
+    ).distinct()
 
     probe = customer.select("c_custkey")
     for s in range(BLOOM_HASHES):

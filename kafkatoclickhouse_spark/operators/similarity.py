@@ -775,3 +775,418 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+@query(
+    "sim_ivf_sq8_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             ORDER BY vec_id LIMIT {NUM_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, v, cid AS cell FROM (
+        SELECT e.vec_id, e.v, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COSINE.format(a="e.v", b="cent.cv")} DESC,
+                          cent.cid) AS rn
+        FROM e, cent)
+      WHERE rn = 1
+    ),
+    c AS (
+      SELECT vec_id, cell,
+             CAST(floor(max_abs * 1000000) AS BIGINT) AS scale_micro,
+             {_SQL_INT8_CODES.format(v="v", m="max_abs")} AS codes
+      FROM (SELECT vec_id, cell, v,
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                     AS max_abs
+            FROM assign)
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % {QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {QUERY_LIMIT}),
+    qc AS (
+      SELECT query_id,
+             {_SQL_INT8_CODES.format(v="qv", m="max_abs")} AS qcodes
+      FROM (SELECT query_id, qv,
+                   list_aggregate(list_transform(qv, x -> abs(x)), 'max')
+                     AS max_abs
+            FROM q)
+    ),
+    probes AS (
+      SELECT query_id, cid AS qcell FROM (
+        SELECT q.query_id, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_SQL_COSINE.format(a="q.qv", b="cent.cv")} DESC,
+                          cent.cid) AS rn
+        FROM q, cent)
+      WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             CAST(c.scale_micro
+                  * CAST(list_dot_product(
+                        list_transform(qc.qcodes, x -> CAST(x AS DOUBLE)),
+                        list_transform(c.codes, x -> CAST(x AS DOUBLE)))
+                    AS BIGINT) AS BIGINT) AS score_scaled
+      FROM probes p
+      JOIN qc ON qc.query_id = p.query_id
+      JOIN c ON c.cell = p.qcell AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, score_scaled,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY score_scaled DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 composite (the FAISS ``IVFx,SQ8`` index): coarse
+    cells prune ~(1 − nprobe/K) of the corpus exactly as
+    ``sim_ivf_topk``, then candidates inside the probed cells are
+    scored in INT8 code space — 4× less candidate bandwidth than the
+    float IVF scan while the ranking stays an exact BIGINT compare.
+    This is the missing middle of the quantized tier: SQ8 alone still
+    scans every vector; IVF-SQ8's per-query cost is
+    nprobe·n/K code-dot-products over 68-byte rows. Cell assignment
+    is the same broadcast-centroid argmax (at 100 TB it runs once at
+    ingest); query codes broadcast with the probe list."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        em.orderBy("vec_id")
+        .limit(NUM_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            norm(F.col("embedding")).alias("cn"),
+        )
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("cs"), "cid")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    assign = (
+        fan_out(em)
+        .withColumn("en", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            cosine_with_norms(
+                F.col("embedding"), F.col("cv"), F.col("en"), F.col("cn")
+            ).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", v.alias("v"), F.col("cid").alias("cell"))
+        .withColumn(
+            "max_abs", F.array_max(F.transform("v", lambda x: F.abs(x)))
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.floor(F.col("max_abs") * 1_000_000)
+            .cast("long")
+            .alias("scale_micro"),
+            int8_codes(F.col("v"), F.col("max_abs")).alias("codes"),
+        )
+    )
+    queries = (
+        em.filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(QUERY_LIMIT)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            norm(F.col("embedding")).alias("qn"),
+        )
+    )
+    pw = W.partitionBy("query_id").orderBy(F.desc("cs"), "cid")
+    qv_d = F.transform(F.col("qv"), lambda x: x.cast("double"))
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "cid",
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", qv_d.alias("qv"), F.col("cid").alias("qcell"))
+        .withColumn(
+            "q_max_abs", F.array_max(F.transform("qv", lambda x: F.abs(x)))
+        )
+        .select(
+            "query_id",
+            "qcell",
+            int8_codes(F.col("qv"), F.col("q_max_abs")).alias("qcodes"),
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with("qcodes", "codes", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = assign.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.col("scale_micro") * idot).alias("score_scaled"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score_scaled",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-rank
+# ---------------------------------------------------------------------------
+
+MMR_C = 25  # candidate pool per query (exact top-C by cosine)
+MMR_K = 5  # diversified selections per query
+# MMR objective with lambda = 0.7, held as INTEGER coefficients
+# (7*rel - 3*max_sim): multiply-by-small-int is one exactly-rounded
+# IEEE op, so both engines score identical doubles, where a 0.7
+# literal would parse DECIMAL in one engine and DOUBLE in the other.
+MMR_REL_W = 7
+MMR_PEN_W = 3
+
+
+def _sql_mmr() -> str:
+    """Unrolled greedy MMR: sel_1 = argmax rel; sel_k = argmax over
+    the unselected of (7·rel − 3·max sim to selected). Each step is
+    one mechanical CTE; ties break on neighbor_id."""
+    steps = [
+        f"""
+    sel_1 AS MATERIALIZED (
+      SELECT query_id, nid, rel, 1 AS step,
+             {MMR_REL_W} * rel AS mmr
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY rel DESC, nid) AS rn
+            FROM cands)
+      WHERE rn = 1
+    )"""
+    ]
+    for k in range(2, MMR_K + 1):
+        prev = f"sel_{k - 1}" if k == 2 else f"acc_{k - 1}"
+        steps.append(
+            f"""
+    scored_{k} AS MATERIALIZED (
+      SELECT c.query_id, c.nid, c.rel,
+             {MMR_REL_W} * c.rel - {MMR_PEN_W} * MAX(s.sim) AS mmr
+      FROM cands c
+      JOIN {prev} p ON p.query_id = c.query_id
+      JOIN sims s ON s.query_id = c.query_id
+               AND s.b = c.nid AND s.a = p.nid
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                        WHERE x.query_id = c.query_id AND x.nid = c.nid)
+      GROUP BY c.query_id, c.nid, c.rel
+    ),
+    sel_{k} AS MATERIALIZED (
+      SELECT query_id, nid, rel, {k} AS step, mmr
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY mmr DESC, nid) AS rn
+            FROM scored_{k})
+      WHERE rn = 1
+    ),
+    acc_{k} AS MATERIALIZED (SELECT query_id, nid, rel, step, mmr FROM {prev}
+                UNION ALL
+                SELECT query_id, nid, rel, step, mmr FROM sel_{k})"""
+        )
+    chain = ",".join(steps)
+    # MATERIALIZED: the K unrolled steps reference cands/sims many
+    # times; inlined CTEs would recompute the candidate scan per
+    # reference (measured 62 s -> sub-second at sf0.1)
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % {QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {QUERY_LIMIT}),
+    cands AS MATERIALIZED (
+      SELECT query_id, nid, rel, v FROM (
+        SELECT query_id, e.vec_id AS nid,
+               {_SQL_COSINE.format(a="qv", b="e.v")} AS rel, e.v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {_SQL_COSINE.format(a="qv", b="e.v")} DESC,
+                          e.vec_id) AS rn
+        FROM q JOIN e ON e.vec_id <> query_id)
+      WHERE rn <= {MMR_C}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.query_id, a.nid AS a, b.nid AS b,
+             {_SQL_COSINE.format(a="a.v", b="b.v")} AS sim
+      FROM cands a JOIN cands b
+        ON a.query_id = b.query_id AND a.nid <> b.nid
+    ),{chain}
+    SELECT query_id, nid AS neighbor_id, CAST(step AS INTEGER) AS step,
+           ROUND(mmr, 6) AS mmr
+    FROM acc_{MMR_K}
+    """
+
+
+@query("sim_mmr_rerank_topk", oracle=_sql_mmr())
+def sim_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy Maximal-Marginal-Relevance re-rank (Carbonell &
+    Goldstein, SIGIR'98) — the diversification pass RAG retrieval
+    runs AFTER ANN: from each query's exact top-{MMR_C} pool, pick
+    {MMR_K} results one at a time, each maximizing
+    7·relevance − 3·(max similarity to the already-picked). Greedy
+    selection is inherently sequential in K but K is a constant:
+    each step is one join against the (tiny, per-query) selected set
+    plus a per-query argmax window — K−1 small shuffles over
+    queries×pool rows, NEVER over the corpus. The corpus-sized work
+    (candidate generation) is the same broadcast brute-force scan as
+    ``sim_topk_bruteforce``; pool pair-similarities are computed once
+    (pool² per query) and reused by every step. All scoring is
+    integer-weighted double arithmetic identical in the oracle's
+    unrolled CTE chain."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        em.filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(QUERY_LIMIT)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            norm(F.col("embedding")).alias("qn"),
+        )
+    )
+    cw = W.partitionBy("query_id").orderBy(F.desc("rel"), "nid")
+    cands = (
+        fan_out(em)
+        .withColumn("en", norm(F.col("embedding")))
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nid"),
+            cosine_with_norms(
+                F.col("qv"), F.col("embedding"), F.col("qn"), F.col("en")
+            ).alias("rel"),
+            F.col("embedding").alias("v"),
+            F.col("en").alias("vn"),
+        )
+        .withColumn("rn", F.row_number().over(cw))
+        .filter(F.col("rn") <= MMR_C)
+        .drop("rn")
+        .cache()  # K steps + the sims self-join all reread the pool
+    )
+    sa = cands.select(
+        "query_id",
+        F.col("nid").alias("a"),
+        F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    sb = cands.select(
+        "query_id",
+        F.col("nid").alias("b"),
+        F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
+    sims = (
+        sa.join(sb, ["query_id"])
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("sim"),
+        )
+        .cache()
+    )
+    pool = cands.select("query_id", "nid", "rel")
+    w1 = W.partitionBy("query_id").orderBy(F.desc("rel"), "nid")
+    step1 = (
+        pool.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "nid",
+            "rel",
+            F.lit(1).alias("step"),
+            (F.lit(MMR_REL_W) * F.col("rel")).alias("mmr"),
+        )
+    )
+    # Greedy selection: each step's picks are collected to the driver
+    # (|queries| rows — a scalar-scale barrier, same pattern as the
+    # Lloyd loop in operators/kmeans.py) and re-enter the next step's
+    # plan as a broadcast literal table. Without the barrier each
+    # step's lineage embeds every earlier step's windows and joins —
+    # the plan grows multiplicatively in K (measured 2m38s at sf0.1);
+    # with it every step is one flat job over the cached pool.
+    # Doubles survive the collect round-trip bit-exactly.
+    sel_schema = "query_id long, nid long, rel double, step int, mmr double"
+    sel_rows = [tuple(r) for r in step1.collect()]
+    for k in range(2, MMR_K + 1):
+        prev = spark.createDataFrame(sel_rows, sel_schema)
+        remaining = pool.join(
+            F.broadcast(prev.select("query_id", "nid")),
+            ["query_id", "nid"],
+            "left_anti",
+        )
+        scored = (
+            remaining.alias("c")
+            .join(
+                F.broadcast(
+                    prev.select(
+                        F.col("query_id").alias("pq"),
+                        F.col("nid").alias("pa"),
+                    )
+                ),
+                F.col("c.query_id") == F.col("pq"),
+            )
+            .join(
+                sims.alias("s"),
+                (F.col("s.query_id") == F.col("c.query_id"))
+                & (F.col("s.b") == F.col("c.nid"))
+                & (F.col("s.a") == F.col("pa")),
+            )
+            .groupBy(
+                F.col("c.query_id").alias("query_id"),
+                F.col("c.nid").alias("nid"),
+                F.col("c.rel").alias("rel"),
+            )
+            .agg(
+                (
+                    F.lit(MMR_REL_W) * F.col("rel")
+                    - F.lit(MMR_PEN_W) * F.max("sim")
+                ).alias("mmr")
+            )
+        )
+        wk = W.partitionBy("query_id").orderBy(F.desc("mmr"), "nid")
+        pick = (
+            scored.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "nid", "rel", F.lit(k).alias("step"), "mmr"
+            )
+        )
+        sel_rows = sel_rows + [tuple(r) for r in pick.collect()]
+    return spark.createDataFrame(sel_rows, sel_schema).select(
+        "query_id",
+        F.col("nid").alias("neighbor_id"),
+        F.col("step").cast("int").alias("step"),
+        F.round("mmr", 6).alias("mmr"),
+    )

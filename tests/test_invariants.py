@@ -445,3 +445,22 @@ def test_running_distinct_monotone_and_bounded(spark, sf_dir):
         vals = g["distinct_types_so_far"].tolist()
         assert vals == sorted(vals)
         assert vals[-1] == g["event_type"].nunique()
+
+
+def test_mmr_rerank_properties(spark, sf_dir):
+    """Greedy MMR: exactly MMR_K distinct picks per query, drawn from
+    the exact top-MMR_C pool; step 1 is exactly the brute-force
+    rank-1 neighbor (no penalty applies to the first pick)."""
+    from kafkatoclickhouse_spark.operators import similarity as sim
+
+    rows = registry.QUERIES["sim_mmr_rerank_topk"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.step] = r.neighbor_id
+    bf = registry.QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
+    rank1 = {r.query_id: r.neighbor_id for r in bf if r.rank == 1}
+    assert set(by_q) == set(rank1)
+    for q, picks in by_q.items():
+        assert sorted(picks) == list(range(1, sim.MMR_K + 1))
+        assert len(set(picks.values())) == sim.MMR_K
+        assert picks[1] == rank1[q]
