@@ -114,6 +114,7 @@ HEADLINE = [
     "agg_bloom_prefilter_join",
     "events_markov_transitions",
     "window_running_distinct",
+    "corpus_budget_select",
 ]
 
 

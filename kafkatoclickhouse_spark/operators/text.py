@@ -1438,3 +1438,119 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ok.alias("stopwords_ok"),
         (word_count_ok & mean_len_ok & alpha_ok & stop_ok).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget data selection
+# ---------------------------------------------------------------------------
+#
+# "Fill a 20k-token budget with the highest-quality documents" — the
+# data-selection primitive behind quality-thresholded pretraining
+# mixes: rank by quality, take the prefix whose token sum fits. A
+# naive global ORDER BY quality + running sum is a single-partition
+# sort at 100 TB; the scale-correct shape (below) aggregates
+# token totals per integer quality key FIRST (tiny table: ≤ 1e6+1
+# distinct keys), prefix-sums over THAT to locate every key's budget
+# offset, then needs per-document ordering only WITHIN each quality
+# key — a partitioned window, never a global sort.
+
+BUDGET_TOKENS = 20_000
+
+# Inline scalar twin of textfns.quality_score / _SQL_QUALITY_SELECT
+# (same sub-expressions in the same order, so the engines' doubles
+# are identical — text_quality's parity pins the formula itself).
+_SQL_QUALITY_EXPR = """ROUND((
+      least(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
+      + greatest(0.0, 1.0 - (CASE WHEN LENGTH(text) > 0
+            THEN CAST(LENGTH(text)
+                 - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+                 AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)
+            ELSE 0.0 END) * 5.0)
+      + least((CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+            THEN CAST({nstop} AS DOUBLE)
+                 / CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS DOUBLE)
+            ELSE 0.0 END) * 4.0, 1.0)
+    ) / 3.0, 6)""".format(nstop=_SQL_N_STOPWORDS)
+
+_SQL_BUDGET_SELECT = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_toks,
+             CAST(floor(({_SQL_QUALITY_EXPR}) * 1000000) AS BIGINT) AS qm
+      FROM documents
+    ),
+    per_key AS (
+      SELECT qm, SUM(n_toks) AS toks FROM d GROUP BY qm
+    ),
+    offsets AS (
+      SELECT qm,
+             CAST(COALESCE(SUM(toks) OVER (ORDER BY qm DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM per_key
+    )
+    SELECT d.doc_id, d.qm AS quality_micro, d.n_toks,
+           CAST(o.cum_before + SUM(d.n_toks) OVER (
+             PARTITION BY d.qm ORDER BY d.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens
+    FROM d JOIN offsets o ON o.qm = d.qm
+    QUALIFY cum_tokens <= {BUDGET_TOKENS}
+    """
+
+
+@query("corpus_budget_select", oracle=_SQL_BUDGET_SELECT)
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget selection: the documents that fill
+    a {BUDGET_TOKENS}-token budget best-quality-first (ties within a
+    quality value break on doc_id). Two-phase so no global sort ever
+    happens: (1) token totals per integer quality key (floor(q·10⁶) —
+    the same micro-grid trick the kmeans ops use) aggregate to a
+    bounded-size table whose prefix sum locates each key's budget
+    offset; (2) documents prefix-sum only WITHIN their key (window
+    partitioned by quality key). A document is selected iff its key
+    offset plus its within-key running total fits the budget — which
+    reproduces the global greedy selection exactly, because every
+    higher-quality key's documents precede it in full."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    d = docs.select(
+        "doc_id",
+        textfns.ws_token_count(F.col("text")).alias("n_toks"),
+        F.floor(textfns.quality_score(F.col("text")) * 1_000_000)
+        .cast("long")
+        .alias("qm"),
+    )
+    per_key = d.groupBy("qm").agg(F.sum("n_toks").alias("toks"))
+    # global window over the per-key AGGREGATE (bounded cardinality,
+    # ≤ 1e6+1 rows at any corpus size) — not over the corpus
+    w_off = (
+        W.orderBy(F.desc("qm"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = per_key.select(
+        "qm",
+        F.coalesce(F.sum("toks").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    w_in = (
+        W.partitionBy("qm")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.join(F.broadcast(offsets), "qm")
+        .select(
+            "doc_id",
+            F.col("qm").alias("quality_micro"),
+            "n_toks",
+            (F.col("cum_before") + F.sum("n_toks").over(w_in))
+            .cast("long")
+            .alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= BUDGET_TOKENS)
+    )

@@ -464,3 +464,42 @@ def test_mmr_rerank_properties(spark, sf_dir):
         assert sorted(picks) == list(range(1, sim.MMR_K + 1))
         assert len(set(picks.values())) == sim.MMR_K
         assert picks[1] == rank1[q]
+
+
+def test_budget_select_is_greedy_optimal_prefix(spark, sf_dir):
+    """The selection equals the greedy quality-ranked prefix: total
+    tokens fit the budget, no unselected document (higher in the
+    (quality desc, doc_id) order than the last pick) could have been
+    added, and selected docs are exactly an order-prefix plus the
+    boundary-key partial."""
+    from kafkatoclickhouse_spark.operators import text as textops
+    from kafkatoclickhouse_spark.functions import textfns
+    from kafkatoclickhouse_spark.tables import load_table
+
+    sel = registry.QUERIES["corpus_budget_select"](spark, sf_dir).collect()
+    budget = textops.BUDGET_TOKENS
+    total = sum(r.n_toks for r in sel)
+    assert total <= budget
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            textfns.ws_token_count(F.col("text")).alias("n_toks"),
+            F.floor(textfns.quality_score(F.col("text")) * 1_000_000)
+            .cast("long")
+            .alias("qm"),
+        )
+        .collect()
+    )
+    order = sorted(docs, key=lambda r: (-r.qm, r.doc_id))
+    # replay the greedy selection independently
+    expect, cum = set(), 0
+    for r in order:
+        if cum + r.n_toks <= budget:
+            expect.add(r.doc_id)
+            cum += r.n_toks
+        else:
+            break  # greedy prefix stops at the first non-fitting doc
+    got = {r.doc_id for r in sel}
+    assert got == expect
+    assert total == cum
