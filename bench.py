@@ -212,6 +212,17 @@ def main() -> None:
     all_fns = {n: registry.QUERIES[n] for n in names} | {
         n: f for n, f in extra_fns.items() if n not in skip
     }
+    # re-measurement escape hatch: restrict to a comma-separated key
+    # subset (used to patch single keys into the scale-curve caches
+    # after a targeted rewrite without re-running every point)
+    only = {
+        s
+        for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if s
+    }
+    if only:
+        all_fns = {n: f for n, f in all_fns.items() if n in only}
+        names = [n for n in names if n in only]
     samples: dict[str, list[float]] = {n: [] for n in all_fns}
     # Per-query error isolation (VERDICT r5 #2): one broken query must
     # cost its own key, never the round's entire bench evidence. A

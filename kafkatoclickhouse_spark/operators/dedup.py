@@ -974,32 +974,70 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.8, doc_a < doc_b. Jaccard misses subset duplicates — a
     document quoted whole inside a 5× longer page scores J ≈ 0.2 but
     containment 1.0 — and training corpora are full of exactly that
-    (quotation, aggregation, boilerplate expansion). Candidates come
-    from the same frequency-capped shingle equi-join as
-    ``dedup_ngram_jaccard`` (cap² bound per shingle); the threshold
-    test is integer cross-multiplication (5·c ≥ 4·min), so no float
-    ratio decides membership."""
+    (quotation, aggregation, boilerplate expansion).
+
+    Unlike Jaccard, |A∩B| needs no union term, so the whole verify
+    collapses into the candidate join itself: GROUP BY (doc_a, doc_b)
+    over the frequency-capped shingle equi-join COUNTS the shared
+    shingles directly — the pair shuffle carries (id, id, count) and
+    the size join two ints; NO shingle array is ever shipped per
+    pair. (The array-hydrating verify this replaced flagged 13× on
+    the sf1.0 scale hop — GC-bound array shuffles.) With the df cap
+    binding (hot boilerplate shingles at 100 TB) the count is a
+    LOWER bound, so emitted pairs are a precision-safe subset — the
+    same recall argument as ``rare_shingle_candidates``; at every
+    fixture scale the cap is far from binding and the count is
+    exact (oracle-checked). The threshold test is integer
+    cross-multiplication (5·c ≥ 4·min): no float ratio decides
+    membership."""
+    # cache: shingling feeds the hot-list agg, the pair join AND the
+    # size table — one materialization serves all three
     shingled = _shingled(spark, sf_dir).cache()
     exploded = shingled.select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    cands = rare_shingle_candidates(exploded, SHINGLE_DF_CAP)
-    sa = shingled.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    sizes = shingled.select(
+        "doc_id", F.size("shingles").cast("long").alias("n")
     )
-    sb = shingled.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
     )
-    shared = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
-    smaller = F.least(F.size("sh_a"), F.size("sh_b")).cast("long")
+    rare = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    a = rare.alias("a")
+    b = rare.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
     return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        counts.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+            ),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
-            shared.alias("n_shared"),
-            smaller.alias("n_smaller"),
+            "n_shared",
+            F.least("na", "nb").alias("n_smaller"),
         )
         .filter(
             CONTAINMENT_DEN * F.col("n_shared")
