@@ -115,6 +115,7 @@ HEADLINE = [
     "events_markov_transitions",
     "window_running_distinct",
     "corpus_budget_select",
+    "multimodal_phash_groups",
 ]
 
 

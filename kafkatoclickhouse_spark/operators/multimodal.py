@@ -838,3 +838,120 @@ def multimodal_decode_png_stats(
     a real corpus swaps the synthesizer for an object-store fetch."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_stats(synthesize_png_images(docs))
+
+
+# -- perceptual-hash image dedup --------------------------------------------
+#
+# dHash (difference hash): downsample the grayscale image to a tiny
+# grid of box means, emit one bit per horizontally-adjacent cell pair
+# (right mean > left mean), group images by the resulting hash. The
+# standard 9x8/64-bit variant assumes >= 9-px-wide images; the fixture
+# images are 8-12 x 6-9 px, so the grid is 5x4 -> 16 gradient bits,
+# which keeps every cell non-empty at all fixture dims while
+# exercising the identical construction. Cells are the closed-form
+# partition cx = (x*COLS) // w (no boundary table — the same integer
+# expression evaluates in numpy and SQL), cell means are integer
+# floor-division, so the hash is exact in both engines.
+
+PH_COLS = 5  # grid columns -> PH_COLS-1 gradient bits per row
+PH_ROWS = 4  # grid rows
+
+
+def _phash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        hashes = []
+        for b in pdf["payload"]:
+            arr = decode_image(bytes(b))
+            h, w = arr.shape[0], arr.shape[1]
+            gray = arr.astype(np.int64).sum(axis=2) // 3
+            cx = (np.arange(w, dtype=np.int64) * PH_COLS) // w
+            cy = (np.arange(h, dtype=np.int64) * PH_ROWS) // h
+            cell = cy[:, None] * PH_COLS + cx[None, :]
+            sums = np.bincount(
+                cell.ravel(), weights=None, minlength=PH_ROWS * PH_COLS
+            ).astype(np.int64)
+            gsum = np.bincount(
+                cell.ravel(),
+                weights=gray.ravel().astype(np.float64),
+                minlength=PH_ROWS * PH_COLS,
+            ).astype(np.int64)
+            means = (gsum // sums).reshape(PH_ROWS, PH_COLS)
+            phash = 0
+            for r in range(PH_ROWS):
+                for c in range(PH_COLS - 1):
+                    if means[r, c + 1] > means[r, c]:
+                        phash |= 1 << (r * (PH_COLS - 1) + c)
+            hashes.append(phash)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+
+@query(
+    "multimodal_phash_groups",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             {PPM_W_BASE} + doc_id % {PPM_W_MOD} AS w,
+             {PPM_H_BASE} + doc_id % {PPM_H_MOD} AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             unnest(range(w * h)) % w AS x,
+             unnest(range(w * h)) // w AS y
+      FROM dims
+    ),
+    cells AS (
+      SELECT doc_id, (y * {PH_ROWS}) // h AS cy, (x * {PH_COLS}) // w AS cx,
+             SUM(((doc_id * 7 + x * 3 + y * 5) % 256
+                  + (doc_id * 11 + x * 2 + y * 3) % 256
+                  + (doc_id * 13 + x * 5 + y * 7) % 256) // 3)
+               // COUNT(*) AS m
+      FROM px GROUP BY doc_id, cy, cx
+    ),
+    bits AS (
+      SELECT a.doc_id,
+             SUM(CASE WHEN b.m > a.m
+                 THEN 1 << (a.cy * {PH_COLS - 1} + a.cx) ELSE 0 END)
+               AS phash
+      FROM cells a JOIN cells b
+        ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+      GROUP BY a.doc_id
+    )
+    SELECT doc_id, CAST(phash AS BIGINT) AS phash,
+           CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT)
+             AS group_size
+    FROM bits
+    """,
+)
+def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate grouping by perceptual difference-hash:
+    synthesize each document's PPM payload, DECODE it through the real
+    pure-numpy P6 parser, box-downsample the grayscale to a
+    {PH_ROWS}×{PH_COLS} grid of integer means, hash the horizontal
+    gradient signs, and group images sharing a hash. The whole decode
+    → hash pass is one Arrow-batched mapInPandas stage (map-only —
+    the same kernel slot a PIL/cv2 decode occupies at production);
+    only (doc_id, 2-byte phash) rows reach the grouping shuffle, never
+    pixels — which is what makes image dedup tractable at 100 TB.
+    Oracle recomputes the hash from the closed-form pixel rule; gray
+    means use floor division so both engines compare exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    images = synthesize_ppm_images(docs.select("doc_id"))
+    hashed = images.mapInPandas(
+        _phash_batches, schema="doc_id long, phash long"
+    )
+    from pyspark.sql import Window as W
+
+    return hashed.select(
+        "doc_id",
+        "phash",
+        F.count("*")
+        .over(W.partitionBy("phash"))
+        .cast("long")
+        .alias("group_size"),
+    )

