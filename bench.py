@@ -109,6 +109,7 @@ HEADLINE = [
     "text_gopher_rules",
     "dedup_ngram_containment",
     "sim_sq8_topk",
+    "sim_sq8_refine_topk",
     "sim_ivf_sq8_topk",
     "sim_mmr_rerank_topk",
     "agg_bloom_prefilter_join",

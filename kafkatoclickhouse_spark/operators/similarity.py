@@ -1190,3 +1190,158 @@ def sim_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("step").cast("int").alias("step"),
         F.round("mmr", 6).alias("mmr"),
     )
+
+
+SQ8_FETCH = 100  # code-space over-fetch before the exact re-rank
+
+
+@query(
+    "sim_sq8_refine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (
+      SELECT vec_id,
+             CAST(floor(max_abs * 1000000) AS BIGINT) AS scale_micro,
+             {_SQL_INT8_CODES.format(v="v", m="max_abs")} AS codes
+      FROM (SELECT vec_id, v,
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                     AS max_abs
+            FROM e)
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % {QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {QUERY_LIMIT}),
+    qc AS (
+      SELECT query_id,
+             {_SQL_INT8_CODES.format(v="qv", m="max_abs")} AS qcodes
+      FROM (SELECT query_id, qv,
+                   list_aggregate(list_transform(qv, x -> abs(x)), 'max')
+                     AS max_abs
+            FROM q)
+    ),
+    fetched AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qc.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qc.query_id
+                 ORDER BY c.scale_micro
+                   * CAST(list_dot_product(
+                       list_transform(qc.qcodes, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.codes, x -> CAST(x AS DOUBLE)))
+                     AS BIGINT) DESC,
+                   c.vec_id) AS rn
+        FROM qc JOIN c ON c.vec_id <> qc.query_id)
+      WHERE rn <= {SQ8_FETCH}
+    ),
+    rescored AS (
+      SELECT f.query_id, f.neighbor_id,
+             {_SQL_COSINE.format(a="q.qv", b="e.v")} AS s
+      FROM fetched f
+      JOIN q ON q.query_id = f.query_id
+      JOIN e ON e.vec_id = f.neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(s, 6) AS score,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+          FROM rescored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_sq8_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 + exact refine (the FAISS IndexRefineFlat composition for
+    scalar quantizers): over-fetch top-{SQ8_FETCH} per query in INT8
+    code space — the cheap 4×-compressed scan — then hydrate ONLY
+    those candidates' float vectors by id equi-join and re-rank with
+    exact cosine. The refine step exists because within-CLUSTER
+    ranking needs resolution below the quantization step: on the
+    structured (clustered) fixture raw SQ8 recall@10 is 0.14 while
+    SQ8+refine recovers it (tools/ann_recall.py table in BASELINE.md)
+    — candidates are almost all right, only their fine order is
+    quantization-scrambled, so an exact re-rank over C=100 rows per
+    query (cost ∝ C, not corpus size) repairs it."""
+    em = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    codes = (
+        em.select("vec_id", v.alias("v"))
+        .withColumn(
+            "max_abs", F.array_max(F.transform("v", lambda x: F.abs(x)))
+        )
+        .select(
+            "vec_id",
+            F.floor(F.col("max_abs") * 1_000_000)
+            .cast("long")
+            .alias("scale_micro"),
+            int8_codes(F.col("v"), F.col("max_abs")).alias("codes"),
+        )
+    )
+    qfloat = (
+        em.filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(QUERY_LIMIT)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            norm(F.col("embedding")).alias("qn"),
+        )
+    )
+    qcodes = (
+        qfloat.select(
+            "query_id",
+            F.transform("qv", lambda x: x.cast("double")).alias("qvd"),
+        )
+        .withColumn(
+            "q_max_abs", F.array_max(F.transform("qvd", lambda x: F.abs(x)))
+        )
+        .select(
+            "query_id",
+            int8_codes(F.col("qvd"), F.col("q_max_abs")).alias("qcodes"),
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with("qcodes", "codes", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    fw = W.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), "neighbor_id"
+    )
+    fetched = (
+        fan_out(codes)
+        .join(F.broadcast(qcodes), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("scale_micro") * idot).alias("score_scaled"),
+        )
+        .withColumn("rn", F.row_number().over(fw))
+        .filter(F.col("rn") <= SQ8_FETCH)
+        .select("query_id", "neighbor_id")
+    )
+    hydrated = fetched.join(
+        em.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("nv"),
+            norm(F.col("embedding")).alias("nn"),
+        ),
+        "neighbor_id",
+    ).join(F.broadcast(qfloat), "query_id")
+    rescored = hydrated.select(
+        "query_id",
+        "neighbor_id",
+        cosine_with_norms(
+            F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")
+        ).alias("s"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
+    return (
+        rescored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("s", 6).alias("score"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )

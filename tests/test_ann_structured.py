@@ -49,3 +49,21 @@ def test_refine_recall_on_structured_vectors(spark, tmp_path):
         KM._TRAIN_CACHE.clear()
     rec = ann_recall._mean_recall(rows, truth)
     assert rec >= 0.8, f"structured refine recall@10 {rec:.3f} < 0.8"
+
+
+def test_sq8_refine_recall_on_structured_vectors(spark, tmp_path):
+    """Raw SQ8 collapses on clustered vectors (within-cluster score
+    gaps sit below the quantization step — measured 0.14), so the
+    composition a deployment runs is SQ8 over-fetch + exact re-rank;
+    that must reach recall@10 >= 0.8 here (measured 0.875)."""
+    from kafkatoclickhouse_spark import registry
+
+    sf_dir = ann_recall.make_structured_embeddings(
+        spark, str(tmp_path / "structured_sq8"), n=2000, clusters=16
+    )
+    truth = ann_recall.cosine_truth(sf_dir)
+    rows = registry.QUERIES["sim_sq8_refine_topk"](
+        spark, sf_dir
+    ).collect()
+    rec = ann_recall._mean_recall(rows, truth)
+    assert rec >= 0.8, f"structured sq8+refine recall@10 {rec:.3f} < 0.8"

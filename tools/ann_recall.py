@@ -135,6 +135,52 @@ def measure(spark, sf_dir: str, pq_k: int) -> dict[str, float]:
         KM._TRAIN_CACHE.clear()
 
 
+def cosine_truth(sf_dir: str, k: int = 10) -> dict[int, set[int]]:
+    """Exact-cosine ground truth under the SQ8 tier's query rule
+    (vec_id % 100 == 0, first 64) — float64 cosine, argsort with
+    stable neighbor-id tiebreak, self excluded."""
+    import duckdb
+
+    from kafkatoclickhouse_spark.operators import similarity as SIM
+
+    con = duckdb.connect()
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        path = os.path.join(path, "*.parquet")
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{path}' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    em = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((em * em).sum(axis=1))
+    qids = ids[ids % SIM.QUERY_MOD == 0][: SIM.QUERY_LIMIT]
+    truth = {}
+    for q in qids:
+        qv = em[ids == q][0]
+        s = (em @ qv) / (norms * np.sqrt(qv @ qv))
+        s[ids == q] = -np.inf
+        top = ids[np.argsort(-s, kind="stable")[:k]]
+        truth[int(q)] = set(int(t) for t in top)
+    return truth
+
+
+def measure_sq8(spark, sf_dir: str) -> dict[str, float]:
+    """recall@10 of the scalar-quantized tier (SQ8 full scan and
+    IVF-SQ8) against exact cosine — the quantized-tier contrast row
+    for the PQ table above."""
+    truth = cosine_truth(sf_dir)
+    out = {}
+    for tier, qname in (
+        ("sq8", "sim_sq8_topk"),
+        ("sq8_refine", "sim_sq8_refine_topk"),
+        ("ivf_sq8", "sim_ivf_sq8_topk"),
+        ("ivf_float", "sim_ivf_topk"),
+    ):
+        rows = registry.QUERIES[qname](spark, sf_dir).collect()
+        out[tier] = round(_mean_recall(rows, truth), 3)
+    return out
+
+
 def main() -> None:
     import tempfile
 
@@ -158,6 +204,11 @@ def main() -> None:
             out["recall_at_10"][f"iid_sf0.001_K{pq_k}"] = measure(
                 spark, "/root/testdata/sf0.001", pq_k
             )
+        # the scalar-quantized tier, exact-cosine truth
+        out["recall_at_10"]["structured_sq8"] = measure_sq8(spark, sf_dir)
+        out["recall_at_10"]["iid_sf0.001_sq8"] = measure_sq8(
+            spark, "/root/testdata/sf0.001"
+        )
     finally:
         import shutil
 
