@@ -117,6 +117,8 @@ HEADLINE = [
     "window_running_distinct",
     "corpus_budget_select",
     "multimodal_phash_groups",
+    "text_novelty_ppm",
+    "dedup_containment_clusters",
 ]
 
 

@@ -423,3 +423,66 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("component") == F.col("id")).alias("is_canonical"),
     )
+
+
+@query(
+    "dedup_containment_clusters",
+    oracle=f"""
+    WITH RECURSIVE {dedup._SQL_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT s.doc_a, s.doc_b
+      FROM shared s
+      JOIN sizes za ON za.doc_id = s.doc_a
+      JOIN sizes zb ON zb.doc_id = s.doc_b
+      WHERE {dedup.CONTAINMENT_DEN} * s.c
+            >= {dedup.CONTAINMENT_NUM} * LEAST(za.n, zb.n)
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src
+    )
+    SELECT id AS doc_id, MIN(lbl) AS cluster_id,
+           CAST(MIN(lbl) = id AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_containment_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate clusters over CONTAINMENT edges (≥ 0.8 of the
+    smaller shingle set shared) — the closure that actually removes
+    quote-expansion families: doc A quoted inside B quoted inside C
+    chains into ONE cluster even though A↔C's Jaccard is tiny.
+    Same star-loop closure and total (doc, cluster, canonical)
+    assignment as the Jaccard/LSH/embedding cluster ops — the pair
+    SOURCE is the only thing that changes, which is the point of the
+    factored closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.dedup_ngram_containment(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(
+        docs.select("doc_id"),
+        pairs,
+        id_col="doc_id",
+        src="doc_a",
+        dst="doc_b",
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("id")).alias("is_canonical"),
+    )

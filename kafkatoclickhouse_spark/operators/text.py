@@ -1554,3 +1554,69 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_tokens") <= BUDGET_TOKENS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle novelty
+# ---------------------------------------------------------------------------
+
+SHINGLE_N_NOVELTY = 3  # same 3-gram shingles as the dedup family
+
+
+@query(
+    "text_novelty_ppm",
+    oracle=f"""
+    WITH {hashing.sql_word_shingles(3)},
+    first_seen AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM sh s JOIN first_seen f ON f.shingle = s.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def text_novelty_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty score per document: the fraction of its
+    word-3-gram shingles whose FIRST corpus occurrence (min doc_id —
+    i.e. ingest order) is this document, as an exact integer ppm.
+    This is the curve a dedup/curriculum pipeline reads to decide
+    where a corpus stops adding new content — near-duplicates and
+    boilerplate-heavy tails score near 0, fresh material near 10⁶.
+    Plan: one shingle-keyed aggregate for the global first-occurrence
+    table (narrow (shingle, min) rows), one equi-join back, one
+    doc-keyed count — all linear, no pair join anywhere, so unlike
+    the pairwise dedup ops this sees every duplicate RELATION without
+    generating candidate pairs."""
+    shingled = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.explode(
+            hashing.word_shingles(F.col("text"), SHINGLE_N_NOVELTY)
+        ).alias("shingle"),
+    )
+    first_seen = shingled.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    joined = shingled.join(first_seen, "shingle")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("CAST((n_novel * 1000000) DIV n_shingles AS BIGINT)")
+            .alias("novelty_ppm"),
+        )
+    )

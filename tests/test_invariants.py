@@ -521,3 +521,53 @@ def test_phash_groups_consistency(spark, sf_dir):
     # structural signal: more than one group, not all singletons
     assert len(hist) > 1
     assert max(hist.values()) > 1
+
+
+def test_novelty_accounting(spark, sf_dir):
+    """novelty_ppm is in [0, 1e6]; the first document by id is fully
+    novel by construction; and novel-shingle counts across the corpus
+    sum to exactly the number of distinct shingles (each shingle is
+    novel in exactly one document — its first)."""
+    rows = registry.QUERIES["text_novelty_ppm"](spark, sf_dir).collect()
+    assert all(0 <= r.novelty_ppm <= 1_000_000 for r in rows)
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty_ppm == 1_000_000
+    from kafkatoclickhouse_spark.functions import hashing
+    from kafkatoclickhouse_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct = (
+        docs.select(
+            F.explode(
+                hashing.word_shingles(F.col("text"), 3)
+            ).alias("s")
+        )
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == n_distinct
+
+
+def test_containment_clusters_refine_jaccard_clusters(spark, sf_dir):
+    """Containment edges are a superset of Jaccard edges, so every
+    Jaccard cluster is contained within one containment cluster
+    (the closure can only merge, never split)."""
+    jac = {
+        r.doc_id: r.cluster_id
+        for r in registry.QUERIES["dedup_duplicate_clusters"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = {
+        r.doc_id: r.cluster_id
+        for r in registry.QUERIES["dedup_containment_clusters"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(jac) == set(con)
+    # same Jaccard cluster => same containment cluster
+    by_jac: dict[int, set[int]] = {}
+    for d, c in jac.items():
+        by_jac.setdefault(c, set()).add(con[d])
+    assert all(len(v) == 1 for v in by_jac.values())
