@@ -300,7 +300,14 @@ def main() -> None:
             "value: dedup_minhash_lsh_xxhash swaps the "
             "oracle-replayable md5 hash family for JVM xxhash64 "
             "(the documented 100TB production swap); compare with "
-            "queries.dedup_minhash_lsh for the md5 tax"
+            "queries.dedup_minhash_lsh for the md5 tax. "
+            "exception to the noop-sink protocol: "
+            "sim_mmr_rerank_topk's greedy K-step loop executes its "
+            "jobs at BUILDER-call time (driver-barrier per step, see "
+            "its docstring/PLANS.md note); the builder call sits "
+            "inside the timed region so its wall time is still "
+            "end-to-end, but the noop write itself is a local-table "
+            "no-op for this one key"
         ),
         "sf": sf,
     }

@@ -670,10 +670,14 @@ BLOOM_HASHES = 3
 
 
 def _bloom_hash_sql(key_expr: str, seed: int) -> str:
-    return (
-        f"CAST('0x' || substring(md5('{seed}:' || CAST({key_expr} "
-        f"AS VARCHAR)), 1, 15) AS BIGINT) % {BLOOM_BITS}"
+    # composed from the SINGLE portable-hash definition so a hash
+    # change updates the Spark side and this oracle together
+    from kafkatoclickhouse_spark.functions.hashing import (
+        sql_portable_hash64,
     )
+
+    h = sql_portable_hash64(f"CAST({key_expr} AS VARCHAR)", seed)
+    return f"{h} % {BLOOM_BITS}"
 
 
 @query(

@@ -945,25 +945,45 @@ CONTAINMENT_NUM = 4
 CONTAINMENT_DEN = 5
 
 
-def _sql_containment_pairs() -> str:
-    return f"""
-    WITH {_SQL_SHINGLES},
+def sql_containment_ctes() -> str:
+    """CTE chain (no WITH) ending at ``cpairs(doc_a, doc_b, c, na,
+    nb)`` — the capped-containment pair definition, defined ONCE and
+    composed by both the pair oracle and the cluster-closure oracle
+    in ``graph.py``. The df cap is applied in SQL exactly as in the
+    Spark plan (shingles with document frequency > cap are excluded
+    from the shared COUNT), so both engines compute the same capped
+    semantics at EVERY scale — sizes stay uncapped (true set sizes),
+    only the overlap count is rare-shingle-restricted."""
+    return f"""{_SQL_SHINGLES},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {SHINGLE_DF_CAP}
+    ),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM sh a JOIN sh b
+      FROM rare a JOIN rare b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT s.doc_a, s.doc_b,
-           CAST(s.c AS BIGINT) AS n_shared,
-           CAST(LEAST(za.n, zb.n) AS BIGINT) AS n_smaller,
-           ROUND(s.c * 1.0 / LEAST(za.n, zb.n), 6) AS containment
-    FROM shared s
-    JOIN sizes za ON za.doc_id = s.doc_a
-    JOIN sizes zb ON zb.doc_id = s.doc_b
-    WHERE {CONTAINMENT_DEN} * s.c
-          >= {CONTAINMENT_NUM} * LEAST(za.n, zb.n)
+    ),
+    cpairs AS (
+      SELECT s.doc_a, s.doc_b, s.c, za.n AS na, zb.n AS nb
+      FROM shared s
+      JOIN sizes za ON za.doc_id = s.doc_a
+      JOIN sizes zb ON zb.doc_id = s.doc_b
+      WHERE {CONTAINMENT_DEN} * s.c
+            >= {CONTAINMENT_NUM} * LEAST(za.n, zb.n)
+    )"""
+
+
+def _sql_containment_pairs() -> str:
+    return f"""
+    WITH {sql_containment_ctes()}
+    SELECT doc_a, doc_b,
+           CAST(c AS BIGINT) AS n_shared,
+           CAST(LEAST(na, nb) AS BIGINT) AS n_smaller,
+           ROUND(c * 1.0 / LEAST(na, nb), 6) AS containment
+    FROM cpairs
     """
 
 
@@ -982,14 +1002,18 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles directly — the pair shuffle carries (id, id, count) and
     the size join two ints; NO shingle array is ever shipped per
     pair. (The array-hydrating verify this replaced flagged 13× on
-    the sf1.0 scale hop — GC-bound array shuffles.) With the df cap
-    binding (hot boilerplate shingles at 100 TB) the count is a
-    LOWER bound, so emitted pairs are a precision-safe subset — the
-    same recall argument as ``rare_shingle_candidates``; at every
-    fixture scale the cap is far from binding and the count is
-    exact (oracle-checked). The threshold test is integer
-    cross-multiplication (5·c ≥ 4·min): no float ratio decides
-    membership."""
+    the sf1.0 scale hop — GC-bound array shuffles.)
+
+    Semantics are CAPPED containment, identically in BOTH engines:
+    the oracle applies the same df ≤ {SHINGLE_DF_CAP} filter before
+    counting (``sql_containment_ctes``), so parity holds by
+    construction at every scale — there is no fixture-scale-only
+    agreement. The cap means corpus-wide boilerplate shingles
+    deliberately do not count toward near-duplication (they carry no
+    discriminating signal; the same judgment candidate generation
+    already makes), while set SIZES stay uncapped. The threshold
+    test is integer cross-multiplication (5·c ≥ 4·min): no float
+    ratio decides membership."""
     # cache: shingling feeds the hot-list agg, the pair join AND the
     # size table — one materialization serves all three
     shingled = _shingled(spark, sf_dir).cache()

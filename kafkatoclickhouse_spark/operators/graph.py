@@ -427,27 +427,15 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_containment_clusters",
+    # pair semantics composed from dedup.sql_containment_ctes — the
+    # SINGLE capped-containment definition shared with the pair
+    # oracle, so a threshold/cap change updates both together
     oracle=f"""
-    WITH RECURSIVE {dedup._SQL_SHINGLES},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    shared AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM sh a JOIN sh b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT s.doc_a, s.doc_b
-      FROM shared s
-      JOIN sizes za ON za.doc_id = s.doc_a
-      JOIN sizes zb ON zb.doc_id = s.doc_b
-      WHERE {dedup.CONTAINMENT_DEN} * s.c
-            >= {dedup.CONTAINMENT_NUM} * LEAST(za.n, zb.n)
-    ),
+    WITH RECURSIVE {dedup.sql_containment_ctes()},
     edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      SELECT doc_a AS src, doc_b AS dst FROM cpairs
       UNION ALL
-      SELECT doc_b, doc_a FROM pairs
+      SELECT doc_b, doc_a FROM cpairs
     ),
     reach(id, lbl) AS (
       SELECT doc_id, doc_id FROM documents

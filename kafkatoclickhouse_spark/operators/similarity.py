@@ -681,6 +681,37 @@ _SQL_INT8_CODES = (
 )
 
 
+def sq8_encode(
+    df: DataFrame,
+    vec_col: str,
+    ids: tuple[str, ...],
+    already_double: bool = False,
+) -> DataFrame:
+    """(ids..., scale_micro, codes) — the ONE SQ8 encode pipeline
+    (double-cast, max-abs, micro-grid scale, int8 codes) shared by
+    the flat scan, the IVF composite and the refine over-fetch so a
+    scale/precision change can never leave the variants inconsistent
+    (the same single-definition discipline as ``int8_codes``)."""
+    v = (
+        F.col(vec_col)
+        if already_double
+        else F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
+    return (
+        df.select(*ids, v.alias("_v"))
+        .withColumn(
+            "_ma", F.array_max(F.transform("_v", lambda x: F.abs(x)))
+        )
+        .select(
+            *ids,
+            F.floor(F.col("_ma") * 1_000_000)
+            .cast("long")
+            .alias("scale_micro"),
+            int8_codes(F.col("_v"), F.col("_ma")).alias("codes"),
+        )
+    )
+
+
 @query(
     "sim_sq8_topk",
     oracle=f"""
@@ -728,20 +759,7 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float accumulation anywhere. Map-only encode, broadcast query
     codes, per-query top-k window; ties by neighbor_id."""
     em = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    codes = (
-        em.select("vec_id", v.alias("v"))
-        .withColumn(
-            "max_abs", F.array_max(F.transform("v", lambda x: F.abs(x)))
-        )
-        .select(
-            "vec_id",
-            F.floor(F.col("max_abs") * 1_000_000)
-            .cast("long")
-            .alias("scale_micro"),
-            int8_codes(F.col("v"), F.col("max_abs")).alias("codes"),
-        )
-    )
+    codes = sq8_encode(em, "embedding", ("vec_id",))
     queries = (
         codes.filter((F.col("vec_id") % QUERY_MOD) == 0)
         .orderBy("vec_id")
@@ -866,8 +884,7 @@ def sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     aw = W.partitionBy("vec_id").orderBy(F.desc("cs"), "cid")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    assign = (
+    assigned = (
         fan_out(em)
         .withColumn("en", norm(F.col("embedding")))
         .crossJoin(F.broadcast(cent))
@@ -881,19 +898,9 @@ def sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rn", F.row_number().over(aw))
         .filter(F.col("rn") == 1)
-        .select("vec_id", v.alias("v"), F.col("cid").alias("cell"))
-        .withColumn(
-            "max_abs", F.array_max(F.transform("v", lambda x: F.abs(x)))
-        )
-        .select(
-            "vec_id",
-            "cell",
-            F.floor(F.col("max_abs") * 1_000_000)
-            .cast("long")
-            .alias("scale_micro"),
-            int8_codes(F.col("v"), F.col("max_abs")).alias("codes"),
-        )
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
     )
+    assign = sq8_encode(assigned, "embedding", ("vec_id", "cell"))
     queries = (
         em.filter((F.col("vec_id") % QUERY_MOD) == 0)
         .orderBy("vec_id")
@@ -905,8 +912,7 @@ def sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pw = W.partitionBy("query_id").orderBy(F.desc("cs"), "cid")
-    qv_d = F.transform(F.col("qv"), lambda x: x.cast("double"))
-    probes = (
+    probed = (
         queries.crossJoin(F.broadcast(cent))
         .select(
             "query_id",
@@ -918,15 +924,10 @@ def sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rn", F.row_number().over(pw))
         .filter(F.col("rn") <= NPROBE)
-        .select("query_id", qv_d.alias("qv"), F.col("cid").alias("qcell"))
-        .withColumn(
-            "q_max_abs", F.array_max(F.transform("qv", lambda x: F.abs(x)))
-        )
-        .select(
-            "query_id",
-            "qcell",
-            int8_codes(F.col("qv"), F.col("q_max_abs")).alias("qcodes"),
-        )
+        .select("query_id", "qv", F.col("cid").alias("qcell"))
+    )
+    probes = sq8_encode(probed, "qv", ("query_id", "qcell")).select(
+        "query_id", "qcell", F.col("codes").alias("qcodes")
     )
     idot = F.aggregate(
         F.zip_with("qcodes", "codes", lambda a, b: a * b),
@@ -1262,20 +1263,7 @@ def sim_sq8_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization-scrambled, so an exact re-rank over C=100 rows per
     query (cost ∝ C, not corpus size) repairs it."""
     em = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    codes = (
-        em.select("vec_id", v.alias("v"))
-        .withColumn(
-            "max_abs", F.array_max(F.transform("v", lambda x: F.abs(x)))
-        )
-        .select(
-            "vec_id",
-            F.floor(F.col("max_abs") * 1_000_000)
-            .cast("long")
-            .alias("scale_micro"),
-            int8_codes(F.col("v"), F.col("max_abs")).alias("codes"),
-        )
-    )
+    codes = sq8_encode(em, "embedding", ("vec_id",))
     qfloat = (
         em.filter((F.col("vec_id") % QUERY_MOD) == 0)
         .orderBy("vec_id")
@@ -1286,18 +1274,8 @@ def sim_sq8_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm(F.col("embedding")).alias("qn"),
         )
     )
-    qcodes = (
-        qfloat.select(
-            "query_id",
-            F.transform("qv", lambda x: x.cast("double")).alias("qvd"),
-        )
-        .withColumn(
-            "q_max_abs", F.array_max(F.transform("qvd", lambda x: F.abs(x)))
-        )
-        .select(
-            "query_id",
-            int8_codes(F.col("qvd"), F.col("q_max_abs")).alias("qcodes"),
-        )
+    qcodes = sq8_encode(qfloat, "qv", ("query_id",)).select(
+        "query_id", F.col("codes").alias("qcodes")
     )
     idot = F.aggregate(
         F.zip_with("qcodes", "codes", lambda a, b: a * b),

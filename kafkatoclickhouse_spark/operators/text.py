@@ -1476,8 +1476,9 @@ _SQL_QUALITY_EXPR = """ROUND((
 _SQL_BUDGET_SELECT = f"""
     WITH d AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-               AS n_toks,
+             CAST(CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+'))
+                  END AS BIGINT) AS n_toks,
              CAST(floor(({_SQL_QUALITY_EXPR}) * 1000000) AS BIGINT) AS qm
       FROM documents
     ),
