@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -224,9 +225,22 @@ def main() -> None:
         for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
         if s
     }
+    partial_rerun = None
     if only:
         all_fns = {n: f for n, f in all_fns.items() if n in only}
         names = [n for n in names if n in only]
+        # Provenance (ADVICE r9 #3): a filtered re-measurement patched
+        # into a cached artifact must record WHICH keys were measured
+        # at WHICH git head, so mixed-state artifacts are auditable.
+        try:
+            head = subprocess.run(
+                ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+                 "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or "unknown"
+        except Exception:  # noqa: BLE001 — provenance must not kill bench
+            head = "unknown"
+        partial_rerun = {"keys": sorted(only), "git_head": head}
     samples: dict[str, list[float]] = {n: [] for n in all_fns}
     # Per-query error isolation (VERDICT r5 #2): one broken query must
     # cost its own key, never the round's entire bench evidence. A
@@ -301,16 +315,17 @@ def main() -> None:
             "oracle-replayable md5 hash family for JVM xxhash64 "
             "(the documented 100TB production swap); compare with "
             "queries.dedup_minhash_lsh for the md5 tax. "
-            "exception to the noop-sink protocol: "
-            "sim_mmr_rerank_topk's greedy K-step loop executes its "
-            "jobs at BUILDER-call time (driver-barrier per step, see "
-            "its docstring/PLANS.md note); the builder call sits "
-            "inside the timed region so its wall time is still "
-            "end-to-end, but the noop write itself is a local-table "
-            "no-op for this one key"
+            "round 10: sim_mmr_rerank_topk was rewritten from a "
+            "K-step driver-collect loop into one applyInPandas "
+            "stage (VERDICT r9 #2), so the former noop-sink "
+            "protocol exception is gone — every key now times a "
+            "lazy plan through the noop sink; its r10 number is "
+            "not comparable to r9's for that key"
         ),
         "sf": sf,
     }
+    if partial_rerun:
+        payload["partial_rerun"] = partial_rerun
     line = json.dumps(payload)
     print(line)
     # also persist in-repo: the driver records only stdout, which has

@@ -83,6 +83,26 @@ def quality_score(text: Column) -> Column:
     return F.round((len_score + punct_score + stop_score) / 3.0, 6)
 
 
+def sql_quality_expr(
+    n_chars: str, n_toks: str, n_punct: str, n_stop: str
+) -> str:
+    """The ONE SQL definition of :func:`quality_score` — same
+    sub-expressions in the same order as the Column builder above, so
+    the engines' doubles are identical. Callers substitute either CTE
+    column names (``text_quality``'s oracle) or inline scalar
+    expressions over ``text`` (``corpus_budget_select``'s oracle);
+    there is no second copy of the formula to drift (ADVICE r9 #1 —
+    the same single-definition rule applied to hash/encode helpers in
+    commit 875979f). All four operands must already be DOUBLE-typed
+    expressions."""
+    return f"""ROUND((least({n_chars} / 500.0, 1.0)
+                  + greatest(0.0, 1.0 - (CASE WHEN {n_chars} > 0
+                        THEN {n_punct} / {n_chars} ELSE 0.0 END) * 5.0)
+                  + least((CASE WHEN {n_toks} > 0
+                        THEN {n_stop} / {n_toks} ELSE 0.0 END) * 4.0, 1.0)
+                 ) / 3.0, 6)"""
+
+
 def lang_marker_hits(text: Column, lang: str) -> Column:
     """Count of tokens matching the marker set of ``lang``, as long."""
     toks = F.split(F.lower(F.trim(text)), r"\s+")

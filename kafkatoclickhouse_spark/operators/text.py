@@ -91,17 +91,15 @@ _TEXT_QUALITY_BASE = """
 
 # The per-doc quality SELECT over the ``base`` CTE — shared with
 # composites that rank documents by quality (graph.py survivor
-# selection), so the formula exists exactly once.
+# selection). The scalar formula itself lives exactly once in
+# textfns.sql_quality_expr (ADVICE r9 #1).
 _SQL_QUALITY_SELECT = """
     SELECT doc_id,
-           ROUND((least(n_chars / 500.0, 1.0)
-                  + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0
-                        THEN n_punct / n_chars ELSE 0.0 END) * 5.0)
-                  + least((CASE WHEN n_toks > 0
-                        THEN n_stop / n_toks ELSE 0.0 END) * 4.0, 1.0)
-                 ) / 3.0, 6) AS quality
+           {q} AS quality
     FROM base
-    """
+    """.format(
+    q=textfns.sql_quality_expr("n_chars", "n_toks", "n_punct", "n_stop")
+)
 
 
 @query("text_quality", oracle=_TEXT_QUALITY_BASE + _SQL_QUALITY_SELECT)
@@ -1456,22 +1454,20 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BUDGET_TOKENS = 20_000
 
-# Inline scalar twin of textfns.quality_score / _SQL_QUALITY_SELECT
-# (same sub-expressions in the same order, so the engines' doubles
-# are identical — text_quality's parity pins the formula itself).
-_SQL_QUALITY_EXPR = """ROUND((
-      least(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
-      + greatest(0.0, 1.0 - (CASE WHEN LENGTH(text) > 0
-            THEN CAST(LENGTH(text)
-                 - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
-                 AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)
-            ELSE 0.0 END) * 5.0)
-      + least((CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
-            THEN CAST({nstop} AS DOUBLE)
-                 / CAST(len(string_split_regex(trim(text), '\\s+'))
-                        AS DOUBLE)
-            ELSE 0.0 END) * 4.0, 1.0)
-    ) / 3.0, 6)""".format(nstop=_SQL_N_STOPWORDS)
+# Inline scalar twin of textfns.quality_score — the SAME single
+# formula definition (textfns.sql_quality_expr, ADVICE r9 #1) with
+# the ``base``-CTE column names replaced by inline scalar
+# expressions over ``text``; text_quality's parity pins the formula.
+_SQL_QUALITY_EXPR = textfns.sql_quality_expr(
+    n_chars="CAST(LENGTH(text) AS DOUBLE)",
+    n_toks="CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)",
+    n_punct=(
+        "CAST(LENGTH(text)"
+        " - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))"
+        " AS DOUBLE)"
+    ),
+    n_stop=f"CAST({_SQL_N_STOPWORDS} AS DOUBLE)",
+)
 
 _SQL_BUDGET_SELECT = f"""
     WITH d AS (

@@ -6,10 +6,12 @@ micro-batch of Arrow transfer + pandas UDF dispatch, independent of
 what the transition function does (BASELINE.md r8 attribution — an
 identity ``applyInPandas`` costs the same as the full window stage).
 This module computes the SAME emission — per-key tumbling count
-windows of N rows, count-fired only, tails carried across batches
-(`KafakToClickhouse.scala:57-61`, the ``timeout_ms=None`` contract
-of ``keyed_count_window``) — with zero Python in the hot path and
-exactly ONE Spark job per micro-batch:
+windows of N rows, tails carried across batches
+(`KafakToClickhouse.scala:57-61`), including the OPTIONAL
+partial-window timeout flush (``timeout_ms``, SURVEY §4.3's fix for
+the reference's forever-stuck quiet keys; VERDICT r9 #3 carried it
+to this path) — with zero Python in the hot path and exactly ONE
+Spark job per micro-batch:
 
     foreachBatch(micro-batch):
       state rows (per-key counter row + ≤N−1 tail rows) ∪ batch rows
@@ -154,6 +156,8 @@ def apply_count_window_batch(
     n: int = DEFAULT_WINDOW_SIZE,
     order_col: str = "topicOffset",
     shuffle_partitions: int | None = None,
+    timeout_ms: int | None = None,
+    batch_time_ms: int | None = None,
 ) -> DataFrame:
     """One micro-batch of the JVM count window: commits the successor
     state snapshot (one partitioned write — the batch's only job) and
@@ -169,7 +173,27 @@ def apply_count_window_batch(
     the default fans a megabyte batch into cores×3 tiny files whose
     per-task/per-file overhead swamps the data. Set it ≈
     batch_bytes / 64 MB on a real deployment; None keeps the session
-    value."""
+    value.
+
+    ``timeout_ms`` carries the grouped-UDF path's partial-flush
+    contract (SURVEY §4.3 — the fix for the reference's forever-stuck
+    partial windows) to the JVM path (VERDICT r9 #3): the ctr row's
+    otherwise-unused ``flush_reason`` slot stores the key's
+    last-activity clock (the "doubles-as" packing the schema trick in
+    the module docstring already uses for window_id/window_pos), and a
+    key that receives NO rows in this batch while
+    ``batch_time_ms − last_activity ≥ timeout_ms`` fires its buffered
+    tail as one partial window (``flush_reason='timeout'``, positions
+    0..len−1) and drops its state — exactly
+    ``make_count_window_fn``'s timed-out branch, including the
+    window-counter reset on the next arrival. ``batch_time_ms`` is the
+    batch's clock (required when ``timeout_ms`` is set); with a
+    deterministic clock (e.g. max event-time of the batch) replays
+    stay bit-identical, with wall clock a replay may flush at a
+    different boundary — the same at-least-once caveat as the legacy
+    path's processing-time timers."""
+    if timeout_ms is not None and batch_time_ms is None:
+        raise ValueError("timeout_ms requires batch_time_ms")
     spark = batch_df.sparkSession
     cols = batch_df.columns
     pending, ctr = _load_state(spark, state_dir, batch_id, batch_df.schema)
@@ -188,6 +212,12 @@ def apply_count_window_batch(
                 F.lit(-1).alias("_src"),
                 F.lit(-1).cast("long").alias("_ord"),
                 F.col("window_id").alias("_ctr_val"),
+                # last-activity clock, packed into the ctr row's
+                # flush_reason slot by the previous batch (NULL on
+                # snapshots written before timeouts were enabled —
+                # such keys never expire until their next arrival,
+                # like a legacy key whose timer was never set)
+                F.col("flush_reason").cast("long").alias("_ctr_ts"),
             )
         )
     if pending is not None:
@@ -197,6 +227,7 @@ def apply_count_window_batch(
                 F.lit(0).alias("_src"),
                 F.col("window_pos").cast("long").alias("_ord"),
                 F.lit(None).cast("long").alias("_ctr_val"),
+                F.lit(None).cast("long").alias("_ctr_ts"),
             )
         )
     branches.append(
@@ -205,6 +236,7 @@ def apply_count_window_batch(
             F.lit(1).alias("_src"),
             F.col(order_col).cast("long").alias("_ord"),
             F.lit(None).cast("long").alias("_ctr_val"),
+            F.lit(None).cast("long").alias("_ctr_ts"),
         )
     )
     unioned = branches[0]
@@ -227,6 +259,10 @@ def apply_count_window_batch(
         .withColumn(
             "_base", F.coalesce(F.max("_ctr_val").over(whole), F.lit(0))
         )
+        .withColumn(
+            "_new", F.max((F.col("_src") == 1).cast("int")).over(whole)
+        )
+        .withColumn("_last_ts", F.max("_ctr_ts").over(whole))
     )
     # The counter row is MINTED by exploding each key's last row into
     # a data role + a counter role — row duplication without a second
@@ -247,22 +283,49 @@ def apply_count_window_batch(
     is_fired = idx < fired_rows
     next_window = F.col("_base") + (n_data / n).cast("long")
     is_ctr = F.col("_role") == "c"
+    # Timeout expiry (VERDICT r9 #3): a key is expired iff it saw no
+    # batch rows AND its last-activity clock is old enough. Expired
+    # keys fire their whole tail as ONE partial window at the base
+    # counter (positions = buffered order) and mint NO ctr row —
+    # state removed, counter resets on the next arrival, exactly the
+    # legacy timed-out branch.
+    if timeout_ms is None:
+        expired = F.lit(False)
+        ctr_ts = F.lit(None).cast("string")
+    else:
+        expired = (
+            (F.col("_new") == 0)
+            & F.col("_last_ts").isNotNull()
+            & (F.lit(batch_time_ms) - F.col("_last_ts") >= timeout_ms)
+        )
+        # activity clock forward: reset on data, carried while idle
+        ctr_ts = F.when(
+            F.col("_new") == 1, F.lit(batch_time_ms)
+        ).otherwise(F.col("_last_ts")).cast("string")
 
-    rows = ann.filter(is_ctr | (F.col("_src") >= 0)).select(
+    rows = ann.filter(
+        (is_ctr & ~expired) | (~is_ctr & (F.col("_src") >= 0))
+    ).select(
         *cols,
         # window_id doubles as the ctr row's next-window counter
         F.when(is_ctr, next_window)
+        .when(expired, F.col("_base"))
         .when(is_fired, F.col("_base") + (idx / n).cast("long"))
         .alias("window_id"),
         # window_pos doubles as the tail's buffer position (0..n−2)
         F.when(is_ctr, F.lit(-1))
+        .when(expired, idx)
         .when(is_fired, idx % n)
         .otherwise(idx - fired_rows)
         .cast("int")
         .alias("window_pos"),
-        F.when(~is_ctr & is_fired, F.lit("count")).alias("flush_reason"),
+        # flush_reason doubles as the ctr row's last-activity clock
+        F.when(~is_ctr & expired, F.lit("timeout"))
+        .when(~is_ctr & is_fired, F.lit("count"))
+        .when(is_ctr, ctr_ts)
+        .alias("flush_reason"),
         F.when(is_ctr, F.lit("ctr"))
-        .when(is_fired, F.lit("fired"))
+        .when(expired | is_fired, F.lit("fired"))
         .otherwise(F.lit("tail"))
         .alias("_part"),
     )
@@ -309,9 +372,10 @@ def apply_count_window_batch(
     shutil.rmtree(_snap(state_dir, batch_id - 2), ignore_errors=True)
 
     rows_schema = _rows_schema(batch_df.schema)
-    return _read_part(spark, snap, "fired", rows_schema).select(
-        *cols, "window_id", "window_pos", "flush_reason"
-    )
+    fired = _read_part(spark, snap, "fired", rows_schema)
+    if fired is None:  # batch fired nothing — empty frame, same schema
+        fired = spark.createDataFrame([], rows_schema)
+    return fired.select(*cols, "window_id", "window_pos", "flush_reason")
 
 
 def publish_fired_files(
@@ -358,6 +422,8 @@ def run_count_window_jvm(
     available_now: bool = False,
     publish_dir: str | None = None,
     shuffle_partitions: int | None = None,
+    timeout_ms: int | None = None,
+    clock_fn: Callable[[DataFrame, int], int] | None = None,
 ):
     """Wire the JVM count window into a streaming query: the clean
     ingest stream drains through ``foreachBatch`` where each batch is
@@ -373,11 +439,35 @@ def run_count_window_jvm(
     rows included — bit-identical, so a file sink converges to
     exactly-once (deterministic published names) and other sinks see
     at-least-once delivery of identical rows (same contract as the
-    grouped-UDF topology; pair with an idempotent sink)."""
+    grouped-UDF topology; pair with an idempotent sink).
+
+    ``timeout_ms`` enables the partial-window flush on this path too
+    (VERDICT r9 #3 — the 2.2× path must not silently revert to the
+    reference's stuck-partial semantics): each batch's clock comes
+    from ``clock_fn(batch_df, batch_id)`` (default: wall clock).
+    Pass a deterministic ``clock_fn`` (e.g. the batch's max event
+    time in ms) to keep replays bit-identical; with wall clock a
+    replay may flush at a different boundary — the same
+    at-least-once caveat as the legacy path's processing-time
+    timers. Unlike the grouped-UDF path, timeouts here are safe
+    under ``availableNow``: flushes piggyback on data batches
+    instead of timer-driven empty batches, so finite drains still
+    terminate (a quiet key's partial flushes on the NEXT batch that
+    arrives after the deadline, or stays in state if the drain
+    ends first)."""
     if (write_fn is None) == (publish_dir is None):
         raise ValueError("pass exactly one of write_fn / publish_dir")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_time_ms = None
+        if timeout_ms is not None:
+            import time as _time
+
+            batch_time_ms = (
+                clock_fn(batch_df, batch_id)
+                if clock_fn is not None
+                else int(_time.time() * 1000)
+            )
         fired = apply_count_window_batch(
             batch_df,
             batch_id,
@@ -386,6 +476,8 @@ def run_count_window_jvm(
             n=n,
             order_col=order_col,
             shuffle_partitions=shuffle_partitions,
+            timeout_ms=timeout_ms,
+            batch_time_ms=batch_time_ms,
         )
         if publish_dir is not None:
             publish_fired_files(state_dir, batch_id, publish_dir)

@@ -1324,6 +1324,95 @@ def test_count_window_jvm_multi_batch_carryover(spark, raw_feed_dir, tmp_path):
     assert got.filter(F.col("flush_reason") != "count").count() == 0
 
 
+def test_count_window_jvm_timeout_flush_matches_legacy(spark, tmp_path):
+    """VERDICT r9 #3: the JVM path's ``timeout_ms`` contract is
+    row-identical to the legacy grouped-UDF transition fn — idle keys
+    past the deadline flush their tail as one 'timeout' partial
+    window and reset their counter; active or fresh keys do not. The
+    same 4-batch sequence (with an explicit deterministic clock) is
+    driven through apply_count_window_batch AND simulated against
+    make_count_window_fn with stubbed per-key timers."""
+    from kafkatoclickhouse_spark.streaming import count_window_jvm as cwj
+
+    n, tmo = 5, 60_000
+    schema = "essCode string, topicOffset long, payload string"
+    batches = [
+        (
+            1_000,
+            [("E", i, f"e{i}") for i in range(3)]
+            + [("F", i, f"f{i}") for i in range(2)],
+        ),
+        # E idle but NOT yet expired (29s < 60s); F active again
+        (30_000, [("F", 10, "f10")]),
+        # E expired (last activity 1s), F expired too (30s + 60s ≤
+        # 120s); G arrives fresh
+        (120_000, [("G", i, f"g{i}") for i in range(2)]),
+        # E returns AFTER its flush: counter restarted at window 0;
+        # G idle but fresh (10s) — stays buffered
+        (130_000, [("E", 100 + i, f"e{100 + i}") for i in range(7)]),
+    ]
+    state = str(tmp_path / "tmo_state")
+    got = []
+    for bid, (clock, rows) in enumerate(batches):
+        fired = cwj.apply_count_window_batch(
+            spark.createDataFrame(rows, schema),
+            bid,
+            state,
+            n=n,
+            timeout_ms=tmo,
+            batch_time_ms=clock,
+        )
+        got += [tuple(r) for r in fired.select(
+            "essCode", "topicOffset", "window_id", "window_pos",
+            "flush_reason",
+        ).collect()]
+
+    # legacy simulation: one FakeState + transition fn per key; a
+    # key's timer fires in batch b iff it gets no rows and
+    # clock − last-activity ≥ timeout — processing-time timer
+    # semantics under an explicit clock.
+    fns, states, last_act, expect = {}, {}, {}, []
+    for clock, rows in batches:
+        by_key: dict[str, list] = {}
+        for k, off, pay in sorted(rows, key=lambda r: r[1]):
+            by_key.setdefault(k, []).append((k, off, pay))
+        for k in list(states):
+            if (
+                k not in by_key
+                and states[k].exists
+                and clock - last_act[k] >= tmo
+            ):
+                states[k].hasTimedOut = True
+                for out in fns[k]((k,), [], states[k]):
+                    expect += list(
+                        out[
+                            ["essCode", "topicOffset", "window_id",
+                             "window_pos", "flush_reason"]
+                        ].itertuples(index=False, name=None)
+                    )
+                states[k].hasTimedOut = False
+        for k, krows in by_key.items():
+            if k not in fns:
+                fns[k] = cw.make_count_window_fn(n=n, timeout_ms=tmo)
+                states[k] = FakeState()
+            last_act[k] = clock
+            pdf = pd.DataFrame(
+                krows, columns=["essCode", "topicOffset", "payload"]
+            )
+            for out in fns[k]((k,), [pdf], states[k]):
+                expect += list(
+                    out[
+                        ["essCode", "topicOffset", "window_id",
+                         "window_pos", "flush_reason"]
+                    ].itertuples(index=False, name=None)
+                )
+
+    assert sorted(got) == sorted(expect)
+    # the sequence exercised both flush kinds
+    reasons = {r[-1] for r in got}
+    assert reasons == {"timeout", "count"}
+
+
 def test_type_counts_tws_ttl_expires_idle_state(spark, sf_dir, tmp_path):
     """VERDICT r8 #6 — tws state TTL, the state-size backstop a
     100 TB stream needs: counters configured with a TTL must expire
