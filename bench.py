@@ -120,6 +120,10 @@ HEADLINE = [
     "multimodal_phash_groups",
     "text_novelty_ppm",
     "dedup_containment_clusters",
+    # round-10 additions: exact substring/repeated-span dedup
+    # (Lee et al. 2022 — VERDICT r9 #1)
+    "dedup_substring_spans",
+    "dedup_substring_fraction",
 ]
 
 

@@ -1077,3 +1077,246 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring / repeated-span dedup (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+#
+# "Deduplicating Training Data Makes Language Models Better" (Lee et
+# al., ACL 2022) removes EXACT token spans >= a length threshold that
+# occur more than once in the corpus — boilerplate, licenses,
+# templated text that neither Jaccard (set semantics, order-blind)
+# nor containment (whole-shingle-set subset) models. The paper's
+# single-machine tool is a suffix array; the distributed shape used
+# here is the standard fingerprint equivalent: positional k-token
+# fingerprints, a corpus-wide occurrence count per fingerprint
+# (ONE hash shuffle — never candidate pairs), and a per-document
+# merge of consecutive duplicated positions into maximal spans.
+# A span of T tokens repeated elsewhere yields T−k+1 consecutive
+# duplicated start positions, so maximal runs recover the span
+# boundaries exactly for spans >= k (sub-k repeats are invisible —
+# the deliberate resolution limit of every fingerprint method).
+
+SPAN_K = 10  # fingerprint width (tokens); repeats < K are invisible
+SPAN_MIN_TOKENS = 25  # report/remove maximal spans >= this
+SPAN_SEED = 710
+
+# Positional fingerprints shared by both span queries: one row per
+# k-gram START position (NOT distinct — within-doc repeats count,
+# exactly like the paper's suffix-array occurrences). Docs shorter
+# than K tokens carry no fingerprint: they cannot contain a
+# >= SPAN_MIN_TOKENS (>= K) span.
+_SQL_SPAN_FP = f"""
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+             FROM documents),
+    fp AS (
+      SELECT doc_id, CAST(r AS BIGINT) AS pos,
+             {hashing.sql_portable_hash64(
+                 f"array_to_string(t[r + 1 : r + {SPAN_K}], ' ')",
+                 SPAN_SEED,
+             )} AS h
+      FROM (SELECT doc_id, t,
+                   unnest(range(len(t) - {SPAN_K - 1})) AS r
+            FROM toks WHERE len(t) >= {SPAN_K})
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c
+        FROM fp)
+      WHERE c >= 2
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dup
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + {SPAN_K} - 1 AS BIGINT) AS span_end
+      FROM isl GROUP BY doc_id, grp
+    ),
+    qspans AS (
+      SELECT doc_id, span_start, span_end,
+             span_end - span_start + 1 AS span_tokens
+      FROM spans
+      WHERE span_end - span_start + 1 >= {SPAN_MIN_TOKENS}
+    )
+"""
+
+
+def _span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos) of every duplicated k-gram start position —
+    the Spark twin of the ``dup`` CTE. One row per POSITION (not
+    per distinct shingle): within-doc repeats participate. The only
+    exchange is the fingerprint-hash window partition — linear in
+    corpus size, no pair enumeration anywhere, no frequency cap
+    needed (a fingerprint shared by m documents costs m rows here,
+    not m² pairs, so hot boilerplate fingerprints are exactly as
+    cheap as rare ones)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = hashing.tokens(F.col("text"))
+    fp = (
+        docs.filter(F.size(toks) >= SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - SPAN_K),
+                    lambda i: hashing.portable_hash64(
+                        F.concat_ws(" ", F.slice(toks, i + 1, SPAN_K)),
+                        SPAN_SEED,
+                    ),
+                )
+            ).alias("pos", "h"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
+    )
+    wc = W.partitionBy("h")
+    return (
+        fp.withColumn("c", F.count(F.lit(1)).over(wc))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+
+
+def _span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans >= SPAN_MIN_TOKENS — Spark twin of
+    the ``qspans`` CTE (gaps-and-islands over duplicated positions,
+    per-doc window: bounded by document length, scale-safe)."""
+    dup = _span_positions(spark, sf_dir)
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        dup.withColumn("grp", F.col("pos") - F.row_number().over(wd))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + SPAN_K - 1).alias("span_end"),
+        )
+        .withColumn(
+            "span_tokens", F.col("span_end") - F.col("span_start") + 1
+        )
+        .filter(F.col("span_tokens") >= SPAN_MIN_TOKENS)
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+    )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_SQL_SPAN_FP}
+    SELECT doc_id, span_start, span_end, span_tokens FROM qspans
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact-duplicate token spans per document (Lee et al.
+    2022): every maximal run of >= {SPAN_MIN_TOKENS} tokens whose
+    {SPAN_K}-gram fingerprints all occur >= 2 times corpus-wide,
+    reported as [span_start, span_end] token offsets. The removable
+    spans a substring-dedup pass would cut. Engine-new surface (the
+    reference has no dedup — SURVEY.md §2.2)."""
+    return _span_table(spark, sf_dir)
+
+
+@query(
+    "dedup_substring_fraction",
+    oracle=f"""
+    WITH {_SQL_SPAN_FP},
+    pm AS (
+      SELECT doc_id, span_start, span_end,
+             MAX(span_end) OVER (
+               PARTITION BY doc_id ORDER BY span_start, span_end
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max
+      FROM qspans
+    ),
+    mi AS (
+      SELECT doc_id, span_start, span_end,
+             SUM(CASE WHEN prev_max IS NULL
+                      OR span_start > prev_max + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id
+                     ORDER BY span_start, span_end
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM pm
+    ),
+    merged AS (
+      SELECT doc_id,
+             CAST(SUM(e - s + 1) AS BIGINT) AS covered
+      FROM (SELECT doc_id, island, MIN(span_start) AS s,
+                   MAX(span_end) AS e
+            FROM mi GROUP BY doc_id, island)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(m.covered, 0) AS BIGINT) AS dup_tokens,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           ROUND(COALESCE(m.covered, 0) * 1.0 / len(t.t), 6)
+             AS dup_fraction
+    FROM documents d
+    JOIN toks t ON t.doc_id = d.doc_id
+    LEFT JOIN merged m ON m.doc_id = d.doc_id
+    """,
+)
+def dedup_substring_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document duplicated-span token fraction: tokens covered by
+    the union of qualifying spans (interval-merged — maximal spans
+    from distinct fingerprint runs can overlap by up to K−2 tokens,
+    so naive summing double-counts) over the doc's whitespace token
+    count. 1.0 for a member of an exact-duplicate pair with >=
+    {SPAN_MIN_TOKENS} tokens; 0.0 for a corpus-unique document —
+    both pinned in tests/test_invariants.py. The training-mix signal:
+    docs above a fraction threshold are cut wholesale, below it the
+    span table drives surgical removal."""
+    spans = _span_table(spark, sf_dir)
+    wprev = (
+        W.partitionBy("doc_id")
+        .orderBy("span_start", "span_end")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wrun = (
+        W.partitionBy("doc_id")
+        .orderBy("span_start", "span_end")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    covered = (
+        spans.withColumn("prev_max", F.max("span_end").over(wprev))
+        .withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    F.col("prev_max").isNull()
+                    | (F.col("span_start") > F.col("prev_max") + 1),
+                    1,
+                ).otherwise(0)
+            ).over(wrun),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("span_start").alias("s"),
+            F.max("span_end").alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("e") - F.col("s") + 1).alias("covered"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(hashing.tokens(F.col("text"))).cast("long")
+    return (
+        docs.select("doc_id", n_toks.alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("covered"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            "n_tokens",
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

@@ -625,3 +625,50 @@ def test_session_merge_kernel_equals_sorted_split():
         assert got == sorted_split(ts)
 
     check()
+
+
+def test_substring_spans_pinned_properties(spark, tmp_path):
+    """Lee et al. substring dedup, pinned semantics (VERDICT r9 #1):
+    an exact-duplicate pair with >= SPAN_MIN_TOKENS tokens is covered
+    wall to wall (fraction 1.0); a corpus-unique document has no span
+    and fraction 0.0; a document embedding the duplicated run inside
+    unique context reports exactly the embedded span boundaries."""
+    from kafkatoclickhouse_spark.operators.dedup import (
+        dedup_substring_fraction,
+        dedup_substring_spans,
+    )
+
+    dup = " ".join(f"tok{i}" for i in range(30))
+    uniq = " ".join(f"zzz{i}" for i in range(30))
+    pre = " ".join(f"pre{i}" for i in range(10))
+    post = " ".join(f"post{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, dup, "en", "s", len(dup)),
+            (1, dup, "en", "s", len(dup)),
+            (2, uniq, "en", "s", len(uniq)),
+            (3, f"{pre} {dup} {post}", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    d = tmp_path / "spancorpus"
+    docs.write.parquet(str(d / "documents.parquet"))
+
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup_substring_spans(spark, str(d)).collect()
+    }
+    assert spans == {
+        (0, 0, 29, 30),
+        (1, 0, 29, 30),
+        (3, 10, 39, 30),
+    }
+    frac = {
+        r["doc_id"]: (r["dup_tokens"], r["n_tokens"], r["dup_fraction"])
+        for r in dedup_substring_fraction(spark, str(d)).collect()
+    }
+    assert frac[0] == (30, 30, 1.0)
+    assert frac[1] == (30, 30, 1.0)
+    assert frac[2] == (0, 30, 0.0)
+    assert frac[3] == (30, 50, 0.6)
