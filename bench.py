@@ -121,9 +121,11 @@ HEADLINE = [
     "text_novelty_ppm",
     "dedup_containment_clusters",
     # round-10 additions: exact substring/repeated-span dedup
-    # (Lee et al. 2022 — VERDICT r9 #1)
+    # (Lee et al. 2022 — VERDICT r9 #1) and the composed adaptive
+    # IVF-SQ8-refine retrieval tier (VERDICT r9 #4)
     "dedup_substring_spans",
     "dedup_substring_fraction",
+    "sim_ivf_sq8_refine_topk",
 ]
 
 

@@ -50,6 +50,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kafkatoclickhouse_spark.operators import kmeans as KM
+from kafkatoclickhouse_spark.operators.similarity import (
+    PROBE_MASS_DEN,
+    PROBE_MASS_NUM,
+    adaptive_probes,
+)
 from kafkatoclickhouse_spark.registry import query
 from kafkatoclickhouse_spark.tables import fan_out, load_table
 
@@ -310,9 +315,6 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVFPQ_NPROBE = 3
-
-
 def _sql_ivfpq_prefix() -> str:
     coarse = KM.sql_lloyd_ctes("e", "", KM._DIM, KM.KM_K, KM.KM_ITERS)
     coarse_dist = (
@@ -356,13 +358,20 @@ def _sql_ivfpq_prefix() -> str:
     q AS (SELECT vec_id AS query_id, vq AS qvq FROM e
           WHERE vec_id % {ADC_QUERY_MOD} = 0
           ORDER BY vec_id LIMIT {ADC_QUERY_LIMIT}),
+    szp AS (SELECT cell, COUNT(*) AS cnt FROM acell GROUP BY cell),
     probes AS (SELECT query_id, cell
                FROM (SELECT c.vec_id AS query_id, c.cid AS cell,
-                            ROW_NUMBER() OVER (
+                            SUM(s.cnt) OVER (
+                              PARTITION BY c.vec_id) AS total,
+                            COALESCE(SUM(s.cnt) OVER (
                               PARTITION BY c.vec_id
-                              ORDER BY c.d, c.cid) AS rn
-                     FROM cd c JOIN q ON q.query_id = c.vec_id)
-               WHERE rn <= {IVFPQ_NPROBE}),
+                              ORDER BY c.d, c.cid
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum_prev
+                     FROM cd c JOIN q ON q.query_id = c.vec_id
+                     JOIN szp s ON s.cell = c.cid)
+               WHERE {PROBE_MASS_DEN} * cum_prev
+                       < {PROBE_MASS_NUM} * total),
     adc AS (
       SELECT q.query_id, n.vec_id AS neighbor_id, {adc_terms} AS d
       FROM probes p
@@ -422,7 +431,9 @@ def _sql_ivfpq_refine() -> str:
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the composition FAISS ships for billion-scale ANN
     (Jégou 2011): the full-space k-means coarse quantizer prunes the
-    corpus to each query's NPROBE best cells, and inside
+    corpus to each query's mass-probed cells (the recall-targeted
+    τ policy of ``similarity.adaptive_probes`` — VERDICT r9 #4,
+    replacing the fixed nprobe=3), and inside
     them candidates are scored from their PQ codes with the query's
     ADC lookup tables. Both halves are the already-oracled pieces
     (`sim_ivf_kmeans_topk`'s cell structure; `sim_pq_adc_topk`'s
@@ -448,9 +459,49 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mass_probed_queries(
+    qbase: DataFrame,
+    coarse: list[tuple[int, list[int]]],
+    cells: DataFrame,
+    luts: list,
+) -> DataFrame:
+    """(query_id, qcell, lut0..lutM−1): the query-side probe table
+    under the recall-targeted mass policy (VERDICT r9 #4,
+    ``similarity.adaptive_probes``): rank ALL coarse cells by exact
+    integer distance (``KM._ranked_cells`` — same order the fixed
+    slice used), then keep cells until ≥ τ of the corpus mass is
+    covered. ``cells`` is any frame with a ``cell`` column covering
+    the corpus (encoded table or persisted codes); its groupBy is
+    the per-cell count an index keeps as metadata. Empty k-means
+    cells drop out of the join — zero mass, zero candidates, no
+    effect on the cumulative rule."""
+    sizes = cells.groupBy(F.col("cell").alias("cid")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranked = qbase.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(
+            F.expr(KM._ranked_cells("vq", coarse))
+        ).alias("pos", "rc"),
+        *luts,
+    ).select(
+        "query_id",
+        # adaptive_probes ranks by cs DESC; negative array position
+        # replays the ascending (d, cid) sort of _ranked_cells
+        (-F.col("pos")).cast("long").alias("cs"),
+        F.col("rc.cid").alias("cid"),
+        *[f"lut{m}" for m in range(PQ_M)],
+    )
+    return adaptive_probes(ranked, sizes).select(
+        "query_id",
+        F.col("cid").alias("qcell"),
+        *[f"lut{m}" for m in range(PQ_M)],
+    )
+
+
 def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, neighbor_id, d): ADC distances over ONLY the
-    members of each query's NPROBE best coarse cells — the pruned
+    members of each query's mass-probed coarse cells — the pruned
     compressed scan shared by the direct IVF-PQ top-k and the
     refined tier."""
     coarse = [
@@ -460,21 +511,14 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", F.expr(KM._ranked_cells("vq", coarse) + "[0].cid")
     )
     luts = _lut_cols(_codebooks(spark, sf_dir))
-    queries = (
+    queries = _mass_probed_queries(
         _quantized(spark, sf_dir)
         .filter((F.col("vec_id") % ADC_QUERY_MOD) == 0)
         .orderBy("vec_id")
-        .limit(ADC_QUERY_LIMIT)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(
-                F.expr(
-                    f"slice({KM._ranked_cells('vq', coarse)}, 1, "
-                    f"{IVFPQ_NPROBE}).cid"
-                )
-            ).alias("qcell"),
-            *luts,
-        )
+        .limit(ADC_QUERY_LIMIT),
+        coarse,
+        enc,
+        luts,
     )
     scored = enc.join(
         F.broadcast(queries),
@@ -654,21 +698,14 @@ def sim_ivfpq_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = embedding_pq_index_build(spark, sf_dir)
     coarse, books, codes = _load_index(spark, path)
     luts = _lut_cols(books)
-    queries = (
+    queries = _mass_probed_queries(
         _quantized(spark, sf_dir)
         .filter((F.col("vec_id") % ADC_QUERY_MOD) == 0)
         .orderBy("vec_id")
-        .limit(ADC_QUERY_LIMIT)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(
-                F.expr(
-                    f"slice({KM._ranked_cells('vq', coarse)}, 1, "
-                    f"{IVFPQ_NPROBE}).cid"
-                )
-            ).alias("qcell"),
-            *luts,
-        )
+        .limit(ADC_QUERY_LIMIT),
+        coarse,
+        codes,
+        luts,
     )
     scored = codes.join(
         F.broadcast(queries),

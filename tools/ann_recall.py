@@ -165,20 +165,80 @@ def cosine_truth(sf_dir: str, k: int = 10) -> dict[int, set[int]]:
 
 
 def measure_sq8(spark, sf_dir: str) -> dict[str, float]:
-    """recall@10 of the scalar-quantized tier (SQ8 full scan and
-    IVF-SQ8) against exact cosine — the quantized-tier contrast row
-    for the PQ table above."""
+    """recall@10 of the scalar-quantized tier (SQ8 full scan,
+    IVF-SQ8 with the adaptive mass-probe policy, and the full
+    IVF-SQ8+refine composition) against exact cosine — the
+    quantized-tier contrast rows for the PQ table above. Also
+    reports the probe depth the mass policy derived (mean cells
+    probed per query out of NUM_CENTROIDS)."""
+    from kafkatoclickhouse_spark.operators import similarity as SIM
+
     truth = cosine_truth(sf_dir)
     out = {}
     for tier, qname in (
         ("sq8", "sim_sq8_topk"),
         ("sq8_refine", "sim_sq8_refine_topk"),
         ("ivf_sq8", "sim_ivf_sq8_topk"),
+        ("ivf_sq8_refine", "sim_ivf_sq8_refine_topk"),
         ("ivf_float", "sim_ivf_topk"),
     ):
         rows = registry.QUERIES[qname](spark, sf_dir).collect()
         out[tier] = round(_mean_recall(rows, truth), 3)
+    out["derived_nprobe_mean"] = _derived_nprobe(spark, sf_dir, SIM)
     return out
+
+
+def _derived_nprobe(spark, sf_dir: str, SIM) -> float:
+    """Mean probed-cell count per query under the mass policy — the
+    nprobe the τ dial actually derived on this corpus."""
+    import duckdb
+
+    con = duckdb.connect()
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        path = os.path.join(path, "*.parquet")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{path}'"
+    )
+    cos = (
+        "list_cosine_similarity(q.qv, cent.cv)"
+    )
+    n = con.execute(
+        f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e
+                 ORDER BY vec_id LIMIT {SIM.NUM_CENTROIDS}),
+        assign AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT e.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.v, cent.cv)
+                       DESC, cent.cid) AS rn
+            FROM e, cent)
+          WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id % {SIM.QUERY_MOD} = 0
+              ORDER BY vec_id LIMIT {SIM.QUERY_LIMIT}),
+        sz AS (SELECT cell, COUNT(*) AS cnt FROM assign GROUP BY cell),
+        probes AS (
+          SELECT query_id FROM (
+            SELECT q.query_id,
+                   SUM(s.cnt) OVER (PARTITION BY q.query_id) AS total,
+                   COALESCE(SUM(s.cnt) OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {cos} DESC, cent.cid
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_prev
+            FROM q, cent JOIN sz s ON s.cell = cent.cid)
+          WHERE {SIM.PROBE_MASS_DEN} * cum_prev
+                  < {SIM.PROBE_MASS_NUM} * total)
+        SELECT AVG(c) FROM (
+          SELECT COUNT(*) AS c FROM probes GROUP BY query_id)
+        """
+    ).fetchone()[0]
+    return round(float(n), 2)
 
 
 def main() -> None:
