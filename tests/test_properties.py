@@ -672,3 +672,53 @@ def test_substring_spans_pinned_properties(spark, tmp_path):
     assert frac[1] == (30, 30, 1.0)
     assert frac[2] == (0, 30, 0.0)
     assert frac[3] == (30, 50, 0.6)
+
+
+def test_bpe_frozen_table_pins(sf_dir):
+    """The frozen BPE merge table (VERDICT r9 #5): (1) retraining on
+    the fixture reproduces it byte-for-byte (deterministic trainer —
+    the table is reproducible provenance, not magic data); (2) the
+    DuckDB recursive-CTE replay equals the Python apply rule on
+    every fixture word; (3) the table is non-degenerate: counts
+    differ from whitespace counts (full collapse would make the BPE
+    variant an alias of the whitespace one)."""
+    import importlib.util
+    import os
+    import sys
+
+    import duckdb
+
+    from kafkatoclickhouse_spark.functions import bpe
+
+    spec = importlib.util.spec_from_file_location(
+        "train_bpe",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "train_bpe.py",
+        ),
+    )
+    tb = importlib.util.module_from_spec(spec)
+    sys.modules["train_bpe"] = tb
+    spec.loader.exec_module(tb)
+
+    retrained = tb.train(
+        tb.word_freqs("/root/testdata/sf0.01"), len(bpe.MERGES)
+    )
+    assert tuple(retrained) == bpe.MERGES
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH RECURSIVE w AS (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+          FROM read_parquet('{sf_dir}/documents.parquet')
+          WHERE length(trim(text)) > 0),
+        {bpe.sql_bpe_word_tokens("w")}
+        SELECT word, ntok FROM bpefinal
+        """
+    ).fetchall()
+    assert rows, "fixture produced no words"
+    for word, ntok in rows:
+        assert bpe.word_token_count(word) == ntok, word
+    assert any(bpe.word_token_count(w) > 1 for w, _ in rows)
