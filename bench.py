@@ -127,6 +127,7 @@ HEADLINE = [
     "dedup_substring_fraction",
     "sim_ivf_sq8_refine_topk",
     "corpus_budget_select_bpe",
+    "multimodal_codec_coverage",
 ]
 
 

@@ -955,3 +955,207 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("group_size"),
     )
+
+
+# --- codec coverage classification (VERDICT r9 #6) -------------------
+#
+# Real crawls are mixed: majority progressive JPEG, interlaced PNGs,
+# odd bit depths, plain junk. A corpus run must REPORT its codec
+# coverage, not raise on the first stream the pure decoders reject.
+# classify_image is the triage a decode pipeline runs per stream:
+# marker-level parse decides the route (pure codec / PIL fallback /
+# undecodable), and pure-routed streams are actually decoded so the
+# 'pure' count certifies decode health end-to-end (a decode failure
+# surfaces as path='error' and breaks the oracle hash — by design).
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def classify_image(payload: bytes) -> tuple[str, str, str]:
+    """(format, path, detail) for one image byte stream.
+
+    path: 'pure'        — decoded here by the dependency-free codecs
+          'fallback'    — recognized format outside the pure codecs'
+                          subset (progressive/extended/deep JPEG,
+                          interlaced/deep PNG, compressed BMP);
+                          routed to PIL on deployments that have it
+          'undecodable' — unrecognized magic
+          'error'       — pure-routed but the decode failed
+    """
+    p = payload
+    if p[:2] == b"P6":
+        return ("ppm", _try_pure(p), "ppm_p6")
+    if p[:2] == b"BM":
+        bpp = p[28] | (p[29] << 8)
+        compression = int.from_bytes(p[30:34], "little")
+        if bpp == 24 and compression == 0:
+            return ("bmp", _try_pure(p), "bmp24")
+        detail = "bmp_compressed" if compression else f"bmp_bpp{bpp}"
+        return ("bmp", "fallback", detail)
+    if p[:8] == _PNG_MAGIC:
+        bitdepth, colortype, interlace = p[24], p[25], p[28]
+        if interlace != 0:
+            return ("png", "fallback", "png_interlaced")
+        if bitdepth != 8:
+            return ("png", "fallback", "png_deep")
+        if colortype not in (0, 2, 3, 4, 6):
+            return ("png", "fallback", "png_unsupported_color")
+        return ("png", _try_pure(p), "png8_noninterlaced")
+    if p[:2] == b"\xff\xd8":
+        return _classify_jpeg(p)
+    return ("unknown", "undecodable", "unknown_magic")
+
+
+def _try_pure(p: bytes) -> str:
+    try:
+        decode_image(p)
+        return "pure"
+    except Exception:  # noqa: BLE001 — triage must not raise
+        return "error"
+
+
+def _classify_jpeg(p: bytes) -> tuple[str, str, str]:
+    """Walk the segment chain to the SOF marker — the byte that
+    decides baseline vs progressive/extended — then check precision
+    and per-component subsampling (the two other reject axes of
+    operators/jpeg.py)."""
+    i = 2
+    while i + 3 < len(p):
+        if p[i] != 0xFF:
+            return ("jpeg", "fallback", "jpeg_malformed")
+        m = p[i + 1]
+        if m == 0xFF:  # fill byte
+            i += 1
+            continue
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone
+            i += 2
+            continue
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):  # SOF*
+            precision = p[i + 4]
+            ncomp = p[i + 9]
+            samplings = [p[i + 10 + 3 * c + 1] for c in range(ncomp)]
+            if (
+                m == 0xC0
+                and precision == 8
+                and all(s == 0x11 for s in samplings)
+            ):
+                return ("jpeg", _try_pure(p), "jpeg_baseline")
+            if m == 0xC2:
+                detail = "jpeg_progressive"
+            elif m != 0xC0:
+                detail = "jpeg_extended"
+            elif precision != 8:
+                detail = "jpeg_deep"
+            else:
+                detail = "jpeg_subsampled"
+            return ("jpeg", "fallback", detail)
+        if m == 0xDA:  # SOS before any SOF
+            break
+        i += 2 + ((p[i + 2] << 8) | p[i + 3])
+    return ("jpeg", "fallback", "jpeg_no_sof")
+
+
+def _classify_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        fmt, path, detail = [], [], []
+        for payload in pdf["payload"]:
+            f, pth, d = classify_image(bytes(payload))
+            fmt.append(f)
+            path.append(pth)
+            detail.append(d)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "format": fmt,
+                "path": path,
+                "detail": detail,
+            }
+        )
+
+
+def _mark_progressive(images: DataFrame) -> DataFrame:
+    """Rewrite a baseline JPEG's SOF0 marker to SOF2 — a
+    progressive-CLASSIFIED stream for the coverage fixture (the
+    entropy data stays baseline-coded: these payloads exercise the
+    triage route, not a progressive decoder)."""
+
+    def rw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                bytes(p).replace(b"\xff\xc0", b"\xff\xc2", 1)
+                for p in pdf["payload"]
+            ]
+            yield pdf
+
+    return images.mapInPandas(rw, schema="doc_id long, payload binary")
+
+
+@query(
+    "multimodal_codec_coverage",
+    oracle="""
+    SELECT format, path, detail, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT CASE CAST(doc_id % 6 AS INTEGER)
+               WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+               WHEN 2 THEN 'jpeg' WHEN 3 THEN 'png'
+               WHEN 4 THEN 'jpeg' ELSE 'unknown' END AS format,
+             CASE CAST(doc_id % 6 AS INTEGER)
+               WHEN 4 THEN 'fallback'
+               WHEN 5 THEN 'undecodable' ELSE 'pure' END AS path,
+             CASE CAST(doc_id % 6 AS INTEGER)
+               WHEN 0 THEN 'ppm_p6' WHEN 1 THEN 'bmp24'
+               WHEN 2 THEN 'jpeg_baseline'
+               WHEN 3 THEN 'png8_noninterlaced'
+               WHEN 4 THEN 'jpeg_progressive'
+               ELSE 'unknown_magic' END AS detail
+      FROM documents)
+    GROUP BY format, path, detail
+    """,
+)
+def multimodal_codec_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Codec-coverage report over a MIXED image corpus: one payload
+    per document, format by doc_id % 6 (PPM / BMP24 / baseline JPEG
+    / PNG / progressive-marked JPEG / non-image bytes), classified
+    by :func:`classify_image` and counted by (format, route,
+    detail). The oracle predicts every class in closed form, so the
+    hash match certifies (a) the marker-level triage routes each
+    synthesized format correctly, (b) every pure-routed stream
+    actually DECODES (a codec regression flips its row to
+    path='error' and fails parity), and (c) nothing raises on the
+    fallback/undecodable classes — the VERDICT r9 #3 failure mode
+    (a corpus run dying on its first progressive JPEG). Map-only +
+    one count shuffle over (format, path, detail) triples — at
+    100 TB the payloads never leave their scan tasks."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cls = F.col("doc_id") % 6
+    branches = [
+        synthesize_ppm_images(docs.filter(cls == 0)),
+        synthesize_bmp_images(docs.filter(cls == 1), w=32, h=16),
+        synthesize_jpeg_images(docs.filter(cls == 2)),
+        synthesize_png_images(docs.filter(cls == 3)),
+        _mark_progressive(synthesize_jpeg_images(docs.filter(cls == 4))),
+        docs.filter(cls == 5).select(
+            "doc_id",
+            F.encode(
+                F.concat(
+                    F.lit("TEXT:doc:"), F.col("doc_id").cast("string")
+                ),
+                "utf-8",
+            ).alias("payload"),
+        ),
+    ]
+    mixed = branches[0]
+    for b in branches[1:]:
+        mixed = mixed.unionByName(b)
+    classified = mixed.mapInPandas(
+        _classify_batches,
+        schema="doc_id long, format string, path string, detail string",
+    )
+    return classified.groupBy("format", "path", "detail").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

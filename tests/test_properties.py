@@ -722,3 +722,64 @@ def test_bpe_frozen_table_pins(sf_dir):
     for word, ntok in rows:
         assert bpe.word_token_count(word) == ntok, word
     assert any(bpe.word_token_count(w) > 1 for w, _ in rows)
+
+
+def test_classify_image_routes_off_fixture_variants():
+    """Triage routes the coverage fixture never synthesizes: the
+    classifier must route interlaced/deep PNG, subsampled/extended
+    JPEG, odd-depth BMP, and header junk to 'fallback'/'undecodable'
+    WITHOUT attempting (and failing) a pure decode."""
+    from kafkatoclickhouse_spark.operators.multimodal import (
+        classify_image,
+        synthesize_png_images,
+    )
+
+    # a real synthesized PNG, then patch IHDR fields
+    import pyspark.sql.functions as F
+    from kafkatoclickhouse_spark.session import get_spark
+
+    spark = get_spark("classify_test")
+    png = bytes(
+        synthesize_png_images(
+            spark.range(1).select(F.col("id").alias("doc_id"))
+        ).collect()[0]["payload"]
+    )
+    assert classify_image(png) == ("png", "pure", "png8_noninterlaced")
+    interlaced = png[:28] + b"\x01" + png[29:]
+    assert classify_image(interlaced) == (
+        "png", "fallback", "png_interlaced",
+    )
+    deep = png[:24] + b"\x10" + png[25:]
+    assert classify_image(deep) == ("png", "fallback", "png_deep")
+
+    # minimal JPEG headers: SOI + SOF variant straight away
+    def sof(marker, precision=8, sampling=0x11):
+        seg = bytes(
+            [0xFF, marker, 0x00, 0x0B, precision, 0, 8, 0, 8, 1,
+             1, sampling, 0]
+        )
+        return b"\xff\xd8" + seg
+    assert classify_image(sof(0xC2))[2] == "jpeg_progressive"
+    assert classify_image(sof(0xC1))[2] == "jpeg_extended"
+    assert classify_image(sof(0xC0, precision=12))[2] == "jpeg_deep"
+    assert classify_image(sof(0xC0, sampling=0x22))[2] == (
+        "jpeg_subsampled"
+    )
+    assert classify_image(b"\xff\xd8\xff\xda\x00\x02")[2] == (
+        "jpeg_no_sof"
+    )
+
+    # BMP with 8-bit depth and with RLE compression
+    bmp = bytearray(64)
+    bmp[0:2] = b"BM"
+    bmp[28:30] = (8).to_bytes(2, "little")
+    assert classify_image(bytes(bmp)) == ("bmp", "fallback", "bmp_bpp8")
+    bmp[28:30] = (24).to_bytes(2, "little")
+    bmp[30:34] = (1).to_bytes(4, "little")
+    assert classify_image(bytes(bmp)) == (
+        "bmp", "fallback", "bmp_compressed",
+    )
+
+    assert classify_image(b"GIF89a....") == (
+        "unknown", "undecodable", "unknown_magic",
+    )
