@@ -128,6 +128,7 @@ HEADLINE = [
     "sim_ivf_sq8_refine_topk",
     "corpus_budget_select_bpe",
     "multimodal_codec_coverage",
+    "corpus_remove_dup_spans",
 ]
 
 

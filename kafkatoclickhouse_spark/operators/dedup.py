@@ -1220,10 +1220,45 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _span_table(spark, sf_dir)
 
 
-@query(
-    "dedup_substring_fraction",
-    oracle=f"""
-    WITH {_SQL_SPAN_FP},
+def _merged_spans(spans: DataFrame) -> DataFrame:
+    """(doc_id, island, s, e): the interval UNION of qualifying spans
+    per document (adjacent/overlapping spans merged) — shared by the
+    fraction and removal queries. Per-doc windows over span counts,
+    bounded by document length."""
+    wprev = (
+        W.partitionBy("doc_id")
+        .orderBy("span_start", "span_end")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wrun = (
+        W.partitionBy("doc_id")
+        .orderBy("span_start", "span_end")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spans.withColumn("prev_max", F.max("span_end").over(wprev))
+        .withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    F.col("prev_max").isNull()
+                    | (F.col("span_start") > F.col("prev_max") + 1),
+                    1,
+                ).otherwise(0)
+            ).over(wrun),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("span_start").alias("s"),
+            F.max("span_end").alias("e"),
+        )
+    )
+
+
+# Interval union of qualifying spans — the ``islands`` CTE chain
+# shared by the fraction and removal oracles (one definition, like
+# the Spark-side _merged_spans).
+_SQL_SPAN_ISLANDS = """
     pm AS (
       SELECT doc_id, span_start, span_end,
              MAX(span_end) OVER (
@@ -1241,12 +1276,22 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS UNBOUNDED PRECEDING) AS island
       FROM pm
     ),
+    islands AS (
+      SELECT doc_id, island, MIN(span_start) AS s, MAX(span_end) AS e
+      FROM mi GROUP BY doc_id, island
+    )
+"""
+
+
+@query(
+    "dedup_substring_fraction",
+    oracle=f"""
+    WITH {_SQL_SPAN_FP},
+    {_SQL_SPAN_ISLANDS},
     merged AS (
       SELECT doc_id,
              CAST(SUM(e - s + 1) AS BIGINT) AS covered
-      FROM (SELECT doc_id, island, MIN(span_start) AS s,
-                   MAX(span_end) AS e
-            FROM mi GROUP BY doc_id, island)
+      FROM islands
       GROUP BY doc_id
     )
     SELECT d.doc_id,
@@ -1270,38 +1315,10 @@ def dedup_substring_fraction(
     {SPAN_MIN_TOKENS} tokens; 0.0 for a corpus-unique document —
     both pinned in tests/test_invariants.py. The training-mix signal:
     docs above a fraction threshold are cut wholesale, below it the
-    span table drives surgical removal."""
-    spans = _span_table(spark, sf_dir)
-    wprev = (
-        W.partitionBy("doc_id")
-        .orderBy("span_start", "span_end")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    wrun = (
-        W.partitionBy("doc_id")
-        .orderBy("span_start", "span_end")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    covered = (
-        spans.withColumn("prev_max", F.max("span_end").over(wprev))
-        .withColumn(
-            "island",
-            F.sum(
-                F.when(
-                    F.col("prev_max").isNull()
-                    | (F.col("span_start") > F.col("prev_max") + 1),
-                    1,
-                ).otherwise(0)
-            ).over(wrun),
-        )
-        .groupBy("doc_id", "island")
-        .agg(
-            F.min("span_start").alias("s"),
-            F.max("span_end").alias("e"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("e") - F.col("s") + 1).alias("covered"))
-    )
+    span table drives surgical removal (``corpus_remove_dup_spans``)."""
+    covered = _merged_spans(_span_table(spark, sf_dir)).groupBy(
+        "doc_id"
+    ).agg(F.sum(F.col("e") - F.col("s") + 1).alias("covered"))
     docs = load_table(spark, sf_dir, "documents")
     n_toks = F.size(hashing.tokens(F.col("text"))).cast("long")
     return (
@@ -1319,4 +1336,73 @@ def dedup_substring_fraction(
                 6,
             ).alias("dup_fraction"),
         )
+    )
+
+
+@query(
+    "corpus_remove_dup_spans",
+    oracle=f"""
+    WITH {_SQL_SPAN_FP},
+    {_SQL_SPAN_ISLANDS},
+    ivs AS (
+      SELECT doc_id, list({{'s': s, 'e': e}} ORDER BY s) AS iv
+      FROM islands GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT t.doc_id,
+             list_filter(t.t, (tok, i) ->
+               len(list_filter(COALESCE(v.iv, []),
+                   x -> i - 1 >= x.s AND i - 1 <= x.e)) = 0) AS k
+      FROM toks t LEFT JOIN ivs v ON v.doc_id = t.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(k) AS BIGINT) AS n_kept_tokens,
+           COALESCE(array_to_string(k, ' '), '') AS cleaned_text
+    FROM kept
+    """,
+)
+def corpus_remove_dup_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The surgical pass the span table exists to drive (Lee et al.
+    2022's actual training-data intervention): rebuild each document
+    with the tokens inside merged qualifying spans REMOVED, keeping
+    the rest verbatim (single-space rejoined, the same normalization
+    the tokenizer applies). Per doc the removal is a pure map over
+    its token array against its own tiny interval list — the spans
+    broadcast-join back to the corpus on doc_id and no exchange ever
+    carries document bodies wider than the final projection. The
+    cross-engine hash over ``cleaned_text`` pins span boundaries AT
+    TOKEN RESOLUTION — an off-by-one in either engine's island merge
+    changes the string, not just a count."""
+    docs = load_table(spark, sf_dir, "documents")
+    ivs = _merged_spans(_span_table(spark, sf_dir)).groupBy(
+        "doc_id"
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("s"), F.col("e")))
+        ).alias("iv")
+    )
+    toks = hashing.tokens(F.col("text"))
+    kept = (
+        docs.select("doc_id", toks.alias("t"))
+        .join(ivs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.filter(
+                "t",
+                lambda tok, i: ~F.exists(
+                    F.coalesce(
+                        F.col("iv"),
+                        F.array().cast("array<struct<s:long,e:long>>"),
+                    ),
+                    lambda x: (i >= x["s"]) & (i <= x["e"]),
+                ),
+            ).alias("k"),
+        )
+    )
+    return kept.select(
+        "doc_id",
+        F.size("k").cast("long").alias("n_kept_tokens"),
+        F.array_join("k", " ").alias("cleaned_text"),
     )

@@ -673,6 +673,19 @@ def test_substring_spans_pinned_properties(spark, tmp_path):
     assert frac[2] == (0, 30, 0.0)
     assert frac[3] == (30, 50, 0.6)
 
+    from kafkatoclickhouse_spark.operators.dedup import (
+        corpus_remove_dup_spans,
+    )
+
+    cleaned = {
+        r["doc_id"]: (r["n_kept_tokens"], r["cleaned_text"])
+        for r in corpus_remove_dup_spans(spark, str(d)).collect()
+    }
+    assert cleaned[0] == (0, "")  # exact dup removed wall to wall
+    assert cleaned[1] == (0, "")
+    assert cleaned[2] == (30, uniq)  # untouched verbatim
+    assert cleaned[3] == (20, f"{pre} {post}")  # surgical cut
+
 
 def test_bpe_frozen_table_pins(sf_dir):
     """The frozen BPE merge table (VERDICT r9 #5): (1) retraining on
