@@ -129,6 +129,9 @@ HEADLINE = [
     "corpus_budget_select_bpe",
     "multimodal_codec_coverage",
     "corpus_remove_dup_spans",
+    # round-10 session additions: SemDeDup cluster-then-compare
+    # embedding dedup (Abbas et al. 2023)
+    "dedup_semdedup",
 ]
 
 

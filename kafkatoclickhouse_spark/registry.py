@@ -52,6 +52,7 @@ def load_all() -> None:
         multimodal as _multimodal,
         pq as _pq,
         queries as _queries,
+        semdedup as _semdedup,
         similarity as _similarity,
         text as _text,
         tpch as _tpch,

@@ -571,3 +571,44 @@ def test_containment_clusters_refine_jaccard_clusters(spark, sf_dir):
     for d, c in jac.items():
         by_jac.setdefault(c, set()).add(con[d])
     assert all(len(v) == 1 for v in by_jac.values())
+
+
+def test_semdedup_greedy_rule_exact(spark, sf_dir):
+    """SemDeDup's survivor rule, recomputed independently: a vector
+    is removed iff SOME lower vec_id in its k-means cell is within
+    cosine SEMDEDUP_TAU — checked per vector against a numpy
+    recomputation over the same cell assignment, so the Spark pair
+    join can neither over- nor under-remove."""
+    import numpy as np
+
+    from kafkatoclickhouse_spark.operators.semdedup import SEMDEDUP_TAU
+    from kafkatoclickhouse_spark.tables import load_table
+
+    verdicts = {
+        r.vec_id: (r.cluster, r.keep)
+        for r in registry.QUERIES["dedup_semdedup"](
+            spark, sf_dir
+        ).collect()
+    }
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert set(verdicts) == set(vecs)
+    by_cell: dict[int, list[int]] = {}
+    for vid, (cell, _) in sorted(verdicts.items()):
+        by_cell.setdefault(cell, []).append(vid)
+    for cell, ids in by_cell.items():
+        for i, vid in enumerate(ids):
+            v = vecs[vid]
+            close = any(
+                float(
+                    vecs[lo] @ v
+                    / (np.linalg.norm(vecs[lo]) * np.linalg.norm(v))
+                )
+                >= SEMDEDUP_TAU
+                for lo in ids[:i]
+            )
+            assert verdicts[vid][1] == (not close), (cell, vid)
+    # removal must actually fire on the fixture (τ chosen for that)
+    assert any(not keep for _, keep in verdicts.values())
