@@ -130,8 +130,10 @@ HEADLINE = [
     "multimodal_codec_coverage",
     "corpus_remove_dup_spans",
     # round-10 session additions: SemDeDup cluster-then-compare
-    # embedding dedup (Abbas et al. 2023)
+    # embedding dedup (Abbas et al. 2023) and deterministic
+    # domain-mixture sampling
     "dedup_semdedup",
+    "corpus_mixture_sample",
 ]
 
 

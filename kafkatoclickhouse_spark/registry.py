@@ -49,6 +49,7 @@ def load_all() -> None:
         event_windows as _event_windows,
         graph as _graph,
         kmeans as _kmeans,
+        mixture as _mixture,
         multimodal as _multimodal,
         pq as _pq,
         queries as _queries,

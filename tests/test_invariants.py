@@ -612,3 +612,29 @@ def test_semdedup_greedy_rule_exact(spark, sf_dir):
             assert verdicts[vid][1] == (not close), (cell, vid)
     # removal must actually fire on the fixture (τ chosen for that)
     assert any(not keep for _, keep in verdicts.values())
+
+
+def test_mixture_quota_accounting(spark, sf_dir):
+    """Mixture sampling invariants: per-source selected count equals
+    the capped quota, pick ranks are a dense 1..quota prefix, quotas
+    never exceed populations, and the fixture actually exercises the
+    cap (some source's raw quota exceeds its population)."""
+    report = {
+        r.source: r
+        for r in registry.QUERIES["corpus_mixture_report"](
+            spark, sf_dir
+        ).collect()
+    }
+    sample = registry.QUERIES["corpus_mixture_sample"](
+        spark, sf_dir
+    ).collect()
+    by_src: dict[str, list[int]] = {}
+    for r in sample:
+        by_src.setdefault(r.source, []).append(r.pick_rank)
+    for src, rep in report.items():
+        assert rep.quota == min(rep.quota_raw, rep.n_docs)
+        assert rep.shortfall == max(rep.quota_raw - rep.n_docs, 0)
+        got = sorted(by_src.get(src, []))
+        assert got == list(range(1, rep.quota + 1)), src
+    assert any(rep.shortfall > 0 for rep in report.values())
+    assert set(by_src) <= set(report)
