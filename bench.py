@@ -134,6 +134,7 @@ HEADLINE = [
     # domain-mixture sampling
     "dedup_semdedup",
     "corpus_mixture_sample",
+    "corpus_mixture_sample_hashgate",
 ]
 
 

@@ -180,3 +180,146 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick_rank") <= F.col("quota"))
         .select("doc_id", "source", "pick_rank")
     )
+
+
+@query(
+    "corpus_mixture_sample_hashgate",
+    oracle=f"""
+    WITH {_SQL_QUOTAS},
+    gate AS (SELECT source, n_docs,
+                    LEAST(CAST(FLOOR(quota_raw * 1000000.0 / n_docs)
+                               AS BIGINT), 1000000) AS accept_ppm
+             FROM qt),
+    hashed AS (
+      SELECT d.doc_id, d.source,
+             {hashing.sql_portable_hash64(
+                 "d.source || ':' || CAST(d.doc_id AS VARCHAR)",
+                 MIX_SEED,
+             )} % 1000000 AS hmod
+      FROM documents d
+    )
+    SELECT h.doc_id, h.source
+    FROM hashed h JOIN gate g ON g.source = h.source
+    WHERE h.hmod < g.accept_ppm
+    """,
+)
+def corpus_mixture_sample_hashgate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The windowless extreme-scale relaxation the module docstring
+    promises: accept a document iff its frozen hash mod 1e6 falls
+    under the source's acceptance rate (quota/population in ppm).
+    NO window, NO per-source sort — one map-side predicate against
+    a broadcast |sources|-row gate table, so at 100 TB this is a
+    single scan with zero data-scale shuffle. The price: per-source
+    counts land NEAR the quota (binomial around rate·n) instead of
+    exactly on it; the exact-rank twin above is the quota-exact
+    path. Selection is still bit-stable — both engines evaluate the
+    same integer predicate."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        (
+            hashing.portable_hash64(
+                F.concat_ws(":", F.col("source"), F.col("doc_id")),
+                MIX_SEED,
+            )
+            % F.lit(1000000)
+        ).alias("hmod"),
+    )
+    gate = _quotas(spark, sf_dir).select(
+        "source",
+        F.least(
+            F.floor(
+                F.col("quota_raw") * F.lit(1000000) / F.col("n_docs")
+            ).cast("long"),
+            F.lit(1000000).cast("long"),
+        ).alias("accept_ppm"),
+    )
+    return (
+        hashed.join(F.broadcast(gate), "source")
+        .filter(F.col("hmod") < F.col("accept_ppm"))
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "corpus_mixture_upsample",
+    oracle=f"""
+    WITH {_SQL_QUOTAS},
+    hashed AS (
+      SELECT d.doc_id, d.source,
+             {hashing.sql_portable_hash64(
+                 "d.source || ':' || CAST(d.doc_id AS VARCHAR)",
+                 MIX_SEED,
+             )} AS h
+      FROM documents d
+    ),
+    picked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY h, doc_id) AS pick_rank
+      FROM hashed
+    ),
+    reps AS (
+      SELECT p.doc_id, p.source,
+             (qt.quota_raw // qt.n_docs)
+             + CASE WHEN p.pick_rank <= qt.quota_raw % qt.n_docs
+                    THEN 1 ELSE 0 END AS n_epochs
+      FROM picked p JOIN qt ON qt.source = p.source
+    )
+    SELECT doc_id, source, CAST(e.epoch AS INTEGER) AS epoch
+    FROM reps, LATERAL (SELECT unnest(range(n_epochs)) AS epoch) e
+    WHERE n_epochs > 0
+    """,
+)
+def corpus_mixture_upsample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shortfall repair by epoch repetition — the other half of a
+    real mixer (DoReMi-style reweighting UPsamples rare domains; the
+    capped sampler above can only trim). Every source emits EXACTLY
+    quota_raw rows: each document repeats floor(quota_raw/n_docs)
+    times and the remainder goes to the quota_raw % n_docs documents
+    lowest in the frozen hash order, tagged with an epoch index so a
+    trainer can interleave repeats. Row explosion happens executor-
+    side via sequence+explode against broadcast per-source epoch
+    counts — no driver loop, no shuffle beyond the rank window
+    shared with the exact sampler."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        hashing.portable_hash64(
+            F.concat_ws(":", F.col("source"), F.col("doc_id")),
+            MIX_SEED,
+        ).alias("h"),
+    )
+    w = W.partitionBy("source").orderBy("h", "doc_id")
+    picked = hashed.withColumn("pick_rank", F.row_number().over(w))
+    quotas = _quotas(spark, sf_dir).select(
+        "source", "quota_raw", "n_docs"
+    )
+    n_epochs = (
+        F.floor(F.col("quota_raw") / F.col("n_docs")).cast("long")
+        + F.when(
+            F.col("pick_rank")
+            <= F.col("quota_raw") % F.col("n_docs"),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    return (
+        picked.join(F.broadcast(quotas), "source")
+        .withColumn("n_epochs", n_epochs)
+        .filter(F.col("n_epochs") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(0), (F.col("n_epochs") - 1).cast("int")
+                )
+            ).alias("epoch"),
+        )
+    )

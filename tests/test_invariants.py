@@ -638,3 +638,33 @@ def test_mixture_quota_accounting(spark, sf_dir):
         assert got == list(range(1, rep.quota + 1)), src
     assert any(rep.shortfall > 0 for rep in report.values())
     assert set(by_src) <= set(report)
+
+
+def test_mixture_upsample_hits_raw_quota_exactly(spark, sf_dir):
+    """Epoch-repeat upsampling emits EXACTLY quota_raw rows per
+    source, epochs per document differ by at most one, and the
+    fixture exercises real repetition (some epoch > 0)."""
+    report = {
+        r.source: r
+        for r in registry.QUERIES["corpus_mixture_report"](
+            spark, sf_dir
+        ).collect()
+    }
+    rows = registry.QUERIES["corpus_mixture_upsample"](
+        spark, sf_dir
+    ).collect()
+    per_src: dict[str, int] = {}
+    per_doc: dict[tuple, int] = {}
+    for r in rows:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+        per_doc[(r.source, r.doc_id)] = (
+            per_doc.get((r.source, r.doc_id), 0) + 1
+        )
+    for src, rep in report.items():
+        assert per_src.get(src, 0) == rep.quota_raw, src
+        eps = [
+            n for (s, _), n in per_doc.items() if s == src
+        ]
+        if eps:
+            assert max(eps) - min(eps) <= 1, src
+    assert any(r.epoch > 0 for r in rows)
