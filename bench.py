@@ -135,6 +135,7 @@ HEADLINE = [
     "dedup_semdedup",
     "corpus_mixture_sample",
     "corpus_mixture_sample_hashgate",
+    "corpus_split_leakage_safe",
 ]
 
 

@@ -150,10 +150,11 @@ def connected_components(
     )
 
 
-@query(
-    "dedup_duplicate_clusters",
-    oracle=f"""
-    WITH RECURSIVE {dedup._SQL_SHINGLES},
+# Jaccard-cluster closure as suffixable CTEs (shared by the cluster
+# assignment below and the leakage-safe split oracle): shingle sets →
+# exact-Jaccard pairs → symmetric edges → recursive reachability →
+# per-doc min reachable label in ``jcl``.
+_SQL_JACCARD_CLUSTER_CTES = f"""{dedup._SQL_SHINGLES},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
@@ -177,10 +178,18 @@ def connected_components(
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src
-    )
-    SELECT id AS doc_id, MIN(lbl) AS cluster_id,
-           CAST(MIN(lbl) = id AS BOOLEAN) AS is_canonical
-    FROM reach GROUP BY id
+    ),
+    jcl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY id)"""
+
+
+@query(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JACCARD_CLUSTER_CTES}
+    SELECT doc_id, cluster_id,
+           CAST(cluster_id = doc_id AS BOOLEAN) AS is_canonical
+    FROM jcl
     """,
 )
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,4 +482,65 @@ def dedup_containment_clusters(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         (F.col("component") == F.col("id")).alias("is_canonical"),
+    )
+
+
+# -- leakage-safe split ------------------------------------------------------
+
+from kafkatoclickhouse_spark.functions import hashing as _hashing  # noqa: E402
+from kafkatoclickhouse_spark.operators.text import (  # noqa: E402
+    HOLDOUT_PCT as _HOLDOUT_PCT,
+    SPLIT_SEED as _SPLIT_SEED,
+)
+
+
+@query(
+    "corpus_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JACCARD_CLUSTER_CTES},
+    b AS (
+      SELECT doc_id, cluster_id,
+             CAST({_hashing.sql_portable_hash64(
+                 "CAST(cluster_id AS VARCHAR)", _SPLIT_SEED
+             )} % 100 AS INTEGER) AS bucket
+      FROM jcl
+    )
+    SELECT doc_id, cluster_id, bucket,
+           CASE WHEN bucket < {100 - _HOLDOUT_PCT} THEN 'train'
+                ELSE 'holdout' END AS split
+    FROM b
+    """,
+)
+def corpus_split_leakage_safe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/holdout split that cannot leak near-duplicates across
+    the boundary: documents are bucketed by the hash of their
+    duplicate-CLUSTER id (``dedup_duplicate_clusters``' transitive
+    closure over exact-Jaccard pairs), not their own id — so a
+    templated page and its 95%-identical twin land on the SAME side
+    by construction. ``corpus_split_assign`` (text.py) is the
+    id-hash baseline that does leak; eval-set contamination via
+    near-dup twins is exactly the failure this guards
+    (cf. decontamination, which guards the train→eval direction).
+
+    Same seed/holdout knobs as the baseline split, so swapping it in
+    changes only the leakage property, not the split rate. Scale:
+    the closure is the O(log² n) large/small-star loop already
+    benched (`dedup_containment_clusters`); the split itself is a
+    map over its output."""
+    clusters = dedup_duplicate_clusters(spark, sf_dir)
+    bucket = F.pmod(
+        _hashing.portable_hash64(
+            F.col("cluster_id").cast("string"), _SPLIT_SEED
+        ),
+        F.lit(100),
+    ).cast("int")
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 100 - _HOLDOUT_PCT, "train")
+        .otherwise("holdout")
+        .alias("split"),
     )

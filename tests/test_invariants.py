@@ -668,3 +668,25 @@ def test_mixture_upsample_hits_raw_quota_exactly(spark, sf_dir):
         if eps:
             assert max(eps) - min(eps) <= 1, src
     assert any(r.epoch > 0 for r in rows)
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark, sf_dir):
+    """Every exact-Jaccard near-dup pair lands on ONE side of the
+    leakage-safe split (the property the id-hash baseline split
+    violates), and the assignment is total over documents."""
+    from kafkatoclickhouse_spark.operators import dedup as dedup_mod
+    from kafkatoclickhouse_spark.tables import load_table
+
+    split = {
+        r.doc_id: r.split
+        for r in registry.QUERIES["corpus_split_leakage_safe"](
+            spark, sf_dir
+        ).collect()
+    }
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(split) == n_docs
+    pairs = dedup_mod.ngram_jaccard_pairs(spark, sf_dir).collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    for p in pairs:
+        assert split[p.doc_a] == split[p.doc_b], (p.doc_a, p.doc_b)
+    assert {"train", "holdout"} == set(split.values())
