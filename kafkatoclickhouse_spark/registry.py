@@ -44,6 +44,7 @@ def load_all() -> None:
         advanced as _advanced,
         asof as _asof,
         cdc as _cdc,
+        classifier as _classifier,
         decontam as _decontam,
         dedup as _dedup,
         event_windows as _event_windows,

@@ -690,3 +690,28 @@ def test_leakage_safe_split_never_straddles_pairs(spark, sf_dir):
     for p in pairs:
         assert split[p.doc_a] == split[p.doc_b], (p.doc_a, p.doc_b)
     assert {"train", "holdout"} == set(split.values())
+
+
+def test_classifier_score_is_map_only_and_consistent(spark, sf_dir):
+    """The classifier scoring plan contains NO key shuffle — every
+    exchange is the fixture fan-out's round-robin repartition, which
+    vanishes on a many-split real layout (tables.fan_out) — logits
+    are reproducible across two invocations, and keep == (logit>=0)."""
+    df = registry.QUERIES["text_classifier_score"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, line
+    rows = {r.doc_id: (r.logit_micro, r.keep) for r in df.collect()}
+    again = {
+        r.doc_id: (r.logit_micro, r.keep)
+        for r in registry.QUERIES["text_classifier_score"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert rows == again
+    assert all((lg >= 0) == kp for lg, kp in rows.values())
+    # both classes must occur on the fixture for the gate to mean much
+    keeps = {kp for _, kp in rows.values()}
+    assert keeps == {True, False}
