@@ -36,11 +36,17 @@ POINTS = [
     # outlier on multimodal_decode_stats at this point (6.8 s vs the
     # 2.3 s it re-measures at; the adjacent new pure-Python JPEG key
     # churns the same workers) — medians, same cure as sf10.
+    # dedup_semdedup joins the by-design quadratic skips at sf1.0+:
+    # with the FIXTURE's fixed K=8 cells, within-cell pair work is
+    # Σ|cell|² ≈ n²/K — the paper's regime grows K with n (50k cells
+    # for 1.3e9 vectors), which the fixture-scale oracle replay can't
+    # (K·DIM plan literal). The operator's scale shape is the
+    # K-grows-with-n deployment, not fixed-K.
     (
         "sf1.0",
         os.path.join(REPO, ".scaledata", "sf1.0"),
         3,
-        "dedup_embedding_cosine",
+        "dedup_embedding_cosine,dedup_semdedup",
     ),
     # third decade (100× sf0.1; generate with
     # `python tools/make_scale_data.py 100`). The brute-force
@@ -53,11 +59,19 @@ POINTS = [
     # LUT-Huffman + batched-iDCT rewrite is ~10× on the DC-only
     # fixture class, so the full-decade row is measurable (r8 had
     # estimated ~40 s/run for the old bit-at-a-time codec and skipped).
+    # corpus_split_leakage_safe is skipped at sf10 only: its pair
+    # source is the EXACT shingle self-join ground truth (same class
+    # as dedup_embedding_cosine's all-pairs twin) whose sf10 spill
+    # exceeded local disk; the production composition swaps in the
+    # MinHash-LSH pair source (dedup_duplicate_clusters_lsh) — same
+    # closure, banded candidates. Measured fine through sf1.0 (4.0×
+    # on the 10× hop).
     (
         "sf10",
         os.path.join(REPO, ".scaledata", "sf10.0"),
         3,
-        "dedup_embedding_cosine,sim_topk_bruteforce",
+        "dedup_embedding_cosine,sim_topk_bruteforce,dedup_semdedup,"
+        "corpus_split_leakage_safe",
     ),
 ]
 FLAG_RATIO = 12.0
