@@ -136,6 +136,7 @@ HEADLINE = [
     "corpus_mixture_sample",
     "corpus_mixture_sample_hashgate",
     "corpus_split_leakage_safe",
+    "corpus_split_leakage_safe_lsh",
     "text_classifier_score",
 ]
 

@@ -544,3 +544,53 @@ def corpus_split_leakage_safe(
         .otherwise("holdout")
         .alias("split"),
     )
+
+
+@query(
+    "corpus_split_leakage_safe_lsh",
+    oracle=_sql_minhash_cluster_ctes()
+    + f""",
+    b2 AS (
+      SELECT id AS doc_id, MIN(lbl) AS cluster_id
+      FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           CAST({_hashing.sql_portable_hash64(
+               "CAST(cluster_id AS VARCHAR)", _SPLIT_SEED
+           )} % 100 AS INTEGER) AS bucket,
+           CASE WHEN CAST({_hashing.sql_portable_hash64(
+               "CAST(cluster_id AS VARCHAR)", _SPLIT_SEED
+           )} % 100 AS INTEGER) < {100 - _HOLDOUT_PCT} THEN 'train'
+                ELSE 'holdout' END AS split
+    FROM b2
+    """,
+)
+def corpus_split_leakage_safe_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The leakage-safe split over the PRODUCTION pair source:
+    clusters come from MinHash-LSH verified pairs
+    (``dedup_duplicate_clusters_lsh`` — banded candidates, never an
+    exact shingle self-join), then buckets by cluster-id hash exactly
+    like ``corpus_split_leakage_safe``. This is the variant a 100 TB
+    corpus runs: the exact-pair twin's shingle self-join exhausted
+    local disk at the sf10 curve point (SCALING.md by-design skips),
+    while every shuffle here is band- or id-keyed and linear. Same
+    seed/holdout knobs; at fixture scale LSH recall on planted
+    duplicates is total, so the two variants assign identical splits
+    (pinned in pytest)."""
+    clusters = dedup_duplicate_clusters_lsh(spark, sf_dir)
+    bucket = F.pmod(
+        _hashing.portable_hash64(
+            F.col("cluster_id").cast("string"), _SPLIT_SEED
+        ),
+        F.lit(100),
+    ).cast("int")
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 100 - _HOLDOUT_PCT, "train")
+        .otherwise("holdout")
+        .alias("split"),
+    )

@@ -715,3 +715,22 @@ def test_classifier_score_is_map_only_and_consistent(spark, sf_dir):
     # both classes must occur on the fixture for the gate to mean much
     keeps = {kp for _, kp in rows.values()}
     assert keeps == {True, False}
+
+
+def test_leakage_safe_split_lsh_matches_exact_twin(spark, sf_dir):
+    """At fixture scale LSH recall on planted duplicates is total,
+    so the production-pair-source split assigns every document the
+    same side as the exact-pair twin."""
+    exact = {
+        r.doc_id: r.split
+        for r in registry.QUERIES["corpus_split_leakage_safe"](
+            spark, sf_dir
+        ).collect()
+    }
+    lsh = {
+        r.doc_id: r.split
+        for r in registry.QUERIES["corpus_split_leakage_safe_lsh"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert exact == lsh
