@@ -53,16 +53,18 @@ def _sql_weight_expr() -> str:
     "text_classifier_score",
     oracle=f"""
     SELECT doc_id,
-           COALESCE(list_aggregate(list_transform(
+           CAST(COALESCE(list_aggregate(list_transform(
                list_filter(string_split_regex(lower(trim(text)),
                                               '\\s+'),
                            t -> t <> ''),
-               t -> {_sql_weight_expr()}), 'sum'), 0) AS logit_micro,
-           COALESCE(list_aggregate(list_transform(
+               t -> {_sql_weight_expr()}), 'sum'), 0) AS BIGINT)
+             AS logit_micro,
+           CAST(COALESCE(list_aggregate(list_transform(
                list_filter(string_split_regex(lower(trim(text)),
                                               '\\s+'),
                            t -> t <> ''),
-               t -> {_sql_weight_expr()}), 'sum'), 0) >= 0 AS keep
+               t -> {_sql_weight_expr()}), 'sum'), 0) AS BIGINT)
+             >= 0 AS keep
     FROM documents
     """,
 )
@@ -109,11 +111,12 @@ def _weight_col(t: Column) -> Column:
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, source,
-             COALESCE(list_aggregate(list_transform(
+             CAST(COALESCE(list_aggregate(list_transform(
                  list_filter(string_split_regex(lower(trim(text)),
                                                 '\\s+'),
                              t -> t <> ''),
-                 t -> {_sql_weight_expr()}), 'sum'), 0) AS logit_micro
+                 t -> {_sql_weight_expr()}), 'sum'), 0) AS BIGINT)
+               AS logit_micro
       FROM documents
     )
     SELECT source,
