@@ -138,6 +138,8 @@ HEADLINE = [
     "corpus_split_leakage_safe",
     "corpus_split_leakage_safe_lsh",
     "text_classifier_score",
+    "corpus_source_overlap",
+    "embedding_truncate_mrl",
 ]
 
 

@@ -47,7 +47,9 @@ def load_all() -> None:
         classifier as _classifier,
         decontam as _decontam,
         dedup as _dedup,
+        embedprep as _embedprep,
         event_windows as _event_windows,
+        forensics as _forensics,
         graph as _graph,
         kmeans as _kmeans,
         mixture as _mixture,

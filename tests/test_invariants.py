@@ -734,3 +734,49 @@ def test_leakage_safe_split_lsh_matches_exact_twin(spark, sf_dir):
         ).collect()
     }
     assert exact == lsh
+
+
+def test_source_overlap_matrix_properties(spark, sf_dir):
+    """Inter-source overlap invariants: containment ppm bounded by
+    1e6, n_shared bounded by min(n_a, n_b), the pair keys are
+    strictly ordered and unique, and the fixture produces a
+    non-empty matrix (cross-source near-dups exist)."""
+    rows = registry.QUERIES["corpus_source_overlap"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert 0 < r.n_shared <= min(r.n_a, r.n_b)
+        assert 0 < r.containment_ppm <= 1000000
+
+
+def test_embedding_prep_unit_norms_and_energy(spark, sf_dir):
+    """Unit-normalized outputs have L2 norm 1 within rounding, the
+    MRL prefix energy ppm sits in (0, 1e6], and re-normalized
+    prefixes are unit too."""
+    import math
+
+    for name, col in (
+        ("embedding_normalize_unit", "unit"),
+        ("embedding_truncate_mrl", "unit_prefix"),
+    ):
+        rows = registry.QUERIES[name](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            vec = r[col]
+            if vec is None:
+                continue
+            n = math.sqrt(sum(x * x for x in vec))
+            # components rounded to 1e-6 → norm within dim·1e-6 of 1
+            assert abs(n - 1.0) < 1e-4, (name, r.vec_id, n)
+    ppms = [
+        r.energy_ppm
+        for r in registry.QUERIES["embedding_truncate_mrl"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert all(0 < p <= 1000000 for p in ppms)
