@@ -140,6 +140,7 @@ HEADLINE = [
     "text_classifier_score",
     "corpus_source_overlap",
     "embedding_truncate_mrl",
+    "text_winnow_fingerprints",
 ]
 
 

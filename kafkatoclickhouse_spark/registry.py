@@ -61,4 +61,5 @@ def load_all() -> None:
         text as _text,
         tpch as _tpch,
         tpch2 as _tpch2,
+        winnow as _winnow,
     )

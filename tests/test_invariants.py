@@ -780,3 +780,50 @@ def test_embedding_prep_unit_norms_and_energy(spark, sf_dir):
         ).collect()
     ]
     assert all(0 < p <= 1000000 for p in ppms)
+
+
+def test_winnowing_guarantee_and_density(spark, sf_dir):
+    """The Schleimer et al. guarantee, checked against brute force:
+    every document pair sharing ANY verbatim run of W+K-1 tokens
+    shares at least one winnowed fingerprint hash; and the selected
+    density is genuinely sparse (fewer fingerprints than k-grams)."""
+    from kafkatoclickhouse_spark.operators.winnow import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+    from kafkatoclickhouse_spark.tables import load_table
+
+    g = WINNOW_W + WINNOW_K - 1
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    grams = {
+        d: {
+            " ".join(t[i : i + g])
+            for i in range(len(t) - g + 1)
+        }
+        for d, t in docs.items()
+    }
+    must_pair = {
+        (a, b)
+        for a in grams
+        for b in grams
+        if a < b and grams[a] & grams[b]
+    }
+    assert must_pair, "fixture must contain shared 8-token runs"
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["text_winnow_shared_pairs"](
+            spark, sf_dir
+        ).collect()
+    }
+    missing = must_pair - got
+    assert not missing, f"guarantee violated for {sorted(missing)[:5]}"
+    fp = registry.QUERIES["text_winnow_fingerprints"](
+        spark, sf_dir
+    ).collect()
+    n_kgrams = sum(
+        max(len(t) - WINNOW_K + 1, 0) for t in docs.values()
+    )
+    assert 0 < len(fp) < n_kgrams
