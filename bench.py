@@ -141,6 +141,7 @@ HEADLINE = [
     "corpus_source_overlap",
     "embedding_truncate_mrl",
     "text_winnow_fingerprints",
+    "sim_sq8_serve_topk",
 ]
 
 

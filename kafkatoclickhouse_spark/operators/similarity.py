@@ -781,9 +781,7 @@ def sq8_encode(
     )
 
 
-@query(
-    "sim_sq8_topk",
-    oracle=f"""
+_SQL_SQ8_TOPK = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
     c AS (
@@ -814,7 +812,12 @@ def sq8_encode(
             ORDER BY score_scaled DESC, neighbor_id) AS rn
           FROM scored)
     WHERE rn <= {TOP_K}
-    """,
+    """
+
+
+@query(
+    "sim_sq8_topk",
+    oracle=_SQL_SQ8_TOPK,
 )
 def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized top-k: score in INT8 code space (the FAISS
@@ -829,6 +832,14 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, per-query top-k window; ties by neighbor_id."""
     em = load_table(spark, sf_dir, "embeddings")
     codes = sq8_encode(em, "embedding", ("vec_id",))
+    return _sq8_score_topk(codes)
+
+
+def _sq8_score_topk(codes: DataFrame) -> DataFrame:
+    """The SQ8 flat-scan scoring kernel over a (vec_id, scale_micro,
+    codes) table — shared by ``sim_sq8_topk`` (encodes inline) and
+    ``sim_sq8_serve_topk`` (reads the persisted index), so the two
+    paths return identical rows by construction."""
     queries = (
         codes.filter((F.col("vec_id") % QUERY_MOD) == 0)
         .orderBy("vec_id")
@@ -1546,3 +1557,67 @@ def sim_ivf_sq8_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+# --- SQ8 index lifecycle: BUILD once, SERVE from persisted codes ----------
+
+
+def embedding_sq8_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    force: bool = False,
+) -> str:
+    """BUILD half of the SQ8 lifecycle (the third index family to
+    get the build/serve split, after IVF-PQ and BM25): encode every
+    vector once — (vec_id, scale_micro, codes), int8 codes + one
+    integer scale, 4× less bandwidth than float32 — and persist as
+
+      - ``sq8_codes.parquet``: the compressed corpus, written
+        distributed (the only data-sized artifact);
+      - ``meta.json`` (written LAST / removed FIRST — the
+        crash-safe build-complete marker): source-table fingerprint
+        so a stale index is detected, never silently served.
+
+    Shares ``pq.default_index_dir``'s fingerprint-keyed location
+    (``sq8`` subdir) so regenerated fixtures get fresh indexes."""
+    import json
+    import os
+
+    from kafkatoclickhouse_spark.operators import pq as PQ
+    from kafkatoclickhouse_spark.tables import table_fingerprint
+
+    path = path or os.path.join(PQ.default_index_dir(sf_dir), "sq8")
+    meta_path = os.path.join(path, "meta.json")
+    fp = list(table_fingerprint(sf_dir, "embeddings"))
+    if os.path.isfile(meta_path) and not force:
+        with open(meta_path) as fh:
+            if json.load(fh).get("fingerprint") == fp:
+                return path
+    try:
+        os.remove(meta_path)
+    except FileNotFoundError:
+        pass
+    em = load_table(spark, sf_dir, "embeddings")
+    sq8_encode(em, "embedding", ("vec_id",)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "sq8_codes.parquet"))
+    os.makedirs(path, exist_ok=True)
+    with open(meta_path, "w") as fh:
+        json.dump({"fingerprint": fp, "codes": 127}, fh)
+    return path
+
+
+@query("sim_sq8_serve_topk", oracle=_SQL_SQ8_TOPK)
+def sim_sq8_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE half: top-k scored from ONLY the persisted int8 codes —
+    the raw embedding table is out of the serve path entirely
+    (poison-tested in pytest, like the BM25 and IVF-PQ serves).
+    Builds on first call, then every retrieval reads the 4×-
+    compressed artifact; scoring is the same kernel as
+    ``sim_sq8_topk``, so the oracle is literally the same SQL."""
+    import os
+
+    path = embedding_sq8_index_build(spark, sf_dir)
+    codes = spark.read.parquet(os.path.join(path, "sq8_codes.parquet"))
+    return _sq8_score_topk(codes)

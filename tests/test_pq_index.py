@@ -89,3 +89,65 @@ def test_pq_index_stale_fingerprint_forces_rebuild(
         rebuilt = json.load(fh)
     assert rebuilt["fingerprint"] == list(PQ._table_fingerprint(sf_dir))
     assert os.path.getmtime(meta_path) >= t0
+
+
+def test_sq8_index_build_serve_lifecycle(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """SQ8 lifecycle mirror of the PQ test: build persists codes +
+    crash-safe meta, a second build is a no-op, and the serve query
+    returns the inline-encoding query's exact rows with the raw
+    ENCODE path poisoned (the serve scan reads only the persisted
+    int8 codes)."""
+    from kafkatoclickhouse_spark.operators import similarity as S
+
+    def canon(rows):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["score_scaled"],
+             r["rank"])
+            for r in rows
+        )
+
+    expected = canon(
+        registry.QUERIES["sim_sq8_topk"](spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(
+        PQ, "default_index_dir", lambda s: str(tmp_path)
+    )
+    path = S.embedding_sq8_index_build(spark, sf_dir)
+    assert path == os.path.join(str(tmp_path), "sq8")
+    codes = spark.read.parquet(os.path.join(path, "sq8_codes.parquet"))
+    assert set(codes.columns) == {"vec_id", "scale_micro", "codes"}
+    n_vecs = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).count()
+    assert codes.count() == n_vecs
+
+    # idempotent second build: meta untouched
+    t0 = os.path.getmtime(os.path.join(path, "meta.json"))
+    assert S.embedding_sq8_index_build(spark, sf_dir) == path
+    assert os.path.getmtime(os.path.join(path, "meta.json")) == t0
+
+    # SERVE with the encode path poisoned: must come from artifacts
+    def boom(*a, **k):
+        raise AssertionError("serve path re-encoded the corpus")
+
+    monkeypatch.setattr(S, "sq8_encode", boom)
+    got = canon(
+        registry.QUERIES["sim_sq8_serve_topk"](spark, sf_dir).collect()
+    )
+    assert got == expected
+
+    # stale fingerprint forces a rebuild (encode poison still set →
+    # the rebuild attempt must trip it, proving staleness is seen)
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["fingerprint"] = ["/somewhere/else.parquet", 0, 0]
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    try:
+        S.embedding_sq8_index_build(spark, sf_dir)
+        raise RuntimeError("stale index was served without rebuild")
+    except AssertionError:
+        pass
