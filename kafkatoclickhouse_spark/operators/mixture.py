@@ -302,7 +302,9 @@ def corpus_mixture_upsample(
         "source", "quota_raw", "n_docs"
     )
     n_epochs = (
-        F.floor(F.col("quota_raw") / F.col("n_docs")).cast("long")
+        # integer `div`, not floor(double /): the oracle uses '//' and
+        # double division loses bit-exactness past 2^53-scale products
+        F.expr("quota_raw div n_docs").cast("long")
         + F.when(
             F.col("pick_rank")
             <= F.col("quota_raw") % F.col("n_docs"),

@@ -986,6 +986,8 @@ def classify_image(payload: bytes) -> tuple[str, str, str]:
     if p[:2] == b"P6":
         return ("ppm", _try_pure(p), "ppm_p6")
     if p[:2] == b"BM":
+        if len(p) < 34:  # header reads below need bytes 28..33
+            return ("bmp", "undecodable", "truncated")
         bpp = p[28] | (p[29] << 8)
         compression = int.from_bytes(p[30:34], "little")
         if bpp == 24 and compression == 0:
@@ -993,6 +995,8 @@ def classify_image(payload: bytes) -> tuple[str, str, str]:
         detail = "bmp_compressed" if compression else f"bmp_bpp{bpp}"
         return ("bmp", "fallback", detail)
     if p[:8] == _PNG_MAGIC:
+        if len(p) < 29:  # IHDR fields read below end at byte 28
+            return ("png", "undecodable", "truncated")
         bitdepth, colortype, interlace = p[24], p[25], p[28]
         if interlace != 0:
             return ("png", "fallback", "png_interlaced")
@@ -1031,8 +1035,12 @@ def _classify_jpeg(p: bytes) -> tuple[str, str, str]:
             i += 2
             continue
         if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):  # SOF*
+            if i + 10 > len(p):  # truncated inside the SOF header
+                return ("jpeg", "fallback", "truncated")
             precision = p[i + 4]
             ncomp = p[i + 9]
+            if i + 10 + 3 * ncomp > len(p):  # component table cut off
+                return ("jpeg", "fallback", "truncated")
             samplings = [p[i + 10 + 3 * c + 1] for c in range(ncomp)]
             if (
                 m == 0xC0

@@ -1163,9 +1163,13 @@ def _mmr_group(pdf):
     for _ in range(2, min(MMR_K, n) + 1):
         pen = np.max(sims[:, sel], axis=1)  # NaN only for 0-vectors
         score = MMR_REL_W * rel - MMR_PEN_W * pen
-        score = np.where(np.isnan(score) | ~alive, -np.inf, score)
-        order = np.lexsort((nid, -score))  # mmr desc, nid asc
-        pick = int(order[0])
+        score = np.where(np.isnan(score), -np.inf, score)
+        # Pick over ALIVE indices only: if every alive score is -inf
+        # (all-NaN penalty pool of zero-vectors) the old global
+        # lexsort could re-pick an already-selected nid.
+        live = np.flatnonzero(alive)
+        order = np.lexsort((nid[live], -score[live]))  # mmr desc, nid asc
+        pick = int(live[order[0]])
         sel.append(pick)
         mmr.append(float(score[pick]))
         alive[pick] = False

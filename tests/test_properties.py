@@ -796,3 +796,18 @@ def test_classify_image_routes_off_fixture_variants():
     assert classify_image(b"GIF89a....") == (
         "unknown", "undecodable", "unknown_magic",
     )
+
+    # truncated recognized-magic streams must ROUTE, never raise
+    # (ADVICE r10: real crawls carry cut-off streams the fixture
+    # never synthesizes)
+    assert classify_image(b"BM\x00\x00") == (
+        "bmp", "undecodable", "truncated",
+    )
+    assert classify_image(png[:20]) == (
+        "png", "undecodable", "truncated",
+    )
+    assert classify_image(sof(0xC0)[:8])[2] == "truncated"
+    bogus_ncomp = b"\xff\xd8" + bytes(
+        [0xFF, 0xC0, 0x00, 0x0B, 8, 0, 8, 0, 8, 200]
+    )
+    assert classify_image(bogus_ncomp)[2] == "truncated"

@@ -36,6 +36,15 @@ def main() -> None:
                  "(was SPARK_GRAFT_BENCH_ONLY set?)")
     if partial.get("errors"):
         sys.exit(f"refusing: partial run has errors {partial['errors']}")
+    # A partial measured at the wrong SF (env-var typo) would silently
+    # corrupt the curve — refuse unless the scale factors agree.
+    cache_sf = cache.get("sf")
+    partial_sf = partial.get("sf")
+    if cache_sf is not None and partial_sf is not None and cache_sf != partial_sf:
+        sys.exit(f"refusing: partial sf={partial_sf} does not match "
+                 f"cache point {label} sf={cache_sf}")
+    if partial_sf is not None:
+        prov["sf"] = partial_sf
     before = set(cache["queries"])
     cache["queries"].update(partial["queries"])
     cache["value"] = round(sum(cache["queries"].values()), 3)
