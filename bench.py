@@ -142,6 +142,10 @@ HEADLINE = [
     "embedding_truncate_mrl",
     "text_winnow_fingerprints",
     "sim_sq8_serve_topk",
+    # round-11 additions: in-engine NB classifier training + the
+    # trained-model serve path (VERDICT r10 #1)
+    "text_classifier_train",
+    "text_classifier_score_trained",
 ]
 
 

@@ -12,7 +12,7 @@ parallel, zero shuffles except the final aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafkatoclickhouse_spark.functions import bpe as bpefns
@@ -1393,6 +1393,31 @@ _SQL_GOPHER = f"""
              AND n_stopwords >= {GOPHER_MIN_STOPWORDS} AS keep
     FROM g
     """
+
+
+def gopher_keep_col(text: Column) -> Column:
+    """The composite §A1.1 keep flag as ONE map-only Column over raw
+    text — factored so the NB trainer's weak labels
+    (operators/classifier.py) and the registered gate share a single
+    formula definition. Any drift from ``text_gopher_rules`` (which
+    pins the same bands through its own parity) breaks the
+    classifier's oracle, so the two stay lock-stepped."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n_words = F.size(words).cast("long")
+    n_word_chars = (
+        F.length(F.regexp_replace(text, r"\s", "")).cast("long")
+    )
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("^[a-z]+$"))
+    ).cast("long")
+    n_stop = textfns.stopword_count(text)
+    return (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & (n_word_chars >= GOPHER_MIN_MEAN_LEN * n_words)
+        & (n_word_chars <= GOPHER_MAX_MEAN_LEN * n_words)
+        & (5 * n_alpha >= 4 * n_words)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
 
 
 @query("text_gopher_rules", oracle=_SQL_GOPHER)
