@@ -136,7 +136,7 @@ HEADLINE = [
     "corpus_mixture_sample",
     "corpus_mixture_sample_hashgate",
     "corpus_split_leakage_safe",
-    "corpus_split_leakage_safe_lsh",
+    "corpus_split_leakage_safe_exact",
     "text_classifier_score",
     "corpus_source_overlap",
     "embedding_truncate_mrl",

@@ -496,58 +496,6 @@ from kafkatoclickhouse_spark.operators.text import (  # noqa: E402
 
 @query(
     "corpus_split_leakage_safe",
-    oracle=f"""
-    WITH RECURSIVE {_SQL_JACCARD_CLUSTER_CTES},
-    b AS (
-      SELECT doc_id, cluster_id,
-             CAST({_hashing.sql_portable_hash64(
-                 "CAST(cluster_id AS VARCHAR)", _SPLIT_SEED
-             )} % 100 AS INTEGER) AS bucket
-      FROM jcl
-    )
-    SELECT doc_id, cluster_id, bucket,
-           CASE WHEN bucket < {100 - _HOLDOUT_PCT} THEN 'train'
-                ELSE 'holdout' END AS split
-    FROM b
-    """,
-)
-def corpus_split_leakage_safe(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Train/holdout split that cannot leak near-duplicates across
-    the boundary: documents are bucketed by the hash of their
-    duplicate-CLUSTER id (``dedup_duplicate_clusters``' transitive
-    closure over exact-Jaccard pairs), not their own id — so a
-    templated page and its 95%-identical twin land on the SAME side
-    by construction. ``corpus_split_assign`` (text.py) is the
-    id-hash baseline that does leak; eval-set contamination via
-    near-dup twins is exactly the failure this guards
-    (cf. decontamination, which guards the train→eval direction).
-
-    Same seed/holdout knobs as the baseline split, so swapping it in
-    changes only the leakage property, not the split rate. Scale:
-    the closure is the O(log² n) large/small-star loop already
-    benched (`dedup_containment_clusters`); the split itself is a
-    map over its output."""
-    clusters = dedup_duplicate_clusters(spark, sf_dir)
-    bucket = F.pmod(
-        _hashing.portable_hash64(
-            F.col("cluster_id").cast("string"), _SPLIT_SEED
-        ),
-        F.lit(100),
-    ).cast("int")
-    return clusters.select(
-        "doc_id",
-        "cluster_id",
-        bucket.alias("bucket"),
-        F.when(F.col("bucket") < 100 - _HOLDOUT_PCT, "train")
-        .otherwise("holdout")
-        .alias("split"),
-    )
-
-
-@query(
-    "corpus_split_leakage_safe_lsh",
     oracle=_sql_minhash_cluster_ctes()
     + f""",
     b2 AS (
@@ -565,21 +513,76 @@ def corpus_split_leakage_safe(
     FROM b2
     """,
 )
-def corpus_split_leakage_safe_lsh(
+def corpus_split_leakage_safe(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The leakage-safe split over the PRODUCTION pair source:
-    clusters come from MinHash-LSH verified pairs
+    """Train/holdout split that cannot leak near-duplicates across
+    the boundary: documents are bucketed by the hash of their
+    duplicate-CLUSTER id, not their own id — so a templated page and
+    its 95%-identical twin land on the SAME side by construction.
+    ``corpus_split_assign`` (text.py) is the id-hash baseline that
+    does leak; eval-set contamination via near-dup twins is exactly
+    the failure this guards (cf. decontamination, which guards the
+    train→eval direction).
+
+    The headline name runs the PRODUCTION pair source (VERDICT r10
+    #3): clusters from MinHash-LSH verified pairs
     (``dedup_duplicate_clusters_lsh`` — banded candidates, never an
-    exact shingle self-join), then buckets by cluster-id hash exactly
-    like ``corpus_split_leakage_safe``. This is the variant a 100 TB
-    corpus runs: the exact-pair twin's shingle self-join exhausted
-    local disk at the sf10 curve point (SCALING.md by-design skips),
-    while every shuffle here is band- or id-keyed and linear. Same
-    seed/holdout knobs; at fixture scale LSH recall on planted
-    duplicates is total, so the two variants assign identical splits
-    (pinned in pytest)."""
+    exact shingle self-join, every shuffle band- or id-keyed and
+    linear), closed by the O(log² n) large/small-star loop. The
+    exact-pair ground truth lives under
+    ``corpus_split_leakage_safe_exact`` (its shingle self-join
+    exhausted local disk at the sf10 curve point — the
+    ``dedup_embedding_cosine``/``_bucketed`` headline-vs-ground-truth
+    pattern). At fixture scale LSH recall on planted duplicates is
+    total, so the two variants assign identical splits (pinned in
+    pytest). Same seed/holdout knobs as the baseline split, so
+    swapping it in changes only the leakage property, not the split
+    rate."""
     clusters = dedup_duplicate_clusters_lsh(spark, sf_dir)
+    bucket = F.pmod(
+        _hashing.portable_hash64(
+            F.col("cluster_id").cast("string"), _SPLIT_SEED
+        ),
+        F.lit(100),
+    ).cast("int")
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 100 - _HOLDOUT_PCT, "train")
+        .otherwise("holdout")
+        .alias("split"),
+    )
+
+
+@query(
+    "corpus_split_leakage_safe_exact",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JACCARD_CLUSTER_CTES},
+    b AS (
+      SELECT doc_id, cluster_id,
+             CAST({_hashing.sql_portable_hash64(
+                 "CAST(cluster_id AS VARCHAR)", _SPLIT_SEED
+             )} % 100 AS INTEGER) AS bucket
+      FROM jcl
+    )
+    SELECT doc_id, cluster_id, bucket,
+           CASE WHEN bucket < {100 - _HOLDOUT_PCT} THEN 'train'
+                ELSE 'holdout' END AS split
+    FROM b
+    """,
+)
+def corpus_split_leakage_safe_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ground-truth twin of ``corpus_split_leakage_safe``: identical
+    bucketing, but clusters come from ``dedup_duplicate_clusters``'
+    transitive closure over EXACT-Jaccard pairs (an exact shingle
+    self-join — complete recall, quadratic in duplicate-family size;
+    the sf10 by-design skip in SCALING.md). Use it to audit the
+    LSH headline's recall, never as the production path."""
+    clusters = dedup_duplicate_clusters(spark, sf_dir)
     bucket = F.pmod(
         _hashing.portable_hash64(
             F.col("cluster_id").cast("string"), _SPLIT_SEED

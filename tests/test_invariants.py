@@ -719,17 +719,17 @@ def test_classifier_score_is_map_only_and_consistent(spark, sf_dir):
 
 def test_leakage_safe_split_lsh_matches_exact_twin(spark, sf_dir):
     """At fixture scale LSH recall on planted duplicates is total,
-    so the production-pair-source split assigns every document the
-    same side as the exact-pair twin."""
+    so the production-pair-source headline split assigns every
+    document the same side as the exact-pair ground-truth twin."""
     exact = {
         r.doc_id: r.split
-        for r in registry.QUERIES["corpus_split_leakage_safe"](
+        for r in registry.QUERIES["corpus_split_leakage_safe_exact"](
             spark, sf_dir
         ).collect()
     }
     lsh = {
         r.doc_id: r.split
-        for r in registry.QUERIES["corpus_split_leakage_safe_lsh"](
+        for r in registry.QUERIES["corpus_split_leakage_safe"](
             spark, sf_dir
         ).collect()
     }

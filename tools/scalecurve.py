@@ -59,19 +59,19 @@ POINTS = [
     # LUT-Huffman + batched-iDCT rewrite is ~10× on the DC-only
     # fixture class, so the full-decade row is measurable (r8 had
     # estimated ~40 s/run for the old bit-at-a-time codec and skipped).
-    # corpus_split_leakage_safe is skipped at sf10 only: its pair
-    # source is the EXACT shingle self-join ground truth (same class
-    # as dedup_embedding_cosine's all-pairs twin) whose sf10 spill
-    # exceeded local disk; the production composition swaps in the
-    # MinHash-LSH pair source (dedup_duplicate_clusters_lsh) — same
-    # closure, banded candidates. Measured fine through sf1.0 (4.0×
-    # on the 10× hop).
+    # corpus_split_leakage_safe_exact is skipped at sf10 only: its
+    # pair source is the EXACT shingle self-join ground truth (same
+    # class as dedup_embedding_cosine's all-pairs twin) whose sf10
+    # spill exceeded local disk; the HEADLINE corpus_split_leakage_safe
+    # runs the MinHash-LSH pair source (r11 swap, VERDICT r10 #3) —
+    # same closure, banded candidates — and completes all four points.
+    # The exact twin measured fine through sf1.0 (4.0× on the 10× hop).
     (
         "sf10",
         os.path.join(REPO, ".scaledata", "sf10.0"),
         3,
         "dedup_embedding_cosine,sim_topk_bruteforce,dedup_semdedup,"
-        "corpus_split_leakage_safe",
+        "corpus_split_leakage_safe_exact",
     ),
 ]
 FLAG_RATIO = 12.0
