@@ -143,9 +143,11 @@ HEADLINE = [
     "text_winnow_fingerprints",
     "sim_sq8_serve_topk",
     # round-11 additions: in-engine NB classifier training + the
-    # trained-model serve path (VERDICT r10 #1)
+    # trained-model serve path (VERDICT r10 #1), winnow-pruned
+    # substring-span verify (VERDICT r10 #2)
     "text_classifier_train",
     "text_classifier_score_trained",
+    "dedup_substring_spans_winnowed",
 ]
 
 

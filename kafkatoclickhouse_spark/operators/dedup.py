@@ -1107,10 +1107,15 @@ SPAN_SEED = 710
 # exactly like the paper's suffix-array occurrences). Docs shorter
 # than K tokens carry no fingerprint: they cannot contain a
 # >= SPAN_MIN_TOKENS (>= K) span.
-_SQL_SPAN_FP = f"""
-    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-             FROM documents),
-    fp AS (
+def sql_span_ctes(docs_rel: str = "documents", p: str = "") -> str:
+    """The span-verify CTE chain, parameterized by the source
+    relation (must expose doc_id + text) and a CTE-name prefix so it
+    can compose with other chains (the winnowed variant joins it to
+    the winnow index chain, whose names would otherwise collide)."""
+    return f"""
+    {p}toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+             FROM {docs_rel}),
+    {p}fp AS (
       SELECT doc_id, CAST(r AS BIGINT) AS pos,
              {hashing.sql_portable_hash64(
                  f"array_to_string(t[r + 1 : r + {SPAN_K}], ' ')",
@@ -1118,36 +1123,41 @@ _SQL_SPAN_FP = f"""
              )} AS h
       FROM (SELECT doc_id, t,
                    unnest(range(len(t) - {SPAN_K - 1})) AS r
-            FROM toks WHERE len(t) >= {SPAN_K})
+            FROM {p}toks WHERE len(t) >= {SPAN_K})
     ),
-    dup AS (
+    {p}dup AS (
       SELECT doc_id, pos FROM (
         SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c
-        FROM fp)
+        FROM {p}fp)
       WHERE c >= 2
     ),
-    isl AS (
+    {p}isl AS (
       SELECT doc_id, pos,
              pos - ROW_NUMBER() OVER (
                PARTITION BY doc_id ORDER BY pos) AS grp
-      FROM dup
+      FROM {p}dup
     ),
-    spans AS (
+    {p}spans AS (
       SELECT doc_id,
              CAST(MIN(pos) AS BIGINT) AS span_start,
              CAST(MAX(pos) + {SPAN_K} - 1 AS BIGINT) AS span_end
-      FROM isl GROUP BY doc_id, grp
+      FROM {p}isl GROUP BY doc_id, grp
     ),
-    qspans AS (
+    {p}qspans AS (
       SELECT doc_id, span_start, span_end,
              span_end - span_start + 1 AS span_tokens
-      FROM spans
+      FROM {p}spans
       WHERE span_end - span_start + 1 >= {SPAN_MIN_TOKENS}
     )
 """
 
 
-def _span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+_SQL_SPAN_FP = sql_span_ctes()
+
+
+def _span_positions(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, pos) of every duplicated k-gram start position —
     the Spark twin of the ``dup`` CTE. One row per POSITION (not
     per distinct shingle): within-doc repeats participate. The only
@@ -1155,8 +1165,10 @@ def _span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size, no pair enumeration anywhere, no frequency cap
     needed (a fingerprint shared by m documents costs m rows here,
     not m² pairs, so hot boilerplate fingerprints are exactly as
-    cheap as rare ones)."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    cheap as rare ones). ``docs`` overrides the source relation (the
+    winnowed variant passes the candidate-pruned subset)."""
+    if docs is None:
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = hashing.tokens(F.col("text"))
     fp = (
         docs.filter(F.size(toks) >= SPAN_K)
@@ -1182,11 +1194,13 @@ def _span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _span_table(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Maximal duplicated spans >= SPAN_MIN_TOKENS — Spark twin of
     the ``qspans`` CTE (gaps-and-islands over duplicated positions,
     per-doc window: bounded by document length, scale-safe)."""
-    dup = _span_positions(spark, sf_dir)
+    dup = _span_positions(spark, sf_dir, docs=docs)
     wd = W.partitionBy("doc_id").orderBy("pos")
     return (
         dup.withColumn("grp", F.col("pos") - F.row_number().over(wd))
@@ -1218,6 +1232,72 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans a substring-dedup pass would cut. Engine-new surface (the
     reference has no dedup — SURVEY.md §2.2)."""
     return _span_table(spark, sf_dir)
+
+
+def _winnow_candidate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_ids that can possibly contain a qualifying duplicated
+    span, from the winnow index: documents holding a winnowed
+    fingerprint selected at >= 2 corpus positions. Recall-COMPLETE
+    for the span verifier because any duplicated SPAN_K-gram is a
+    shared verbatim run of SPAN_K >= W+K-1 tokens, which the
+    winnowing guarantee (Schleimer et al. 2003, pinned in
+    tests/test_properties.py) forces to share a selected
+    fingerprint."""
+    from kafkatoclickhouse_spark.operators import winnow as winnow_mod
+
+    # static guard: the guarantee only holds while the span
+    # fingerprint width covers the winnow threshold
+    assert SPAN_K >= winnow_mod.WINNOW_W + winnow_mod.WINNOW_K - 1
+    wfp = winnow_mod._fingerprints(spark, sf_dir)
+    wc = W.partitionBy("fp_hash")
+    return (
+        wfp.withColumn("c", F.count(F.lit(1)).over(wc))
+        .filter(F.col("c") >= 2)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _sql_winnowed_span_query() -> str:
+    from kafkatoclickhouse_spark.operators.winnow import _SQL_WINNOW
+
+    return f"""
+    WITH {_SQL_WINNOW},
+    wcnt AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY fp_hash) AS c
+      FROM wfp
+    ),
+    cand AS (SELECT DISTINCT doc_id FROM wcnt WHERE c >= 2),
+    cdocs AS (SELECT d.doc_id, d.text
+              FROM documents d JOIN cand USING (doc_id)),
+    {sql_span_ctes(docs_rel="cdocs", p="s")}
+    SELECT doc_id, span_start, span_end, span_tokens FROM sqspans
+    """
+
+
+@query("dedup_substring_spans_winnowed", oracle=_sql_winnowed_span_query())
+def dedup_substring_spans_winnowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`dedup_substring_spans` behind the winnow-index pruner
+    (VERDICT r10 #2): candidate documents come from the sparse
+    winnowed fingerprint index (expected density 2/(W+1) of k-gram
+    positions) and ONLY those documents enter the positional
+    fingerprint verify — on a mostly-unique corpus the expensive
+    per-position hash exchange shrinks from every token to the
+    duplicate-bearing subset. Span-IDENTICAL to the unpruned twin:
+    every duplicated SPAN_K-gram implies a >= W+K-1-token shared run,
+    so both of its carriers are candidates and every corpus-wide
+    fingerprint count >= 2 is preserved inside the pruned subset
+    (pinned in tests/test_invariants.py). At 100 TB the winnow index
+    is the persisted artifact (text_winnow_fingerprints); this
+    composition is the nightly re-verify that reads it instead of
+    re-hashing every position."""
+    cand = _winnow_candidate_docs(spark, sf_dir)
+    docs = fan_out(load_table(spark, sf_dir, "documents")).join(
+        cand, "doc_id"
+    )
+    return _span_table(spark, sf_dir, docs=docs)
 
 
 def _merged_spans(spans: DataFrame) -> DataFrame:

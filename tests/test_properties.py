@@ -686,6 +686,37 @@ def test_substring_spans_pinned_properties(spark, tmp_path):
     assert cleaned[2] == (30, uniq)  # untouched verbatim
     assert cleaned[3] == (20, f"{pre} {post}")  # surgical cut
 
+    # winnow-pruned twin: span-IDENTICAL output on the planted
+    # corpus (the pruner may only drop docs that carry no span)
+    from kafkatoclickhouse_spark.operators.dedup import (
+        dedup_substring_spans_winnowed,
+    )
+
+    winnowed = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup_substring_spans_winnowed(spark, str(d)).collect()
+    }
+    assert winnowed == spans
+
+
+def test_winnowed_spans_match_unpruned_on_fixture(spark, sf_dir):
+    """The winnow candidate pruner is recall-complete on the real
+    fixture: the pruned verify emits exactly the unpruned span set."""
+    from kafkatoclickhouse_spark.operators.dedup import (
+        dedup_substring_spans,
+        dedup_substring_spans_winnowed,
+    )
+
+    full = {
+        tuple(r) for r in dedup_substring_spans(spark, sf_dir).collect()
+    }
+    pruned = {
+        tuple(r)
+        for r in dedup_substring_spans_winnowed(spark, sf_dir).collect()
+    }
+    assert full, "fixture must contain duplicated spans"
+    assert pruned == full
+
 
 def test_bpe_frozen_table_pins(sf_dir):
     """The frozen BPE merge table (VERDICT r9 #5): (1) retraining on
