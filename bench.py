@@ -148,6 +148,8 @@ HEADLINE = [
     "text_classifier_train",
     "text_classifier_score_trained",
     "dedup_substring_spans_winnowed",
+    "sim_binary_topk",
+    "sim_binary_refine_topk",
 ]
 
 

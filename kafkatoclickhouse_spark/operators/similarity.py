@@ -1374,6 +1374,233 @@ def sim_sq8_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization tier — completes the compression
+# ladder: SQ8 4×, binary 32×, PQ 64× (VERDICT r10 #4). Each vector
+# stores one sign bit per dimension, packed into 32-bit words held in
+# BIGINTs (32 bits/word keeps every shift exact and portable — no
+# engine-specific signed-overflow semantics at bit 63). Distance is
+# Hamming via bit_count(a XOR b) — exact integer arithmetic in both
+# engines, so ranking is hash-checkable, not just recall-tested.
+# Sign-bit retrieval is the cheapest scan tier a vector store runs
+# (32× less bandwidth than float32); like SQ8 its fine order is
+# quantization-scrambled, so the deployment composition over-fetches
+# and exact-re-ranks (``sim_binary_refine_topk``), reusing the refine
+# machinery shape of ``sim_sq8_refine_topk``.
+# ---------------------------------------------------------------------------
+
+BIN_WORD_BITS = 32
+BIN_WORDS = (DIM + BIN_WORD_BITS - 1) // BIN_WORD_BITS
+BIN_FETCH = 100  # Hamming-space over-fetch before the exact re-rank
+
+
+def _spark_sign_words(col: str) -> str:
+    """Spark-SQL expression string: array<long> of packed sign-bit
+    words over embedding column ``col`` (bit j of word w =
+    element w·32+j > 0). Built as ONE parsed string — the same
+    driver-time discipline as the plane literals above."""
+    words = []
+    for w in range(BIN_WORDS):
+        terms = " + ".join(
+            f"CASE WHEN element_at({col}, {w * BIN_WORD_BITS + j + 1})"
+            f" > 0 THEN {1 << j}L ELSE 0L END"
+            for j in range(BIN_WORD_BITS)
+        )
+        words.append(f"CAST({terms} AS BIGINT)")
+    return "array(" + ", ".join(words) + ")"
+
+
+def _sql_sign_words(col: str) -> str:
+    """DuckDB twin of :func:`_spark_sign_words` (1-based list index)."""
+    words = []
+    for w in range(BIN_WORDS):
+        terms = " + ".join(
+            f"CASE WHEN {col}[{w * BIN_WORD_BITS + j + 1}]"
+            f" > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(BIN_WORD_BITS)
+        )
+        words.append(f"CAST({terms} AS BIGINT)")
+    return "[" + ", ".join(words) + "]"
+
+
+def _spark_hamming(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST(bit_count(element_at({a}, {i}) ^ element_at({b}, {i}))"
+        " AS BIGINT)"
+        for i in range(1, BIN_WORDS + 1)
+    )
+
+
+def _sql_hamming(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST(bit_count(xor({a}[{i}], {b}[{i}])) AS BIGINT)"
+        for i in range(1, BIN_WORDS + 1)
+    )
+
+
+def _binary_codes(em: DataFrame) -> DataFrame:
+    """(vec_id, b): packed sign-bit words — map-only encode."""
+    return em.select(
+        "vec_id", F.expr(_spark_sign_words("embedding")).alias("b")
+    )
+
+
+@query(
+    "sim_binary_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id, {_sql_sign_words("v")} AS b FROM e),
+    q AS (SELECT vec_id AS query_id, b AS qb FROM c
+          WHERE vec_id % {QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {QUERY_LIMIT}),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_sql_hamming("qb", "c.b")} AS hamming
+      FROM q JOIN c ON c.vec_id <> query_id)
+    SELECT query_id, neighbor_id, hamming, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY hamming, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-bit top-k: rank by Hamming distance over the
+    packed sign bits ({BIN_WORDS} BIGINT words per vector — a 32×
+    scan-bandwidth cut vs float32). Pure integer bit_count(XOR)
+    scoring, exact in both engines. Map-only encode, broadcast query
+    words, per-query top-k window; ties by neighbor_id. The raw tier
+    a vector store scans FIRST; deployment composes the refine below."""
+    em = load_table(spark, sf_dir, "embeddings")
+    codes = _binary_codes(em)
+    queries = (
+        codes.filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(QUERY_LIMIT)
+        .select(F.col("vec_id").alias("query_id"), F.col("b").alias("qb"))
+    )
+    scored = (
+        fan_out(codes)
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_spark_hamming("qb", "b")).alias("hamming"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+@query(
+    "sim_binary_refine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id, {_sql_sign_words("v")} AS b FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % {QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {QUERY_LIMIT}),
+    qbits AS (SELECT query_id, {_sql_sign_words("qv")} AS qb FROM q),
+    fetched AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qbits.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qbits.query_id
+                 ORDER BY {_sql_hamming("qbits.qb", "c.b")},
+                          c.vec_id) AS rn
+        FROM qbits JOIN c ON c.vec_id <> qbits.query_id)
+      WHERE rn <= {BIN_FETCH}
+    ),
+    rescored AS (
+      SELECT f.query_id, f.neighbor_id,
+             {_SQL_COSINE.format(a="q.qv", b="e.v")} AS s
+      FROM fetched f
+      JOIN q ON q.query_id = f.query_id
+      JOIN e ON e.vec_id = f.neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(s, 6) AS score,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+          FROM rescored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_binary_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary + exact refine (the deployment composition of the
+    sign-bit tier, mirroring ``sim_sq8_refine_topk``): over-fetch
+    top-{BIN_FETCH} per query in Hamming space — the 32×-compressed
+    scan — then hydrate ONLY those candidates' float vectors by id
+    equi-join and re-rank with exact cosine. Recall gated on the
+    structured fixture in tests/test_ann_structured.py."""
+    em = load_table(spark, sf_dir, "embeddings")
+    codes = _binary_codes(em)
+    qfloat = (
+        em.filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(QUERY_LIMIT)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            norm(F.col("embedding")).alias("qn"),
+        )
+    )
+    qbits = qfloat.select(
+        "query_id", F.expr(_spark_sign_words("qv")).alias("qb")
+    )
+    fw = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    fetched = (
+        fan_out(codes)
+        .join(F.broadcast(qbits), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_spark_hamming("qb", "b")).alias("hamming"),
+        )
+        .withColumn("rn", F.row_number().over(fw))
+        .filter(F.col("rn") <= BIN_FETCH)
+        .select("query_id", "neighbor_id")
+    )
+    hydrated = fetched.join(
+        em.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("nv"),
+            norm(F.col("embedding")).alias("nn"),
+        ),
+        "neighbor_id",
+    ).join(F.broadcast(qfloat), "query_id")
+    rescored = hydrated.select(
+        "query_id",
+        "neighbor_id",
+        cosine_with_norms(
+            F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")
+        ).alias("s"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
+    return (
+        rescored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("s", 6).alias("score"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
 @query(
     "sim_ivf_sq8_refine_topk",
     oracle=f"""
