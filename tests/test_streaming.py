@@ -267,8 +267,10 @@ def test_write_with_retry_reraises_after_exhaustion():
 def test_full_job_from_properties(spark, sf_dir, raw_feed_dir, tmp_path):
     """The reference topology end-to-end from a .properties file:
     config → source → validate → count window → retry sink, with
-    checkpointing. An availableNow drain runs in finite mode (no
-    timeout timer ⇒ terminates, no partial flush); every emitted
+    checkpointing — on the DEFAULT engine, which since r11 is the
+    2.2× JVM foreachBatch count window (VERDICT r10 #5). An
+    availableNow drain terminates (JVM-path timeouts piggyback on
+    data batches, no timer-driven empty batches); every count-fired
     window batch is full-size and grouped per key."""
     from kafkatoclickhouse_spark import config as cfgmod
     from kafkatoclickhouse_spark.streaming import job
@@ -297,6 +299,46 @@ def test_full_job_from_properties(spark, sf_dir, raw_feed_dir, tmp_path):
     for r in landed.groupBy("essCode", "window_id", "flush_reason").count().collect():
         if r["flush_reason"] == "count":
             assert r["count"] == cfg.window_size
+
+
+def test_full_job_engines_land_identical_windows(
+    spark, sf_dir, raw_feed_dir, tmp_path
+):
+    """The legacy grouped-UDF engine stays selectable behind
+    ``engine="grouped_udf"`` and lands the SAME (key, window_id, row)
+    multiset as the JVM default — the topology-level twin of the
+    count_window_jvm row-identity pin. Feed staged offset-ordered
+    (``_jvm_feed``) so the two engines' ordering contracts agree —
+    arrival order (grouped-UDF) vs explicit topicOffset order (JVM)."""
+    from kafkatoclickhouse_spark import config as cfgmod
+    from kafkatoclickhouse_spark.streaming import job
+
+    cfg = cfgmod.PipelineConfig.from_properties(
+        cfgmod.load_properties("configs/example.properties")
+    )
+    feed = _jvm_feed(spark, raw_feed_dir, str(tmp_path / "ord_feed"))
+    landed = {}
+    for engine in ("jvm", "grouped_udf"):
+        cfg.checkpoint_dir = str(tmp_path / f"ckpt_{engine}")
+        out_dir = str(tmp_path / f"landed_{engine}")
+        q = job.start(
+            spark,
+            cfg,
+            write_fn=sink.parquet_writer(out_dir),
+            raw=source.file_raw_stream(spark, feed),
+            available_now=True,
+            engine=engine,
+        )
+        q.awaitTermination(300)
+        df = spark.read.parquet(out_dir)
+        landed[engine] = {
+            tuple(r)
+            for r in df.select(
+                "essCode", "window_id", "cTime", "flush_reason"
+            ).collect()
+        }
+    assert landed["jvm"] == landed["grouped_udf"]
+    assert landed["jvm"]
 
 
 def test_foreach_batch_parquet_roundtrip(spark, sf_dir, raw_feed_dir, tmp_path):
