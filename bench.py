@@ -150,6 +150,7 @@ HEADLINE = [
     "dedup_substring_spans_winnowed",
     "sim_binary_topk",
     "sim_binary_refine_topk",
+    "corpus_pack_chunks_bpe",
 ]
 
 

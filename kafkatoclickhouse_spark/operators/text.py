@@ -547,12 +547,19 @@ def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two narrow shuffles + one broadcast at any corpus size; the
     oracle is the naive global window, proving the decomposition
     exact.""".format(chunk=CHUNK_TOKENS, bucket=PREFIX_BUCKET)
+    docs = load_table(spark, sf_dir, "documents")
+    return _pack_chunks(docs, textfns.ws_token_count(F.col("text")))
+
+
+def _pack_chunks(docs: DataFrame, n_toks_col) -> DataFrame:
+    """The two-phase prefix-sum packing over any token counter
+    column — shared by the whitespace- and BPE-budgeted variants
+    (the same swap-in-parameter discipline as ``_budget_select``)."""
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
-        textfns.ws_token_count(F.col("text")).alias("n_toks"),
+        n_toks_col.alias("n_toks"),
         F.floor(F.col("doc_id") / PREFIX_BUCKET).alias("bucket"),
     )
     w_local = (
@@ -585,6 +592,59 @@ def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / CHUNK_TOKENS
             ).alias("chunk_id"),
         )
+    )
+
+
+_SQL_PACK_BPE = f"""
+    WITH RECURSIVE wd AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt FROM wd GROUP BY doc_id, word
+    ),
+    {{bpe_ctes}},
+    ntok AS (
+      SELECT doc_id, CAST(SUM(cnt * f.ntok) AS BIGINT) AS n_toks
+      FROM wc JOIN bpefinal f USING (word) GROUP BY doc_id
+    ),
+    t AS (
+      SELECT d.doc_id, CAST(COALESCE(n.n_toks, 0) AS BIGINT) AS n_toks
+      FROM documents d LEFT JOIN ntok n USING (doc_id)
+    ),
+    o AS (
+      SELECT doc_id, n_toks,
+             CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS token_offset
+      FROM t
+    )
+    SELECT doc_id, n_toks, token_offset,
+           token_offset // {CHUNK_TOKENS} AS chunk_id
+    FROM o
+    """
+
+
+@query(
+    "corpus_pack_chunks_bpe",
+    oracle=_SQL_PACK_BPE.format(bpe_ctes=bpefns.sql_bpe_word_tokens("wc")),
+)
+def corpus_pack_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted in GREEDY-BPE tokens (VERDICT r10
+    #6): the context windows a trainer actually fills are tokenizer
+    tokens, not whitespace words, so the concat-and-chunk offsets
+    here measure the frozen merge table of ``functions/bpe.py``
+    (Arrow-batched count UDF; the DuckDB oracle replays the merges
+    with a recursive CTE, so offsets — and hence every chunk
+    boundary — hash-match exactly). Packing algebra is byte-shared
+    with ``corpus_pack_chunks`` (``_pack_chunks``: the two-phase
+    prefix sum, no global sort). Boundary correctness — every chunk
+    except the last holds exactly {CHUNK_TOKENS} BPE tokens — is
+    pinned in tests/test_properties.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _pack_chunks(
+        docs, bpefns.bpe_token_count_frozen(F.col("text"))
     )
 
 

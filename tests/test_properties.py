@@ -842,3 +842,62 @@ def test_classify_image_routes_off_fixture_variants():
         [0xFF, 0xC0, 0x00, 0x0B, 8, 0, 8, 0, 8, 200]
     )
     assert classify_image(bogus_ncomp)[2] == "truncated"
+
+
+def test_pack_chunks_bpe_boundary_correctness(spark, sf_dir):
+    """corpus_pack_chunks_bpe pins (VERDICT r10 #6): n_toks are the
+    frozen-table BPE counts (python replay), token_offset is the
+    exact prefix sum in doc_id order, chunk_id places each doc's
+    first token, and every context window except the last holds
+    EXACTLY CHUNK_TOKENS BPE tokens (no chunk exceeds the budget)."""
+    from kafkatoclickhouse_spark.functions import bpe
+    from kafkatoclickhouse_spark.operators.text import (
+        CHUNK_TOKENS,
+        corpus_pack_chunks_bpe,
+    )
+    from kafkatoclickhouse_spark.tables import load_table
+
+    rows = sorted(
+        (r["doc_id"], r["n_toks"], r["token_offset"], r["chunk_id"])
+        for r in corpus_pack_chunks_bpe(spark, sf_dir).collect()
+    )
+    assert rows
+
+    # offsets are the exact prefix sum; chunk_id = offset // C
+    run = 0
+    for doc_id, n, off, cid in rows:
+        assert off == run, doc_id
+        assert cid == off // CHUNK_TOKENS, doc_id
+        run += n
+
+    # n_toks equal the frozen-table python replay on a sample
+    texts = dict(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(50)
+        .collect()
+    )
+    checked = 0
+    for doc_id, n, _, _ in rows:
+        if doc_id in texts:
+            assert n == bpe.text_token_count(texts[doc_id]), doc_id
+            checked += 1
+    assert checked >= 10
+
+    # occupancy: interval [off, off+n) sliced at multiples of C fills
+    # every chunk to exactly C tokens, except the trailing one
+    total = run
+    occupancy: dict[int, int] = {}
+    for _, n, off, _ in rows:
+        pos = off
+        while pos < off + n:
+            c = pos // CHUNK_TOKENS
+            take = min((c + 1) * CHUNK_TOKENS, off + n) - pos
+            occupancy[c] = occupancy.get(c, 0) + take
+            pos += take
+    last_chunk = (total - 1) // CHUNK_TOKENS
+    for c, filled in occupancy.items():
+        if c < last_chunk:
+            assert filled == CHUNK_TOKENS, c
+        else:
+            assert filled <= CHUNK_TOKENS, c
