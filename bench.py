@@ -151,6 +151,7 @@ HEADLINE = [
     "sim_binary_topk",
     "sim_binary_refine_topk",
     "corpus_pack_chunks_bpe",
+    "dedup_semdedup_scaled",
 ]
 
 

@@ -901,3 +901,45 @@ def test_pack_chunks_bpe_boundary_correctness(spark, sf_dir):
             assert filled == CHUNK_TOKENS, c
         else:
             assert filled <= CHUNK_TOKENS, c
+
+
+def test_semdedup_scaled_planted_twins_and_derived_k(spark, tmp_path):
+    """dedup_semdedup_scaled pins: (1) K/K1/K2 derive from COUNT(*)
+    by the integer formulas; (2) an exact-duplicate embedding pair
+    always shares a cell under the seeded Voronoi quantizer (equal
+    vectors -> equal distances -> same tie-break), so exactly the
+    lower vec_id survives; (3) the verdict is total over vectors."""
+    import random
+
+    from kafkatoclickhouse_spark.operators.semdedup import (
+        _scaled_params,
+        dedup_semdedup_scaled,
+    )
+
+    assert _scaled_params(500) == (8, 3, 3)
+    assert _scaled_params(2000) == (32, 6, 6)
+    assert _scaled_params(200000) == (3125, 56, 56)
+
+    rng = random.Random(41)
+    rows = []
+    twins = []
+    for i in range(300):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, v))
+    for j in range(20):  # plant exact twins of the first 20 vectors
+        twins.append((1000 + j, rows[j][1]))
+    df = spark.createDataFrame(
+        rows + twins, "vec_id long, embedding array<float>"
+    )
+    d = tmp_path / "semscaled"
+    df.write.parquet(str(d / "embeddings.parquet"))
+
+    verdict = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in dedup_semdedup_scaled(spark, str(d)).collect()
+    }
+    assert len(verdict) == 320
+    for j in range(20):
+        orig, twin = verdict[j], verdict[1000 + j]
+        assert orig[0] == twin[0], f"twin {j} in a different cell"
+        assert orig[1] is True and twin[1] is False, (j, orig, twin)

@@ -40,8 +40,10 @@ POINTS = [
     # with the FIXTURE's fixed K=8 cells, within-cell pair work is
     # Σ|cell|² ≈ n²/K — the paper's regime grows K with n (50k cells
     # for 1.3e9 vectors), which the fixture-scale oracle replay can't
-    # (K·DIM plan literal). The operator's scale shape is the
-    # K-grows-with-n deployment, not fixed-K.
+    # (K·DIM plan literal). The K-grows-with-n deployment shape IS
+    # measured since r11: dedup_semdedup_scaled (two-level seeded
+    # Voronoi, K = n/64 derived from COUNT(*)) runs the full curve
+    # flag-free; only the fixed-K Lloyd twin stays skipped here.
     (
         "sf1.0",
         os.path.join(REPO, ".scaledata", "sf1.0"),
