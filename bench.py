@@ -152,6 +152,7 @@ HEADLINE = [
     "sim_binary_refine_topk",
     "corpus_pack_chunks_bpe",
     "dedup_semdedup_scaled",
+    "multimodal_decode_wav_stats",
 ]
 
 
