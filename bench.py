@@ -153,6 +153,8 @@ HEADLINE = [
     "corpus_pack_chunks_bpe",
     "dedup_semdedup_scaled",
     "multimodal_decode_wav_stats",
+    "sim_binary_serve_topk",
+    "text_classifier_calibration_trained",
 ]
 
 

@@ -531,3 +531,112 @@ def text_classifier_score_trained(
             (logit >= 0).alias("keep"),
         )
     )
+
+
+@query(
+    "text_classifier_calibration_trained",
+    oracle=f"""
+    WITH {_sql_clf_train_ctes()},
+    wts AS (SELECT bucket,
+              {_sql_weight_micro("c_keep", "c_drop", "t_keep", "t_drop")}
+                AS wm
+            FROM counts CROSS JOIN tot),
+    prior AS (SELECT CAST(FLOOR(ln(
+                CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+                / CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) + 1 AS DOUBLE))
+                * 1000000 + 0.5) AS BIGINT) AS bias_micro
+              FROM gop),
+    contrib AS (SELECT tb.doc_id,
+                  COALESCE(w.wm,
+                    {_sql_weight_micro("0", "0", "t_keep", "t_drop")}) AS wm
+                FROM tb LEFT JOIN wts w USING (bucket) CROSS JOIN tot),
+    persum AS (SELECT doc_id, CAST(SUM(wm) AS BIGINT) AS s
+               FROM contrib GROUP BY doc_id),
+    scored AS (
+      SELECT d.doc_id, d.source,
+             CAST(COALESCE(p.s, 0) + prior.bias_micro AS BIGINT)
+               AS logit_micro,
+             g.keep AS label_keep
+      FROM documents d
+      LEFT JOIN persum p USING (doc_id)
+      JOIN gop g USING (doc_id)
+      CROSS JOIN prior
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN logit_micro >= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN (logit_micro >= 0) = label_keep
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           CAST(FLOOR(AVG(logit_micro)) AS BIGINT)
+             AS mean_logit_micro_floor
+    FROM scored GROUP BY source
+    """,
+)
+def text_classifier_calibration_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source monitoring surface for the TRAINED model: keep
+    rate, floor-of-mean logit AND per-source agreement with the weak
+    labels (n_agree — the in-sample fit a drifting source shows up
+    in first). Same plan shape as ``text_classifier_calibration``
+    plus one broadcast label column computed in the scoring
+    projection (gopher_keep_col is map-only)."""
+    from kafkatoclickhouse_spark.operators.text import gopher_keep_col
+
+    path = text_classifier_index_build(spark, sf_dir)
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    weights = spark.read.parquet(
+        os.path.join(path, "weights.parquet")
+    ).select("bucket", "weight_micro")
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    tb = docs.select(
+        "doc_id", F.explode(toks).alias("token")
+    ).select("doc_id", _bucket_col(F.col("token")).alias("bucket"))
+    persum = (
+        tb.join(F.broadcast(weights), "bucket", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("weight_micro"), F.lit(int(meta["w0_micro"]))
+            ).alias("wm"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("wm").cast("long").alias("s"))
+    )
+    bias = F.lit(int(meta["bias_micro"]))
+    logit = (F.coalesce(F.col("s"), F.lit(0)) + bias).cast("long")
+    scored = (
+        docs.select(
+            "doc_id",
+            "source",
+            gopher_keep_col(F.col("text")).alias("label_keep"),
+        )
+        .join(persum, "doc_id", "left")
+        .select(
+            "source",
+            logit.alias("logit_micro"),
+            "label_keep",
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("logit_micro") >= 0).cast("long")).alias("n_keep"),
+        F.sum(
+            ((F.col("logit_micro") >= 0) == F.col("label_keep")).cast(
+                "long"
+            )
+        ).alias("n_agree"),
+        F.floor(F.avg("logit_micro"))
+        .cast("long")
+        .alias("mean_logit_micro_floor"),
+    )

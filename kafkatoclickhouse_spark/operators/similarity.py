@@ -1474,33 +1474,7 @@ def sim_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     words, per-query top-k window; ties by neighbor_id. The raw tier
     a vector store scans FIRST; deployment composes the refine below."""
     em = load_table(spark, sf_dir, "embeddings")
-    codes = _binary_codes(em)
-    queries = (
-        codes.filter((F.col("vec_id") % QUERY_MOD) == 0)
-        .orderBy("vec_id")
-        .limit(QUERY_LIMIT)
-        .select(F.col("vec_id").alias("query_id"), F.col("b").alias("qb"))
-    )
-    scored = (
-        fan_out(codes)
-        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(_spark_hamming("qb", "b")).alias("hamming"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "hamming",
-            F.col("rn").cast("int").alias("rank"),
-        )
-    )
+    return _binary_score_topk(_binary_codes(em))
 
 
 @query(
@@ -1852,3 +1826,109 @@ def sim_sq8_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = embedding_sq8_index_build(spark, sf_dir)
     codes = spark.read.parquet(os.path.join(path, "sq8_codes.parquet"))
     return _sq8_score_topk(codes)
+
+
+# --- binary index lifecycle: BUILD once, SERVE from packed sign bits -------
+
+
+def embedding_binary_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    force: bool = False,
+) -> str:
+    """BUILD half of the binary tier's lifecycle (the FOURTH index
+    family with the build/serve split, completing the ladder:
+    IVF-PQ, BM25, SQ8, binary): pack every vector's sign bits once —
+    (vec_id, b), two BIGINT words per 64-dim vector, a 32× bandwidth
+    cut — and persist as
+
+      - ``bin_codes.parquet``: the compressed corpus;
+      - ``meta.json`` (written LAST / removed FIRST — the crash-safe
+        build-complete marker) with the source-table fingerprint.
+
+    Same fingerprint-keyed location discipline as the sibling
+    indexes (``pq.default_index_dir``, ``bin`` subdir)."""
+    import json
+    import os
+
+    from kafkatoclickhouse_spark.operators import pq as PQ
+    from kafkatoclickhouse_spark.tables import table_fingerprint
+
+    path = path or os.path.join(PQ.default_index_dir(sf_dir), "bin")
+    meta_path = os.path.join(path, "meta.json")
+    fp = list(table_fingerprint(sf_dir, "embeddings"))
+    if os.path.isfile(meta_path) and not force:
+        with open(meta_path) as fh:
+            if json.load(fh).get("fingerprint") == fp:
+                return path
+    try:
+        os.remove(meta_path)
+    except FileNotFoundError:
+        pass
+    em = load_table(spark, sf_dir, "embeddings")
+    _binary_codes(em).write.mode("overwrite").parquet(
+        os.path.join(path, "bin_codes.parquet")
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(meta_path, "w") as fh:
+        json.dump(
+            {"fingerprint": fp, "word_bits": BIN_WORD_BITS,
+             "words": BIN_WORDS},
+            fh,
+        )
+    return path
+
+
+def _binary_score_topk(codes: DataFrame) -> DataFrame:
+    """Hamming top-k over a (vec_id, b) packed-word table — shared by
+    ``sim_binary_topk`` (encodes inline) and ``sim_binary_serve_topk``
+    (reads the persisted index), so the two paths return identical
+    rows by construction."""
+    queries = (
+        codes.filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(QUERY_LIMIT)
+        .select(F.col("vec_id").alias("query_id"), F.col("b").alias("qb"))
+    )
+    scored = (
+        fan_out(codes)
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_spark_hamming("qb", "b")).alias("hamming"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def _sql_binary_topk_oracle() -> str:
+    from kafkatoclickhouse_spark.registry import ORACLES
+
+    return ORACLES["sim_binary_topk"]
+
+
+@query("sim_binary_serve_topk", oracle=_sql_binary_topk_oracle())
+def sim_binary_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE half: Hamming top-k scored from ONLY the persisted
+    packed sign bits — the float embedding table is out of the serve
+    path entirely (poison-tested in pytest, like the BM25/IVF-PQ/SQ8
+    serves). Builds on first call; every later retrieval scans the
+    32×-compressed artifact. Same scoring kernel as
+    ``sim_binary_topk``, so the oracle is literally the same SQL."""
+    import os
+
+    path = embedding_binary_index_build(spark, sf_dir)
+    codes = spark.read.parquet(os.path.join(path, "bin_codes.parquet"))
+    return _binary_score_topk(codes)

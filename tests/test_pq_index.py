@@ -151,3 +151,62 @@ def test_sq8_index_build_serve_lifecycle(
         raise RuntimeError("stale index was served without rebuild")
     except AssertionError:
         pass
+
+
+def test_binary_index_build_serve_lifecycle(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Binary-tier lifecycle mirror of the SQ8 test: build persists
+    packed sign-bit words + crash-safe meta, a second build is a
+    no-op, and the serve query returns the inline-encoding query's
+    exact rows with the ENCODE path poisoned (the serve scan reads
+    only the persisted words)."""
+    from kafkatoclickhouse_spark.operators import similarity as S
+
+    def canon(rows):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["hamming"], r["rank"])
+            for r in rows
+        )
+
+    expected = canon(
+        registry.QUERIES["sim_binary_topk"](spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(
+        PQ, "default_index_dir", lambda s: str(tmp_path)
+    )
+    path = S.embedding_binary_index_build(spark, sf_dir)
+    assert path == os.path.join(str(tmp_path), "bin")
+    codes = spark.read.parquet(os.path.join(path, "bin_codes.parquet"))
+    assert set(codes.columns) == {"vec_id", "b"}
+    n_vecs = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).count()
+    assert codes.count() == n_vecs
+
+    t0 = os.path.getmtime(os.path.join(path, "meta.json"))
+    assert S.embedding_binary_index_build(spark, sf_dir) == path
+    assert os.path.getmtime(os.path.join(path, "meta.json")) == t0
+
+    def boom(*a, **k):
+        raise AssertionError("serve path re-encoded the corpus")
+
+    monkeypatch.setattr(S, "_binary_codes", boom)
+    got = canon(
+        registry.QUERIES["sim_binary_serve_topk"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == expected
+
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["fingerprint"] = ["/somewhere/else.parquet", 0, 0]
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    try:
+        S.embedding_binary_index_build(spark, sf_dir)
+        raise RuntimeError("stale index was served without rebuild")
+    except AssertionError:
+        pass
