@@ -5,13 +5,14 @@ LLM-pipeline surface (north star). Images/audio/video are carried as
 extraction runs as Arrow-batched pandas over ``mapInPandas``.
 ``decode_image`` really decodes binary PPM P6, 24-bit BMP, baseline
 JPEG (full Huffman + dequant + iDCT pipeline, ``operators/jpeg.py``)
-AND PNG (chunk walk + CRC + inflate + all five row unfilters,
-``operators/png.py``) with dependency-free numpy parsers — exercised
-end-to-end by ``multimodal_decode_stats`` /
-``multimodal_decode_jpeg_stats`` / ``multimodal_decode_png_stats`` —
-while remaining codecs (progressive/subsampled JPEG, interlaced PNG,
-audio) fall through to PIL when present and fail loudly otherwise
-(none in this container).
+AND PNG — sequential and Adam7 interlaced — (chunk walk + CRC +
+inflate + all five row unfilters, ``operators/png.py``) with
+dependency-free numpy parsers — exercised end-to-end by
+``multimodal_decode_stats`` / ``multimodal_decode_jpeg_stats`` /
+``multimodal_decode_png_stats`` /
+``multimodal_decode_png_interlaced_stats`` — while remaining codecs
+(subsampled/deep JPEG, deep PNG) fall through to PIL when present
+and fail loudly otherwise (none in this container).
 
 Since the fixtures ship no binary columns, payloads are synthesized
 deterministically — from ``documents.text`` (utf-8 bytes) for the
@@ -147,9 +148,9 @@ def decode_image(payload: bytes) -> "object":
     if payload[:2] == b"BM":
         return _decode_bmp24(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        # dependency-free PNG decoder (operators/png.py); interlaced
-        # or deep-bit streams raise there and fall through to PIL
-        # when present.
+        # dependency-free PNG decoder (operators/png.py — sequential
+        # AND Adam7 interlaced since r11); deep-bit streams raise
+        # there and fall through to PIL when present.
         from kafkatoclickhouse_spark.operators.png import decode_png
 
         try:
@@ -838,6 +839,103 @@ def multimodal_decode_png_stats(
     a real corpus swaps the synthesizer for an object-store fetch."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_stats(synthesize_png_images(docs))
+
+
+# --- Adam7 interlaced PNG fixture + oracled decode (r11) --------------
+#
+# Interlaced PNGs were the larger half of the r10 'fallback' residual
+# (real crawls carry them; the pure decoder used to reject them). The
+# codec now decodes Adam7 natively (operators/png.py), and this query
+# certifies it the same way the sequential query does: lossless
+# format, closed-form pixel rule, oracle never sees a byte. Distinct
+# rule constants AND distinct dims from the sequential PNG fixture so
+# a cross-wired fixture (or a decoder that ignores the interlace flag
+# and mis-places pixels) cannot silently pass — pixel POSITION enters
+# the rule, so Adam7's scatter layout is load-bearing for the hash.
+# Dims keep w>=6, h>=5 so all seven passes are non-empty.
+
+PNGI_W_BASE, PNGI_W_MOD = 6, 7  # width  = 6 + doc_id % 7
+PNGI_H_BASE, PNGI_H_MOD = 5, 6  # height = 5 + doc_id % 6
+
+
+def _png_interlaced_pixel_exprs(doc_id, x, y):
+    """Shared pixel rule for the Adam7 fixture, mirrored textually in
+    the oracle below."""
+    return (
+        (doc_id * 13 + x * 7 + y * 3) % 256,
+        (doc_id * 31 + x * 5 + y * 17) % 256,
+        (doc_id * 37 + x * 2 + y * 13) % 256,
+    )
+
+
+def synthesize_png_interlaced_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with a REAL Adam7-interlaced RGB PNG per
+    document — seven-pass serialization, per-pass cycling row
+    filters, CRC-framed chunks. Map-only, like the other
+    synthesizers."""
+    import numpy as np
+
+    from kafkatoclickhouse_spark.operators.png import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = PNGI_W_BASE + d % PNGI_W_MOD
+                h = PNGI_H_BASE + d % PNGI_H_MOD
+                y, x = np.mgrid[0:h, 0:w]
+                r, g, b = _png_interlaced_pixel_exprs(d, x, y)
+                raster = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                payloads.append(
+                    encode_png(raster, color_type=2, interlace=True)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+@query(
+    "multimodal_decode_png_interlaced_stats",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             {PNGI_W_BASE} + doc_id % {PNGI_W_MOD} AS w,
+             {PNGI_H_BASE} + doc_id % {PNGI_H_MOD} AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           3 AS channels,
+           CAST(SUM((doc_id * 13 + (i % w) * 7 + (i // w) * 3) % 256)
+                AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 31 + (i % w) * 5 + (i // w) * 17) % 256)
+                AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 37 + (i % w) * 2 + (i // w) * 13) % 256)
+                AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_decode_png_interlaced_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synthesize an Adam7-INTERLACED RGB PNG per document, decode it
+    back through the full chunk-walk + CRC + inflate + seven-pass
+    unfilter-and-scatter pipeline, and report exact per-channel pixel
+    sums. Pixel position enters the rule, so the pass lattice
+    (x0/y0/dx/dy per pass), per-pass filter restart, and the scatter
+    into the full raster are all load-bearing for the hash match.
+    Same mapInPandas kernel slot as the other decode queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_stats(synthesize_png_interlaced_images(docs))
 
 
 # -- perceptual-hash image dedup --------------------------------------------

@@ -75,18 +75,30 @@ def test_each_filter_type_roundtrips():
         assert (P.decode_png(bytes(payload)) == img).all(), ftype
 
 
+def test_adam7_interlaced_roundtrip_bit_exact():
+    """r11: Adam7 is a first-class decode path — interlaced and
+    sequential serializations of the same image decode identically,
+    including dims where some passes are empty."""
+    for h, w in [(1, 1), (3, 2), (5, 5), (8, 8), (17, 23)]:
+        img = _rng(h * 100 + w).randint(0, 256, (h, w, 3)).astype(np.uint8)
+        inter = P.decode_png(P.encode_png(img, color_type=2, interlace=True))
+        assert (inter == img).all(), (h, w)
+
+
+def test_adam7_sequential_data_under_interlaced_header_rejected():
+    """Sequential scanline data relabeled interlace=1 has the wrong
+    pass-structure byte count — loud ValueError, never a mis-decode."""
+    img = _rng(13).randint(0, 256, (5, 5, 3)).astype(np.uint8)
+    good = P.encode_png(img, color_type=2)
+    ihdr = struct.pack(">IIBBBBB", 5, 5, 8, 2, 0, 0, 1)
+    bad = good[:8] + P._chunk(b"IHDR", ihdr) + good[8 + 12 + 13 :]
+    with pytest.raises(ValueError):
+        P.decode_png(bad)
+
+
 def test_unsupported_streams_rejected_loudly():
     img = _rng(13).randint(0, 256, (5, 5, 3)).astype(np.uint8)
     good = P.encode_png(img, color_type=2)
-    # interlaced: rewrite IHDR with interlace=1 (re-CRC)
-    ihdr = struct.pack(">IIBBBBB", 5, 5, 8, 2, 0, 0, 1)
-    bad = (
-        good[:8]
-        + P._chunk(b"IHDR", ihdr)
-        + good[8 + 12 + 13 :]
-    )
-    with pytest.raises(ValueError, match="interlaced"):
-        P.decode_png(bad)
     # 16-bit depth
     ihdr16 = struct.pack(">IIBBBBB", 5, 5, 16, 2, 0, 0, 0)
     bad16 = good[:8] + P._chunk(b"IHDR", ihdr16) + good[8 + 12 + 13 :]
@@ -112,14 +124,18 @@ def test_decode_image_dispatches_png():
     st.integers(min_value=1, max_value=40),
     st.integers(min_value=0, max_value=2**31 - 1),
     st.sampled_from([0, 2, 4, 6]),
+    st.booleans(),
 )
-def test_property_lossless_roundtrip_any_dims(h, w, seed, color_type):
-    """ANY image at ANY dimensions and color type round-trips
-    bit-exactly — rows cycle all five filter types, so tall images
-    exercise every unfilter path."""
+def test_property_lossless_roundtrip_any_dims(h, w, seed, color_type, inter):
+    """ANY image at ANY dimensions, color type, and interlace layout
+    round-trips bit-exactly — rows cycle all five filter types, so
+    tall images exercise every unfilter path (in every Adam7 pass
+    when interlaced)."""
     ch = P._CHANNELS[color_type]
     img = _rng(seed).randint(0, 256, (h, w, ch)).astype(np.uint8)
-    dec = P.decode_png(P.encode_png(img, color_type=color_type))
+    dec = P.decode_png(
+        P.encode_png(img, color_type=color_type, interlace=inter)
+    )
     assert dec.shape == (h, w, 3)
     if color_type in (2, 6):
         assert (dec == img[..., :3]).all()
