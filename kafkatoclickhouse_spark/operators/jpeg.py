@@ -1,21 +1,45 @@
-"""Dependency-free baseline JPEG codec (VERDICT r7 #9 — closes the
-last multimodal gap without pip).
+"""Dependency-free JPEG codec: baseline sequential (VERDICT r7 #9)
+AND progressive (SOF2, r11 — closes the VERDICT r10 "progressive
+JPEG → PIL fallback" gap; real crawls are majority-progressive).
 
-Decoder: baseline sequential DCT, Huffman entropy coding (ITU T.81
-Annex F), 8-bit precision, grayscale or 3-component 4:4:4 YCbCr —
-SOI/APP/COM/DQT/SOF0/DHT/SOS/EOI segment parsing, canonical Huffman
-table construction from BITS/HUFFVAL, byte-unstuffing bit reader,
-DC-prediction + AC run-length decode, dequantization, inverse
-zigzag, float iDCT, level shift + clip. Progressive (SOF2),
-subsampled, 12-bit, arithmetic-coded and restart-interval streams
-are rejected LOUDLY (ValueError), never silently mis-decoded; on a
-real cluster those fall through to PIL (see ``multimodal.py``).
+Decoder: Huffman entropy coding (ITU T.81 Annex F/G), 8-bit
+precision, grayscale or 3-component 4:4:4 YCbCr —
+SOI/APP/COM/DQT/SOF0/SOF2/DHT/SOS/EOI segment parsing, canonical
+Huffman table construction from BITS/HUFFVAL, byte-unstuffing bit
+reader, dequantization, inverse zigzag, float iDCT, level shift +
+clip. Baseline streams run the single-scan fast loop (16-bit-peek
+LUTs, batched iDCT). Progressive streams accumulate per-component
+coefficient matrices across ANY conforming scan script — all four
+T.81 Annex G kernels are implemented: DC first (interleaved, point
+transform ``>> Al``), DC successive-approximation refinement (one
+raw bit per block), AC first with spectral selection and EOB-run
+decoding, and AC refinement (the G.1.2.3 correction-bit walk:
+newly-significant ±1<<Al insertion, history-coefficient correction
+bits inside runs, ZRL and EOB-run semantics over zero-HISTORY
+positions only). Subsampled, 12-bit, lossless/hierarchical,
+arithmetic-coded and restart-interval streams are rejected LOUDLY
+(ValueError), never silently mis-decoded; on a real cluster those
+fall through to PIL (see ``multimodal.py``).
 
 Encoder: the matching baseline writer (used for fixture synthesis
 and round-trip tests) — forward DCT, quantization, zigzag, canonical
-Huffman encode, byte stuffing. Tables ride IN the stream (DQT/DHT),
+Huffman encode, byte stuffing — plus a progressive writer
+(``encode_jpeg_gray_progressive`` / ``encode_jpeg_rgb_progressive``)
+emitting a 4-kernel scan script (DC first Al=1 → AC first Al=1 →
+DC refine → AC refine, mirroring libjpeg's jcphuff ordering rules:
+correction bits buffered per run segment, EOB-runs accumulated
+across blocks with their buffered bits, ZRLs not emitted past the
+last newly-significant index). Tables ride IN the stream (DQT/DHT),
 so encoder and decoder are self-consistent by construction; the
-Huffman tables used are the ITU T.81 Annex K typical tables.
+baseline Huffman tables are the ITU T.81 Annex K typical tables,
+and progressive AC scans carry a flat 8-bit-code table (Annex K's
+AC tables saturate the 16-bit code space, leaving no room for the
+EOB-run length symbols progressive needs — the flat table holds all
+176 progressive AC symbols at one length and remains canonical).
+Round-trip pin: a progressive encode decodes PIXEL-IDENTICAL to the
+baseline encode of the same image (same quantized coefficients by
+construction), so every progressive kernel is property-tested
+against the baseline path (``tests/test_jpeg.py``).
 
 Exactness story for the oracled query
 (``multimodal_decode_jpeg_stats``): JPEG is lossy in general, but a
@@ -79,6 +103,21 @@ AC_CHR_VALS = [
     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
+
+# Progressive AC scans need EOB-run length symbols (n << 4 for run
+# 2^n..2^(n+1)-1) that Annex K's AC tables have no code space for
+# (they consume 65535/65536 of the 16-bit canonical space). The
+# progressive writer instead ships this flat table: every symbol an
+# AC scan can emit — (run << 4) | size for size 1..10, ZRL 0xF0, and
+# EOB-run lengths 0x00..0xE0 — at one 8-bit code length (176 codes in
+# a 256-slot space: canonical, prefix-free, all-ones unused).
+AC_PROG_VALS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {0xF0}
+    | {n << 4 for n in range(15)}
+)
+AC_PROG_BITS = [0] * 16
+AC_PROG_BITS[7] = len(AC_PROG_VALS)  # all codes 8 bits long
 
 ZIGZAG = np.array(
     [
@@ -190,21 +229,42 @@ def _category(v: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline-JPEG bytes -> (h, w, 3) uint8 RGB array (grayscale
-    streams are expanded to RGB so the kernel signature matches the
-    other decoders). Strict: anything outside baseline sequential /
-    8-bit / 1×1 sampling raises ValueError — and so does any
-    truncated/malformed stream: internal IndexError/KeyError/
-    struct.error from arbitrary garbage bytes are normalized to
-    ValueError so the contract (and decode_image's except-ValueError
-    fallback) holds for ALL inputs, not just well-formed ones."""
+    """JPEG bytes (baseline SOF0 or progressive SOF2) -> (h, w, 3)
+    uint8 RGB array (grayscale streams are expanded to RGB so the
+    kernel signature matches the other decoders). Strict: anything
+    outside 8-bit / 1×1 sampling / Huffman coding raises ValueError —
+    and so does any truncated/malformed stream: internal IndexError/
+    KeyError/struct.error from arbitrary garbage bytes are normalized
+    to ValueError so the contract (and decode_image's
+    except-ValueError fallback) holds for ALL inputs, not just
+    well-formed ones."""
     try:
         return _decode_jpeg(payload)
     except (IndexError, KeyError, OverflowError, struct.error) as exc:
         raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
 
 
-def _decode_jpeg(payload: bytes) -> np.ndarray:
+def _find_scan_end(payload: bytes, start: int) -> int:
+    """First marker position at/after ``start`` — entropy data ends
+    at any 0xFF not followed by a stuffed 0x00."""
+    e = start
+    n = len(payload)
+    while True:
+        f = payload.find(b"\xff", e)
+        if f < 0 or f + 1 >= n:
+            return n
+        if payload[f + 1] == 0x00:  # stuffed data byte
+            e = f + 2
+            continue
+        return f
+
+
+def _parse_jpeg(payload: bytes):
+    """Segment walk shared by both frame types: returns
+    (progressive, (h, w, comps), qt, scans) where each scan is
+    (scan_comps, Ss, Se, Ah, Al, dc_luts, ac_luts, entropy_bytes)
+    with Huffman LUTs snapshotted at SOS time (DHT between scans may
+    redefine table slots — progressive scripts do)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -212,8 +272,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc_raw: dict[int, tuple[list[int], list[int]]] = {}
     huff_ac_raw: dict[int, tuple[list[int], list[int]]] = {}
     frame = None
-    scan = None
-    data_start = None
+    progressive = False
+    scans = []
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -221,10 +281,14 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC2, 0xC1, 0xC3) or 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
+        if 0xD0 <= marker <= 0xD7:
+            raise ValueError("restart markers unsupported")
+        if marker in (0xC1, 0xC3) or (
+            0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC)
+        ):
             raise ValueError(
                 f"unsupported JPEG frame type 0x{marker:02x} "
-                "(only baseline SOF0)"
+                "(only baseline SOF0 / progressive SOF2)"
             )
         if marker == 0xDD:
             raise ValueError("restart intervals (DRI) unsupported")
@@ -240,7 +304,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                     seg, dtype=np.uint8, count=64, offset=p + 1
                 ).astype(np.int32)
                 p += 65
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            if frame is not None:
+                raise ValueError("multiple SOF segments")
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -263,39 +330,117 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 (huff_dc_raw if tc == 0 else huff_ac_raw)[th] = (bits, vals)
                 p += 17 + nv
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan = [
+            sc = [
                 (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
                 for i in range(ns)
             ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if not (ss <= se <= 63):
+                raise ValueError("bad spectral selection bounds")
+            # snapshot only the tables this scan's kernels will read:
+            # DC huffman for DC-first bands, AC huffman whenever the
+            # band holds AC coefficients (DC REFINE reads raw bits).
+            dc_luts = {}
+            ac_luts = {}
+            for _cid, td, ta in sc:
+                if ss == 0 and ah == 0:
+                    dc_luts[td] = _lut_table(*huff_dc_raw[td])
+                if se > 0:
+                    ac_luts[ta] = _lut_table(*huff_ac_raw[ta])
             data_start = pos + seglen
-            break
+            data_end = _find_scan_end(payload, data_start)
+            entropy = _unstuff(payload[data_start:data_end])
+            scans.append((sc, ss, se, ah, al, dc_luts, ac_luts, entropy))
+            pos = data_end
+            continue
         # APPn/COM and anything else: skip
         pos += seglen
-    if frame is None or scan is None:
-        raise ValueError("JPEG stream missing SOF0/SOS")
+    if frame is None or not scans:
+        raise ValueError("JPEG stream missing SOF/SOS")
+    return progressive, frame, qt, scans
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    progressive, frame, qt, scans = _parse_jpeg(payload)
     h, w, comps = frame
-    if len(scan) != len(comps):
-        raise ValueError("scan/frame component mismatch")
-    # find EOI to bound entropy data (a raw 0xFF inside entropy data
-    # is always stuffed with 0x00, so FFD9 cannot occur spuriously)
-    end = payload.find(b"\xff\xd9", data_start)
-    if end < 0:
-        end = len(payload)
-    # Hot path, r8 brief #7: (1) unstuff once, vectorized; (2) Huffman
-    # via 16-bit-peek LUTs — one lookup per symbol instead of a
-    # bit-at-a-time tree walk; (3) entropy-decode into a flat
-    # (n_blocks, 64) coefficient matrix, then dequant/unzigzag/iDCT
-    # the WHOLE image as three numpy batch ops. Only the inherently
-    # sequential symbol walk stays a Python loop.
-    data = _unstuff(payload[data_start:end]) + b"\x00\x00\x00\x00"
-    by, bx = (h + 7) // 8, (w + 7) // 8
     nc = len(comps)
-    n_blocks = by * bx * nc
-    luts = [
-        (_lut_table(*huff_dc_raw[td]), _lut_table(*huff_ac_raw[ta]))
-        for (_cid, td, ta) in scan
-    ]
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    nb = by * bx
+    if not progressive:
+        if len(scans) != 1:
+            raise ValueError("multiple scans in a baseline stream")
+        sc, ss, se, ah, al, dc_luts, ac_luts, entropy = scans[0]
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("bad baseline scan header")
+        if len(sc) != nc:
+            raise ValueError("scan/frame component mismatch")
+        flat = _baseline_entropy_decode(entropy, sc, nb, dc_luts, ac_luts)
+        coef = [flat[ci::nc] for ci in range(nc)]
+    else:
+        coef = [np.zeros((nb, 64), dtype=np.int64) for _ in range(nc)]
+        cid_to_ci = {cid: i for i, (cid, _tq) in enumerate(comps)}
+        pred = [0] * nc
+        for sc, ss, se, ah, al, dc_luts, ac_luts, entropy in scans:
+            br = _Bits(entropy)
+            cis = [cid_to_ci[cid] for (cid, _td, _ta) in sc]
+            if ss == 0:
+                if se != 0:
+                    raise ValueError(
+                        "progressive scan mixes DC and AC bands"
+                    )
+                if ah == 0:
+                    _dc_first_scan(br, sc, cis, coef, pred, al, dc_luts, nb)
+                else:
+                    _dc_refine_scan(br, cis, coef, al, nb)
+            else:
+                if len(sc) != 1:
+                    raise ValueError("interleaved progressive AC scan")
+                lut = ac_luts[sc[0][2]]
+                if ah == 0:
+                    _ac_first_scan(br, coef[cis[0]], ss, se, al, lut, nb)
+                else:
+                    _ac_refine_scan(br, coef[cis[0]], ss, se, al, lut, nb)
+    # batch dequant, unzigzag, iDCT per component — all vectorized
+    planes = []
+    for ci, (_cid, tq) in enumerate(comps):
+        dq = coef[ci].astype(np.int64) * qt[tq].astype(np.int64)[None, :]
+        blocks = dq[:, UNZIGZAG].reshape(nb, 8, 8).astype(np.float64)
+        pix = np.einsum("ij,bjk,kl->bil", _A.T, blocks, _A)
+        plane = (
+            pix.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        planes.append(plane[:h, :w] + 128.0)
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if len(planes) != 3:
+        raise ValueError(f"unsupported component count {len(planes)}")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def _baseline_entropy_decode(
+    entropy: bytes, scan, nb: int, dc_luts, ac_luts
+) -> np.ndarray:
+    """The baseline single-scan fast loop (r8 brief #7): unstuffed
+    data + 16-bit-peek LUTs, entropy-decoded into a flat
+    (n_blocks*nc, 64) coefficient matrix in MCU-interleaved order.
+    Only the inherently sequential symbol walk stays a Python loop."""
+    data = entropy + b"\x00\x00\x00\x00"
+    nc = len(scan)
+    n_blocks = nb * nc
+    luts = [(dc_luts[td], ac_luts[ta]) for (_cid, td, ta) in scan]
     pred = [0] * nc
     pos = 0  # bit cursor
     total_bits = (len(data) - 4) * 8
@@ -360,35 +505,158 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             k += 1
         if pos > total_bits + 7:
             raise ValueError("JPEG entropy stream exhausted")
-    coefs = np.array(flat, dtype=np.int64).reshape(n_blocks, 64)
-    # batch dequant (per component), unzigzag, iDCT — all vectorized
-    comp_q = {cid: tq for cid, tq in comps}
-    qrows = np.stack(
-        [qt[comp_q[scan[ci][0]]] for ci in range(nc)]
-    ).astype(np.int64)  # (nc, 64) in zigzag order
-    dq = coefs * np.tile(qrows, (by * bx, 1))
-    blocks = dq[:, UNZIGZAG].reshape(n_blocks, 8, 8).astype(np.float64)
-    pix = np.einsum("ij,bjk,kl->bil", _A.T, blocks, _A)
-    # blocks interleave (mcu-major, component-minor); regroup per
-    # component into (by, bx, 8, 8) → (by*8, bx*8)
-    pix = pix.reshape(by, bx, nc, 8, 8)
-    planes = [
-        pix[:, :, ci].transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-        for ci in range(nc)
-    ]
-    planes = [p[:h, :w] + 128.0 for p in planes]
-    if len(planes) == 1:
-        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-        return np.stack([g, g, g], axis=-1)
-    if len(planes) != 3:
-        raise ValueError(f"unsupported component count {len(planes)}")
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(
-        np.round(np.stack([r, g, b], axis=-1)), 0, 255
-    ).astype(np.uint8)
+    return np.array(flat, dtype=np.int64).reshape(n_blocks, 64)
+
+
+# ------------------- progressive scan kernels (T.81 Annex G) ---------
+
+
+class _Bits:
+    """Bit reader over unstuffed entropy data — same 32-bit window
+    peeking as the baseline loop, tolerating up to 7 pad bits of
+    overrun at scan end."""
+
+    __slots__ = ("d", "pos", "lim")
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data + b"\x00\x00\x00\x00"
+        self.pos = 0
+        self.lim = len(data) * 8 + 7
+
+    def huff(self, lut) -> int:
+        d, p = self.d, self.pos
+        i = p >> 3
+        wnd = (
+            (d[i] << 24) | (d[i + 1] << 16) | (d[i + 2] << 8) | d[i + 3]
+        )
+        e = lut[(wnd >> (16 - (p & 7))) & 0xFFFF]
+        if e == 0:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        self.pos = p + (e & 0xFF)
+        if self.pos > self.lim:
+            raise ValueError("JPEG entropy stream exhausted")
+        return e >> 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        d, p = self.d, self.pos
+        i = p >> 3
+        wnd = (
+            (d[i] << 24) | (d[i + 1] << 16) | (d[i + 2] << 8) | d[i + 3]
+        )
+        v = (wnd >> (32 - (p & 7) - n)) & ((1 << n) - 1)
+        self.pos = p + n
+        if self.pos > self.lim:
+            raise ValueError("JPEG entropy stream exhausted")
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _dc_first_scan(br, sc, cis, coef, pred, al, dc_luts, nb) -> None:
+    """DC first scans may interleave all components (MCU = one block
+    per component at 1×1 sampling); value = predicted diff << Al."""
+    luts = [dc_luts[td] for (_cid, td, _ta) in sc]
+    for mcu in range(nb):
+        for ci, lut in zip(cis, luts):
+            s = br.huff(lut)
+            if s > 15:
+                raise ValueError("bad DC category")
+            if s:
+                pred[ci] += _extend(br.bits(s), s)
+            coef[ci][mcu, 0] = pred[ci] << al
+
+
+def _dc_refine_scan(br, cis, coef, al, nb) -> None:
+    """DC refinement: one raw bit per block ORed in at position Al
+    (two's-complement OR is exact for negative predictors too)."""
+    for mcu in range(nb):
+        for ci in cis:
+            if br.bits(1):
+                coef[ci][mcu, 0] |= 1 << al
+
+
+def _ac_first_scan(br, q, ss, se, al, lut, nb) -> None:
+    """AC first scan over one component's band [Ss, Se]: run-length
+    decode with EOB-run semantics (symbol n<<4 ⇒ skip 2^n + ext
+    blocks' bands), values point-transformed << Al."""
+    eobrun = 0
+    for blk in range(nb):
+        if eobrun:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            rs = br.huff(lut)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC coefficient overrun")
+            q[blk, k] = _extend(br.bits(s), s) << al
+            k += 1
+
+
+def _ac_refine_scan(br, q, ss, se, al, lut, nb) -> None:
+    """AC refinement (T.81 G.1.2.3, the jdphuff walk): runs count
+    zero-HISTORY positions only; nonzero-history coefficients inside
+    a run consume a correction bit; newly-significant coefficients
+    insert ±1<<Al; EOB-runs still carry correction bits for the
+    remainder of each covered block's band."""
+    p1 = 1 << al
+    eobrun = 0
+    for blk in range(nb):
+        c = q[blk]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.huff(lut)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                elif s == 1:
+                    val = p1 if br.bits(1) else -p1
+                else:
+                    raise ValueError("bad AC refinement symbol")
+                while k <= se:
+                    t = c[k]
+                    if t != 0:
+                        if br.bits(1) and (t & p1) == 0:
+                            c[k] = t + (p1 if t >= 0 else -p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s:
+                    if k > se:
+                        raise ValueError("AC refinement overrun")
+                    c[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                t = c[k]
+                if t != 0:
+                    if br.bits(1) and (t & p1) == 0:
+                        c[k] = t + (p1 if t >= 0 else -p1)
+                k += 1
+            eobrun -= 1
 
 
 # --------------------------- encoder ---------------------------------
@@ -546,5 +814,228 @@ def encode_jpeg_rgb(img: np.ndarray, quant: np.ndarray = COLOR_QUANT) -> bytes:
     out += bytes([3, 0x11])
     out += bytes([0, 63, 0])
     out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------ progressive encoder (T.81 Annex G) ----------------
+
+
+def _sos_seg(comps, ss, se, ah, al) -> bytes:
+    out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+    for cid, td, ta in comps:
+        out += bytes([cid, (td << 4) | ta])
+    out += bytes([ss, se, (ah << 4) | al])
+    return out
+
+
+def _enc_dc_first(writer, comp_qrows, al, comp_dc_codes) -> None:
+    """DC first scan, interleaved over components (MCU = one block
+    per component at 1×1): encode diffs of the point-transformed
+    (arithmetic >> Al) DC values."""
+    preds = [0] * len(comp_qrows)
+    nb = len(comp_qrows[0])
+    for mcu in range(nb):
+        for ci, qrows in enumerate(comp_qrows):
+            t = qrows[mcu][0] >> al
+            diff = t - preds[ci]
+            preds[ci] = t
+            s = _category(diff)
+            code, ln = comp_dc_codes[ci][s]
+            writer.put(code, ln)
+            if s:
+                writer.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def _enc_dc_refine(writer, comp_qrows, al) -> None:
+    """DC refinement: bit Al of each block's DC, raw (no Huffman)."""
+    nb = len(comp_qrows[0])
+    for mcu in range(nb):
+        for qrows in comp_qrows:
+            writer.put((qrows[mcu][0] >> al) & 1, 1)
+
+
+def _enc_ac_first(writer, qrows, ss, se, al, ac_codes) -> None:
+    """AC first scan for one component's band: run-length encode the
+    point-transformed (magnitude >> Al, sign reapplied) band with
+    EOB-runs accumulated across all-zero tails/blocks."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            writer.put(code, ln)
+            if nbits:
+                writer.put(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    for blk in qrows:
+        r = 0
+        for k in range(ss, se + 1):
+            v = blk[k]
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                writer.put(code, ln)
+                r -= 16
+            s = t.bit_length()
+            tv = t if v > 0 else -t
+            code, ln = ac_codes[(r << 4) | s]
+            writer.put(code, ln)
+            writer.put(tv if tv > 0 else tv + (1 << s) - 1, s)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:  # 14-bit EOB-run symbol ceiling
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine(writer, qrows, ss, se, al, ac_codes) -> None:
+    """AC refinement for one component's band — the jcphuff ordering
+    rules: correction bits for history coefficients are buffered per
+    run segment and emitted after the run's symbol; ZRLs are not
+    emitted past the last newly-significant index (those runs fold
+    into the EOB-run, whose buffered bits ride with it)."""
+    eobrun = 0
+    eob_bits: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, eob_bits
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            writer.put(code, ln)
+            if nbits:
+                writer.put(eobrun & ((1 << nbits) - 1), nbits)
+            for b in eob_bits:
+                writer.put(b, 1)
+            eobrun = 0
+            eob_bits = []
+
+    for blk in qrows:
+        absv = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+        eob_idx = -1  # last newly-significant position in the band
+        for j, t in enumerate(absv):
+            if t == 1:
+                eob_idx = j
+        r = 0
+        run_bits: list[int] = []
+        for j, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            if r > 15 and j <= eob_idx:
+                flush_eob()
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    writer.put(code, ln)
+                    r -= 16
+                    for b in run_bits:
+                        writer.put(b, 1)
+                    run_bits = []
+            if t > 1:  # already significant: one correction bit
+                run_bits.append(t & 1)
+                continue
+            # newly significant (t == 1)
+            flush_eob()
+            code, ln = ac_codes[(r << 4) | 1]
+            writer.put(code, ln)
+            writer.put(1 if blk[ss + j] > 0 else 0, 1)
+            for b in run_bits:
+                writer.put(b, 1)
+            run_bits = []
+            r = 0
+        if r > 0 or run_bits:
+            eobrun += 1
+            eob_bits.extend(run_bits)
+            if eobrun == 0x7FFF or len(eob_bits) > 900:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_gray_progressive(
+    img: np.ndarray, quant: np.ndarray = GRAY_QUANT
+) -> bytes:
+    """(h, w) uint8 -> progressive (SOF2) grayscale JPEG bytes. Scan
+    script exercises all four Annex G kernels: DC first (Al=1) → AC
+    first 1..63 (Al=1) → DC refine → AC refine. Quantized
+    coefficients are identical to :func:`encode_jpeg_gray`, so the
+    decode is pixel-identical to the baseline encode by
+    construction."""
+    h, w = img.shape
+    qrows, _ = _component_qcoefs(img.astype(np.float64), quant)
+    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _canonical_codes(AC_PROG_BITS, AC_PROG_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += _quant_seg(0, quant)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    out += _dht_seg(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+    out += _dht_seg(1, 0, AC_PROG_BITS, AC_PROG_VALS)
+    for ss, se, ah, al, enc in (
+        (0, 0, 0, 1, lambda wr: _enc_dc_first(wr, [qrows], 1, [dc_codes])),
+        (1, 63, 0, 1, lambda wr: _enc_ac_first(wr, qrows, 1, 63, 1, ac_codes)),
+        (0, 0, 1, 0, lambda wr: _enc_dc_refine(wr, [qrows], 0)),
+        (1, 63, 1, 0, lambda wr: _enc_ac_refine(wr, qrows, 1, 63, 0, ac_codes)),
+    ):
+        wtr = _BitWriter()
+        enc(wtr)
+        out += _sos_seg([(1, 0, 0)], ss, se, ah, al) + wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_rgb_progressive(
+    img: np.ndarray, quant: np.ndarray = COLOR_QUANT
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive (SOF2) 4:4:4 YCbCr JPEG
+    bytes. DC scans interleave all three components; AC scans are
+    per-component (progressive syntax requires it). Same quantized
+    coefficients as :func:`encode_jpeg_rgb` ⇒ pixel-identical
+    decode."""
+    h, w, _ = img.shape
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    comp_qrows = [
+        _component_qcoefs(np.round(p), quant)[0] for p in (y, cb, cr)
+    ]
+    dc_lum = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    dc_chr = _canonical_codes(DC_CHR_BITS, DC_CHR_VALS)
+    ac_codes = _canonical_codes(AC_PROG_BITS, AC_PROG_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += _quant_seg(0, quant)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 9, 8, h, w, 3)
+    for cid in (1, 2, 3):
+        out += bytes([cid, 0x11, 0])
+    out += _dht_seg(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+    out += _dht_seg(0, 1, DC_CHR_BITS, DC_CHR_VALS)
+    out += _dht_seg(1, 0, AC_PROG_BITS, AC_PROG_VALS)
+    all_comps = [(1, 0, 0), (2, 1, 0), (3, 1, 0)]
+    # DC first (interleaved), then AC first per component, Al=1
+    wtr = _BitWriter()
+    _enc_dc_first(wtr, comp_qrows, 1, [dc_lum, dc_chr, dc_chr])
+    out += _sos_seg(all_comps, 0, 0, 0, 1) + wtr.flush()
+    for ci, spec in enumerate(all_comps):
+        wtr = _BitWriter()
+        _enc_ac_first(wtr, comp_qrows[ci], 1, 63, 1, ac_codes)
+        out += _sos_seg([spec], 1, 63, 0, 1) + wtr.flush()
+    # DC refine (interleaved), then AC refine per component
+    wtr = _BitWriter()
+    _enc_dc_refine(wtr, comp_qrows, 0)
+    out += _sos_seg(all_comps, 0, 0, 1, 0) + wtr.flush()
+    for ci, spec in enumerate(all_comps):
+        wtr = _BitWriter()
+        _enc_ac_refine(wtr, comp_qrows[ci], 1, 63, 0, ac_codes)
+        out += _sos_seg([spec], 1, 63, 1, 0) + wtr.flush()
     out += b"\xff\xd9"
     return bytes(out)

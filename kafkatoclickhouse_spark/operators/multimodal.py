@@ -748,6 +748,104 @@ def multimodal_decode_jpeg_stats(
     return decode_stats(synthesize_jpeg_images(docs))
 
 
+# --- progressive-JPEG fixture + oracled decode (r11) ------------------
+#
+# Real crawls are majority-PROGRESSIVE JPEG; until r11 those streams
+# took the PIL-fallback route. The codec now decodes SOF2 natively
+# (all four T.81 Annex G kernels, operators/jpeg.py), and this query
+# certifies the full multi-scan path end-to-end under the same
+# exactness carve-out as baseline: block-constant tiles have only a
+# DC coefficient, the DC-first scan at Al=1 plus the refinement bit
+# reassemble the exact DC, and the AC scans are pure EOB runs —
+# decode is bit-exact, and the oracle replays the closed-form block
+# rule without seeing a byte of JPEG. Distinct rule constants and
+# dims from the baseline JPEG fixture so a cross-wired fixture (or a
+# decoder falling back to the baseline path) cannot silently pass.
+
+JPP_BW_BASE, JPP_BW_MOD = 3, 2  # blocks across = 3 + doc_id % 2
+JPP_BH_BASE, JPP_BH_MOD = 2, 3  # blocks down   = 2 + doc_id % 3
+
+
+def _jpeg_prog_block_value(doc_id, bx, by):
+    """Shared block-luma rule, mirrored textually in the oracle."""
+    return (doc_id * 41 + bx * 19 + by * 23) % 256
+
+
+def synthesize_jpeg_progressive_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with a REAL progressive (SOF2) grayscale
+    JPEG per document — four-scan script (DC first/AC first at Al=1,
+    DC refine, AC refine), flat progressive AC Huffman table in DHT.
+    Map-only, like the other synthesizers."""
+    import numpy as np
+
+    from kafkatoclickhouse_spark.operators.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw = JPP_BW_BASE + d % JPP_BW_MOD
+                bh = JPP_BH_BASE + d % JPP_BH_MOD
+                by, bx = np.mgrid[0:bh, 0:bw]
+                blocks = _jpeg_prog_block_value(d, bx, by)
+                img = np.kron(
+                    blocks, np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                payloads.append(encode_jpeg_gray_progressive(img))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+@query(
+    "multimodal_decode_jpeg_progressive_stats",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             {JPP_BW_BASE} + doc_id % {JPP_BW_MOD} AS bw,
+             {JPP_BH_BASE} + doc_id % {JPP_BH_MOD} AS bh
+      FROM documents
+    ),
+    blk AS (
+      SELECT doc_id, bw, bh, unnest(range(bw * bh)) AS i FROM dims
+    ),
+    v AS (
+      SELECT doc_id, bw, bh,
+             (doc_id * 41 + (i % bw) * 19 + (i // bw) * 23) % 256 AS val
+      FROM blk
+    )
+    SELECT doc_id,
+           CAST(MAX(bw) * 8 AS INTEGER) AS width,
+           CAST(MAX(bh) * 8 AS INTEGER) AS height,
+           3 AS channels,
+           CAST(SUM(val) * 64 AS BIGINT) AS sum_r,
+           CAST(SUM(val) * 64 AS BIGINT) AS sum_g,
+           CAST(SUM(val) * 64 AS BIGINT) AS sum_b
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_decode_jpeg_progressive_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synthesize a progressive grayscale JPEG per document
+    (block-constant pixels — the exactness carve-out), decode it
+    back through the full multi-scan pipeline — segment walk across
+    four SOS segments, per-scan Huffman snapshots, DC first +
+    successive-approximation refinement, AC spectral-selection first
+    + correction-bit refinement with EOB runs, then the shared
+    dequant/iDCT tail — and report exact per-channel pixel sums.
+    Every progressive kernel is load-bearing for the hash match."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_stats(synthesize_jpeg_progressive_images(docs))
+
+
 # --- PNG fixture + oracled decode (VERDICT r8 #2) --------------------
 #
 # PNG is lossless, so no carve-out is needed: any closed-form pixel
@@ -1073,10 +1171,12 @@ def classify_image(payload: bytes) -> tuple[str, str, str]:
     """(format, path, detail) for one image byte stream.
 
     path: 'pure'        — decoded here by the dependency-free codecs
+                          (incl. progressive JPEG and Adam7
+                          interlaced PNG since r11)
           'fallback'    — recognized format outside the pure codecs'
-                          subset (progressive/extended/deep JPEG,
-                          interlaced/deep PNG, compressed BMP);
-                          routed to PIL on deployments that have it
+                          subset (extended/deep/subsampled JPEG,
+                          deep PNG, compressed BMP); routed to PIL
+                          on deployments that have it
           'undecodable' — unrecognized magic
           'error'       — pure-routed but the decode failed
     """
@@ -1096,12 +1196,12 @@ def classify_image(payload: bytes) -> tuple[str, str, str]:
         if len(p) < 29:  # IHDR fields read below end at byte 28
             return ("png", "undecodable", "truncated")
         bitdepth, colortype, interlace = p[24], p[25], p[28]
-        if interlace != 0:
-            return ("png", "fallback", "png_interlaced")
         if bitdepth != 8:
             return ("png", "fallback", "png_deep")
         if colortype not in (0, 2, 3, 4, 6):
             return ("png", "fallback", "png_unsupported_color")
+        if interlace != 0:  # Adam7 decodes natively since r11
+            return ("png", _try_pure(p), "png_interlaced")
         return ("png", _try_pure(p), "png8_noninterlaced")
     if p[:2] == b"\xff\xd8":
         return _classify_jpeg(p)
@@ -1141,14 +1241,16 @@ def _classify_jpeg(p: bytes) -> tuple[str, str, str]:
                 return ("jpeg", "fallback", "truncated")
             samplings = [p[i + 10 + 3 * c + 1] for c in range(ncomp)]
             if (
-                m == 0xC0
+                m in (0xC0, 0xC2)
                 and precision == 8
                 and all(s == 0x11 for s in samplings)
             ):
-                return ("jpeg", _try_pure(p), "jpeg_baseline")
-            if m == 0xC2:
-                detail = "jpeg_progressive"
-            elif m != 0xC0:
+                # baseline AND progressive both decode natively (r11)
+                detail = (
+                    "jpeg_baseline" if m == 0xC0 else "jpeg_progressive"
+                )
+                return ("jpeg", _try_pure(p), detail)
+            if m not in (0xC0, 0xC2):
                 detail = "jpeg_extended"
             elif precision != 8:
                 detail = "jpeg_deep"
@@ -1181,22 +1283,46 @@ def _classify_batches(
         )
 
 
-def _mark_progressive(images: DataFrame) -> DataFrame:
-    """Rewrite a baseline JPEG's SOF0 marker to SOF2 — a
-    progressive-CLASSIFIED stream for the coverage fixture (the
-    entropy data stays baseline-coded: these payloads exercise the
-    triage route, not a progressive decoder)."""
+def _synthesize_deep_png(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with a real (but 16-BIT grayscale) PNG per
+    document — the coverage fixture's PIL-fallback exemplar now that
+    interlaced PNG and progressive JPEG decode natively. Valid
+    signature/IHDR/IDAT/IEND with correct CRCs; bit depth 16 is
+    outside the pure codec's contract, so the triage must route it
+    'fallback' from the header without attempting a decode."""
+    import struct as _struct
+    import zlib as _zlib
 
-    def rw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pdf = pdf.copy()
-            pdf["payload"] = [
-                bytes(p).replace(b"\xff\xc0", b"\xff\xc2", 1)
-                for p in pdf["payload"]
-            ]
-            yield pdf
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 3, 3 + d % 2
+                rows = bytearray()
+                for y in range(h):
+                    rows.append(0)  # filter: None
+                    for x in range(w):
+                        rows += _struct.pack(">H", (d * 3 + x + y) % 65536)
+                ihdr = _struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+                out = bytearray(b"\x89PNG\r\n\x1a\n")
+                for ctype, data in (
+                    (b"IHDR", ihdr),
+                    (b"IDAT", _zlib.compress(bytes(rows))),
+                    (b"IEND", b""),
+                ):
+                    out += _struct.pack(">I", len(data)) + ctype + data
+                    out += _struct.pack(
+                        ">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF
+                    )
+                payloads.append(bytes(out))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
 
-    return images.mapInPandas(rw, schema="doc_id long, payload binary")
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
 
 
 @query(
@@ -1204,18 +1330,21 @@ def _mark_progressive(images: DataFrame) -> DataFrame:
     oracle="""
     SELECT format, path, detail, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM (
-      SELECT CASE CAST(doc_id % 6 AS INTEGER)
+      SELECT CASE CAST(doc_id % 8 AS INTEGER)
                WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
                WHEN 2 THEN 'jpeg' WHEN 3 THEN 'png'
-               WHEN 4 THEN 'jpeg' ELSE 'unknown' END AS format,
-             CASE CAST(doc_id % 6 AS INTEGER)
-               WHEN 4 THEN 'fallback'
+               WHEN 4 THEN 'jpeg' WHEN 6 THEN 'png'
+               WHEN 7 THEN 'png' ELSE 'unknown' END AS format,
+             CASE CAST(doc_id % 8 AS INTEGER)
+               WHEN 7 THEN 'fallback'
                WHEN 5 THEN 'undecodable' ELSE 'pure' END AS path,
-             CASE CAST(doc_id % 6 AS INTEGER)
+             CASE CAST(doc_id % 8 AS INTEGER)
                WHEN 0 THEN 'ppm_p6' WHEN 1 THEN 'bmp24'
                WHEN 2 THEN 'jpeg_baseline'
                WHEN 3 THEN 'png8_noninterlaced'
                WHEN 4 THEN 'jpeg_progressive'
+               WHEN 6 THEN 'png_interlaced'
+               WHEN 7 THEN 'png_deep'
                ELSE 'unknown_magic' END AS detail
       FROM documents)
     GROUP BY format, path, detail
@@ -1225,26 +1354,28 @@ def multimodal_codec_coverage(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Codec-coverage report over a MIXED image corpus: one payload
-    per document, format by doc_id % 6 (PPM / BMP24 / baseline JPEG
-    / PNG / progressive-marked JPEG / non-image bytes), classified
-    by :func:`classify_image` and counted by (format, route,
-    detail). The oracle predicts every class in closed form, so the
-    hash match certifies (a) the marker-level triage routes each
-    synthesized format correctly, (b) every pure-routed stream
-    actually DECODES (a codec regression flips its row to
-    path='error' and fails parity), and (c) nothing raises on the
-    fallback/undecodable classes — the VERDICT r9 #3 failure mode
-    (a corpus run dying on its first progressive JPEG). Map-only +
-    one count shuffle over (format, path, detail) triples — at
-    100 TB the payloads never leave their scan tasks."""
+    per document, format by doc_id % 8 (PPM / BMP24 / baseline JPEG
+    / PNG / REAL progressive JPEG / non-image bytes / Adam7
+    interlaced PNG / 16-bit PNG), classified by
+    :func:`classify_image` and counted by (format, route, detail).
+    The oracle predicts every class in closed form, so the hash
+    match certifies (a) the marker-level triage routes each
+    synthesized format correctly — progressive JPEG and interlaced
+    PNG route PURE since r11 and their streams actually decode, (b)
+    every pure-routed stream DECODES (a codec regression flips its
+    row to path='error' and fails parity), and (c) nothing raises on
+    the fallback/undecodable classes (deep PNG keeps the fallback
+    route exercised). Map-only + one count shuffle over (format,
+    path, detail) triples — at 100 TB the payloads never leave their
+    scan tasks."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    cls = F.col("doc_id") % 6
+    cls = F.col("doc_id") % 8
     branches = [
         synthesize_ppm_images(docs.filter(cls == 0)),
         synthesize_bmp_images(docs.filter(cls == 1), w=32, h=16),
         synthesize_jpeg_images(docs.filter(cls == 2)),
         synthesize_png_images(docs.filter(cls == 3)),
-        _mark_progressive(synthesize_jpeg_images(docs.filter(cls == 4))),
+        synthesize_jpeg_progressive_images(docs.filter(cls == 4)),
         docs.filter(cls == 5).select(
             "doc_id",
             F.encode(
@@ -1254,6 +1385,8 @@ def multimodal_codec_coverage(
                 "utf-8",
             ).alias("payload"),
         ),
+        synthesize_png_interlaced_images(docs.filter(cls == 6)),
+        _synthesize_deep_png(docs.filter(cls == 7)),
     ]
     mixed = branches[0]
     for b in branches[1:]:

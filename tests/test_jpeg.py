@@ -78,11 +78,19 @@ def test_dc_prediction_across_blocks():
 def test_non_baseline_streams_rejected_loudly():
     img = np.full((8, 8), 128, dtype=np.uint8)
     enc = bytearray(J.encode_jpeg_gray(img))
-    # flip SOF0 -> SOF2 (progressive)
+    # a BASELINE scan relabeled SOF2 is invalid progressive syntax
+    # (its single scan spans the DC and AC bands) — loud reject, not
+    # a mis-decode through the progressive kernels
     i = bytes(enc).find(b"\xff\xc0")
     enc[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF0"):
+    with pytest.raises(ValueError, match="band"):
         J.decode_jpeg(bytes(enc))
+    # extended-sequential SOF1 stays unsupported
+    enc1 = bytearray(J.encode_jpeg_gray(img))
+    i = bytes(enc1).find(b"\xff\xc0")
+    enc1[i + 1] = 0xC1
+    with pytest.raises(ValueError, match="frame type"):
+        J.decode_jpeg(bytes(enc1))
     # 4:2:0 subsampling flag
     enc2 = bytearray(J.encode_jpeg_gray(img))
     i = bytes(enc2).find(b"\xff\xc0")
@@ -91,6 +99,54 @@ def test_non_baseline_streams_rejected_loudly():
         J.decode_jpeg(bytes(enc2))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"not a jpeg")
+
+
+def test_progressive_decode_matches_baseline_gray_and_rgb():
+    """r11: the four Annex G kernels (DC first/refine, AC first/
+    refine) reconstruct the SAME quantized coefficients the baseline
+    writer emits, so the decodes are pixel-identical."""
+    rng = np.random.RandomState(17)
+    for h, w in [(8, 8), (5, 12), (31, 17), (48, 48)]:
+        g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert (
+            J.decode_jpeg(J.encode_jpeg_gray_progressive(g))
+            == J.decode_jpeg(J.encode_jpeg_gray(g))
+        ).all(), (h, w)
+        c = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert (
+            J.decode_jpeg(J.encode_jpeg_rgb_progressive(c))
+            == J.decode_jpeg(J.encode_jpeg_rgb(c))
+        ).all(), (h, w)
+
+
+def test_progressive_block_constant_exact():
+    """The same exactness carve-out as baseline: block-constant
+    pixels + DC quantizer 8 decode bit-exactly through the
+    progressive scan script (DC first at Al=1 + the refine bit
+    reassemble the exact DC; AC scans are pure EOB runs)."""
+    rng = np.random.RandomState(23)
+    blocks = rng.randint(0, 256, (3, 4))
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg_gray_progressive(img))
+    assert (dec[..., 0] == img).all()
+
+
+def test_progressive_eob_run_and_sparse_spikes():
+    """Long cross-block EOB runs (smooth gradient), maximal runs
+    (constant image), and ZRL-heavy sparse spikes all round-trip
+    identically to baseline — the EOBRUN/ZRL/correction-bit paths."""
+    rng = np.random.RandomState(29)
+    yy, xx = np.mgrid[0:64, 0:56]
+    smooth = ((yy * 2 + xx * 3) % 256).astype(np.uint8)
+    flat = np.full((64, 64), 77, dtype=np.uint8)
+    spikes = np.full((48, 48), 128, dtype=np.uint8)
+    for _ in range(20):
+        spikes[rng.randint(48), rng.randint(48)] = rng.randint(0, 256)
+    for img in (smooth, flat, spikes):
+        assert (
+            J.decode_jpeg(J.encode_jpeg_gray_progressive(img))
+            == J.decode_jpeg(J.encode_jpeg_gray(img))
+        ).all()
 
 
 def test_decode_image_dispatches_jpeg():
@@ -169,6 +225,50 @@ def test_property_malformed_streams_raise_valueerror_only(cut, seed):
     corrupted = bytearray(payload)
     corrupted[cut % len(payload)] ^= 0xFF
     for stream in (truncated, bytes(corrupted), b"\xff\xd8" + bytes(rng.randint(0, 256, 64, dtype=np.uint8))):
+        try:
+            J.decode_jpeg(stream)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.booleans(),
+)
+def test_property_progressive_matches_baseline(h, w, seed, color):
+    """ANY image at ANY dimensions decodes pixel-identically through
+    the progressive scan script and the baseline writer — the four
+    Annex G kernels reconstruct the same quantized coefficients."""
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    if color:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        prog = J.encode_jpeg_rgb_progressive(img)
+        base = J.encode_jpeg_rgb(img)
+    else:
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        prog = J.encode_jpeg_gray_progressive(img)
+        base = J.encode_jpeg_gray(img)
+    assert (J.decode_jpeg(prog) == J.decode_jpeg(base)).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=400),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_property_malformed_progressive_raise_valueerror_only(cut, seed):
+    """The loud-rejection contract holds for progressive streams too:
+    truncation/corruption at ANY point raises ValueError only."""
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    payload = J.encode_jpeg_gray_progressive(img)
+    cut = min(cut, len(payload) - 1)
+    corrupted = bytearray(payload)
+    corrupted[cut % len(payload)] ^= 0xFF
+    for stream in (payload[:cut], bytes(corrupted)):
         try:
             J.decode_jpeg(stream)
         except ValueError:

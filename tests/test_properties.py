@@ -789,9 +789,18 @@ def test_classify_image_routes_off_fixture_variants():
         ).collect()[0]["payload"]
     )
     assert classify_image(png) == ("png", "pure", "png8_noninterlaced")
-    interlaced = png[:28] + b"\x01" + png[29:]
-    assert classify_image(interlaced) == (
-        "png", "fallback", "png_interlaced",
+    # r11: a VALID Adam7 stream routes pure and decodes; a sequential
+    # stream relabeled interlace=1 (bad CRC, wrong pass layout) still
+    # routes to the interlaced detail but surfaces as decode 'error'
+    from kafkatoclickhouse_spark.operators.png import encode_png
+    import numpy as np
+
+    img = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    adam7 = encode_png(img, color_type=2, interlace=True)
+    assert classify_image(adam7) == ("png", "pure", "png_interlaced")
+    relabeled = png[:28] + b"\x01" + png[29:]
+    assert classify_image(relabeled) == (
+        "png", "error", "png_interlaced",
     )
     deep = png[:24] + b"\x10" + png[25:]
     assert classify_image(deep) == ("png", "fallback", "png_deep")
