@@ -155,6 +155,13 @@ HEADLINE = [
     "multimodal_decode_wav_stats",
     "sim_binary_serve_topk",
     "text_classifier_calibration_trained",
+    # round-11 session additions: progressive-JPEG + Adam7-PNG pure
+    # decode (closes the r10 PIL-fallback residual) and DSIR
+    # importance resampling (Xie et al. 2023)
+    "multimodal_decode_jpeg_progressive_stats",
+    "multimodal_decode_png_interlaced_stats",
+    "corpus_dsir_weights",
+    "corpus_dsir_select",
 ]
 
 

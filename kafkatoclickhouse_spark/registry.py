@@ -47,6 +47,7 @@ def load_all() -> None:
         classifier as _classifier,
         decontam as _decontam,
         dedup as _dedup,
+        dsir as _dsir,
         embedprep as _embedprep,
         event_windows as _event_windows,
         forensics as _forensics,

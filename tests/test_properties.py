@@ -952,3 +952,47 @@ def test_semdedup_scaled_planted_twins_and_derived_k(spark, tmp_path):
         orig, twin = verdict[j], verdict[1000 + j]
         assert orig[0] == twin[0], f"twin {j} in a different cell"
         assert orig[1] is True and twin[1] is False, (j, orig, twin)
+
+
+def test_dsir_planted_domain_shift(spark):
+    """DSIR semantics pin (r11): with a target domain writing
+    vocabulary A, raw-pool documents written in vocabulary A must
+    outweigh (and be selected over) vocabulary-B documents — the
+    paper's core claim, on a planted corpus where the answer is
+    unambiguous."""
+    import pyspark.sql.functions as F
+
+    from kafkatoclickhouse_spark.operators.dsir import (
+        dsir_logweights,
+        dsir_select,
+    )
+
+    vocab_a = "alpha beta gamma delta epsilon zeta"
+    vocab_b = "omega psi chi phi upsilon tau"
+    rows = []
+    # target: 10 docs of vocabulary A
+    for i in range(10):
+        rows.append((i, "target", vocab_a))
+    # raw pool: 8 A-like docs, 8 B-like docs
+    for i in range(8):
+        rows.append((100 + i, "pool_a", vocab_a))
+        rows.append((200 + i, "pool_b", vocab_b))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    tpred = F.col("source") == "target"
+    w = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_logweights(docs, tpred).collect()
+    }
+    assert len(w) == 16  # pool only — target docs are never candidates
+    a_ids = {100 + i for i in range(8)}
+    b_ids = {200 + i for i in range(8)}
+    assert min(w[d] for d in a_ids) > max(w[d] for d in b_ids)
+    # top-8 selection picks exactly the A-like pool (the weight gap
+    # dwarfs the bounded Gumbel perturbation on this fixture)
+    sel = {r["doc_id"] for r in dsir_select(docs, tpred, 8).collect()}
+    assert sel == a_ids
+    # determinism: a second run selects the identical set
+    sel2 = {r["doc_id"] for r in dsir_select(docs, tpred, 8).collect()}
+    assert sel2 == sel
