@@ -162,6 +162,8 @@ HEADLINE = [
     "multimodal_decode_png_interlaced_stats",
     "corpus_dsir_weights",
     "corpus_dsir_select",
+    "sim_ivf_filtered_topk",
+    "sim_ivf_appended_serve_topk",
 ]
 
 

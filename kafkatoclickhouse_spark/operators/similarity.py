@@ -1937,3 +1937,419 @@ def sim_binary_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = embedding_binary_index_build(spark, sf_dir)
     codes = spark.read.parquet(os.path.join(path, "bin_codes.parquet"))
     return _binary_score_topk(codes)
+
+
+# --- filtered ANN: metadata predicate inside the IVF probe (r11) -----------
+#
+# The production retrieval feature every vector store ships: top-k
+# among vectors satisfying an attribute predicate ("same language",
+# "same tenant", "docs after date X"). The naive post-filter over an
+# unfiltered top-k collapses recall at low selectivity; the index-side
+# fix is per-cell FILTERED statistics — probe depth is then chosen
+# against the filtered mass, so a 30%-selective predicate probes until
+# >= tau of the MATCHING vectors are covered, not tau of the corpus.
+# Scoring touches only matching members of probed cells, so the
+# predicate prunes the candidate scan too (at 100 TB: cell stats per
+# attribute bucket are index metadata, tiny and broadcast; the scan
+# inside a cell filters on a stored column — classic predicate
+# pushdown into the posting list).
+
+FILTER_LABELS = (0, 1, 2)  # the registered query's predicate
+
+
+@query(
+    "sim_ivf_filtered_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             ORDER BY vec_id LIMIT {NUM_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, v, label, cid AS cell FROM (
+        SELECT e.vec_id, e.v, e.label, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COSINE.format(a="e.v", b="cent.cv")} DESC,
+                          cent.cid) AS rn
+        FROM e, cent)
+      WHERE rn = 1
+    ),
+    fassign AS (SELECT * FROM assign
+                WHERE label IN {FILTER_LABELS!r}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % {QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {QUERY_LIMIT}),
+    {_sql_adaptive_probes("fassign", "q")},
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.label,
+             {_SQL_COSINE.format(a="q.qv", b="a.v")} AS s
+      FROM probes p
+      JOIN q USING (query_id)
+      JOIN fassign a ON a.cell = p.qcell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, label, ROUND(s, 6) AS score,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED IVF retrieval: top-k cosine neighbors with
+    ``label IN {FILTER_LABELS}``, probing cells by the adaptive mass
+    policy computed over the FILTERED per-cell counts (the per-bucket
+    cell statistics a production index keeps), scoring only matching
+    members inside probed cells. Guarantees tau coverage of the
+    matching subset regardless of predicate selectivity — where a
+    post-filtered unfiltered top-k returns < k (or nothing) once
+    selectivity drops below k/corpus."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        em.orderBy("vec_id")
+        .limit(NUM_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            norm(F.col("embedding")).alias("cn"),
+        )
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("cs"), "cid")
+    assigned = (
+        fan_out(em)
+        .withColumn("en", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "en",
+            "label",
+            "cid",
+            cosine_with_norms(
+                F.col("embedding"), F.col("cv"), F.col("en"), F.col("cn")
+            ).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "embedding", "en", "label",
+            F.col("cid").alias("cell"),
+        )
+    )
+    fassign = assigned.filter(F.col("label").isin(*FILTER_LABELS))
+    queries = (
+        em.filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(QUERY_LIMIT)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            norm(F.col("embedding")).alias("qn"),
+        )
+    )
+    sizes = fassign.groupBy(F.col("cell").alias("cid")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    probes = adaptive_probes(
+        queries.crossJoin(F.broadcast(cent)).select(
+            "query_id",
+            "qv",
+            "qn",
+            "cid",
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cs"),
+        ),
+        sizes,
+    ).select("query_id", "qv", "qn", F.col("cid").alias("qcell"))
+    scored = fassign.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        cosine_with_norms(
+            F.col("qv"), F.col("embedding"), F.col("qn"), F.col("en")
+        ).alias("s"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round("s", 6).alias("score"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+# --- IVF index lifecycle with INCREMENTAL APPEND (r11) ----------------------
+#
+# The nightly-ingest story the other three index families lack: a
+# built ANN index must absorb a new batch of vectors WITHOUT
+# retraining — FAISS `add()` semantics. BUILD trains nothing fancy
+# (the deterministic first-K coarse quantizer of the IVF tier) over
+# the BASE corpus slice and persists centroids + per-cell SQ8 codes;
+# APPEND assigns ONLY the new-batch vectors to their nearest EXISTING
+# centroid (broadcast argmax, map-only — cost ∝ batch size, the base
+# corpus is never re-read) and writes their codes alongside; SERVE
+# scores the union through the same adaptive-probe IVF-SQ8 kernel.
+# Because append reuses the frozen coarse quantizer, the union equals
+# what a from-scratch assignment of ALL vectors against the BASE
+# centroids produces — which is exactly what the oracle replays.
+
+APPEND_MOD = 10
+APPEND_RES = 9  # vec_id % 10 == 9 → the "new nightly batch"
+
+
+def _ivf_assign_codes(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell, scale_micro, codes): nearest-centroid argmax
+    against the broadcast (cid, cv, cn) table + SQ8 encoding."""
+    aw = W.partitionBy("vec_id").orderBy(F.desc("cs"), "cid")
+    assigned = (
+        fan_out(vecs)
+        .withColumn("en", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            cosine_with_norms(
+                F.col("embedding"), F.col("cv"), F.col("en"), F.col("cn")
+            ).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+    )
+    return sq8_encode(assigned, "embedding", ("vec_id", "cell"))
+
+
+def embedding_ivf_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    force: bool = False,
+) -> str:
+    """BUILD: coarse centroids from the BASE slice (vec_id %
+    {APPEND_MOD} != {APPEND_RES} — the corpus as of 'yesterday') and
+    the base slice's (cell, SQ8-code) rows, persisted as
+
+      - ``centroids.parquet`` (cid, cv): the frozen coarse quantizer;
+      - ``codes.parquet`` (vec_id, cell, scale_micro, codes);
+      - ``meta.json`` (written LAST — crash-safe marker): source
+        fingerprint + appended-batch flag (False at build)."""
+    import json
+    import os
+
+    from kafkatoclickhouse_spark.operators import pq as PQ
+    from kafkatoclickhouse_spark.tables import table_fingerprint
+
+    path = path or os.path.join(PQ.default_index_dir(sf_dir), "ivf_app")
+    meta_path = os.path.join(path, "meta.json")
+    fp = list(table_fingerprint(sf_dir, "embeddings"))
+    if os.path.isfile(meta_path) and not force:
+        with open(meta_path) as fh:
+            if json.load(fh).get("fingerprint") == fp:
+                return path
+    try:
+        os.remove(meta_path)
+    except FileNotFoundError:
+        pass
+    em = load_table(spark, sf_dir, "embeddings")
+    base = em.filter(F.col("vec_id") % APPEND_MOD != APPEND_RES)
+    cent = (
+        base.orderBy("vec_id")
+        .limit(NUM_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+    )
+    cent.write.mode("overwrite").parquet(
+        os.path.join(path, "centroids.parquet")
+    )
+    cent_n = spark.read.parquet(
+        os.path.join(path, "centroids.parquet")
+    ).select("cid", "cv", norm(F.col("cv")).alias("cn"))
+    _ivf_assign_codes(
+        base.select("vec_id", "embedding"), cent_n
+    ).write.mode("overwrite").parquet(os.path.join(path, "codes.parquet"))
+    os.makedirs(path, exist_ok=True)
+    with open(meta_path, "w") as fh:
+        json.dump({"fingerprint": fp, "appended": False}, fh)
+    return path
+
+
+def embedding_ivf_index_append(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> str:
+    """APPEND: assign ONLY the new-batch slice (vec_id % {APPEND_MOD}
+    == {APPEND_RES}) against the PERSISTED centroids — no retrain, no
+    base re-read — and write ``codes_append.parquet``; meta flips
+    ``appended`` last (idempotent: a second call is a no-op)."""
+    import json
+    import os
+
+    path = path or embedding_ivf_index_build(spark, sf_dir)
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if meta.get("appended"):
+        return path
+    cent_n = spark.read.parquet(
+        os.path.join(path, "centroids.parquet")
+    ).select("cid", "cv", norm(F.col("cv")).alias("cn"))
+    batch = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % APPEND_MOD == APPEND_RES
+    )
+    _ivf_assign_codes(
+        batch.select("vec_id", "embedding"), cent_n
+    ).write.mode("overwrite").parquet(
+        os.path.join(path, "codes_append.parquet")
+    )
+    meta["appended"] = True
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    return path
+
+
+@query(
+    "sim_ivf_appended_serve_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             WHERE vec_id % {APPEND_MOD} <> {APPEND_RES}
+             ORDER BY vec_id LIMIT {NUM_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, v, cid AS cell FROM (
+        SELECT e.vec_id, e.v, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COSINE.format(a="e.v", b="cent.cv")} DESC,
+                          cent.cid) AS rn
+        FROM e, cent)
+      WHERE rn = 1
+    ),
+    c AS (
+      SELECT vec_id, cell,
+             CAST(floor(max_abs * 1000000) AS BIGINT) AS scale_micro,
+             {_SQL_INT8_CODES.format(v="v", m="max_abs")} AS codes
+      FROM (SELECT vec_id, cell, v,
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                     AS max_abs
+            FROM assign)
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % {QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {QUERY_LIMIT}),
+    qc AS (
+      SELECT query_id,
+             {_SQL_INT8_CODES.format(v="qv", m="max_abs")} AS qcodes
+      FROM (SELECT query_id, qv,
+                   list_aggregate(list_transform(qv, x -> abs(x)), 'max')
+                     AS max_abs
+            FROM q)
+    ),
+    {_sql_adaptive_probes("assign", "q")},
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             CAST(c.scale_micro
+                  * CAST(list_dot_product(
+                        list_transform(qc.qcodes, x -> CAST(x AS DOUBLE)),
+                        list_transform(c.codes, x -> CAST(x AS DOUBLE)))
+                    AS BIGINT) AS BIGINT) AS score_scaled
+      FROM probes p
+      JOIN qc ON qc.query_id = p.query_id
+      JOIN c ON c.cell = p.qcell AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, score_scaled,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY score_scaled DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ivf_appended_serve_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SERVE over the APPENDED index: build + append run iff absent
+    (both idempotent), retrieval reads ONLY the persisted centroids
+    and the union of base + appended code files — the coarse
+    quantizer is frozen at build time, so the new batch is searchable
+    without retraining and the oracle replays the union as one
+    assignment of all vectors against the BASE-slice centroids.
+    Adaptive mass-policy probes over the union's per-cell counts,
+    exact BIGINT code-space ranking — the same kernel as
+    ``sim_ivf_sq8_topk``."""
+    import os
+
+    path = embedding_ivf_index_append(spark, sf_dir)
+    cent = spark.read.parquet(
+        os.path.join(path, "centroids.parquet")
+    ).select("cid", "cv", norm(F.col("cv")).alias("cn"))
+    codes = spark.read.parquet(os.path.join(path, "codes.parquet")).unionByName(
+        spark.read.parquet(os.path.join(path, "codes_append.parquet"))
+    )
+    queries = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(QUERY_LIMIT)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            norm(F.col("embedding")).alias("qn"),
+        )
+    )
+    sizes = codes.groupBy(F.col("cell").alias("cid")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    probed = adaptive_probes(
+        queries.crossJoin(F.broadcast(cent)).select(
+            "query_id",
+            "qv",
+            "cid",
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cs"),
+        ),
+        sizes,
+    ).select("query_id", "qv", F.col("cid").alias("qcell"))
+    probes = sq8_encode(probed, "qv", ("query_id", "qcell")).select(
+        "query_id", "qcell", F.col("codes").alias("qcodes")
+    )
+    idot = F.aggregate(
+        F.zip_with("qcodes", "codes", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = codes.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.col("scale_micro") * idot).alias("score_scaled"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score_scaled",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )

@@ -109,3 +109,48 @@ def test_binary_refine_recall_on_structured_vectors(spark, tmp_path):
     assert rec >= 0.8, (
         f"structured binary+refine recall@10 {rec:.3f} < 0.8"
     )
+
+
+def test_ivf_filtered_recall_and_predicate(spark, tmp_path):
+    """r11 filtered ANN: every hit satisfies the predicate, and on
+    clustered vectors the filtered-mass probe policy reaches high
+    recall against the FILTERED brute-force truth (matching labels
+    concentrate in few cells, which probe fully once the policy
+    counts only matching members)."""
+    import numpy as np
+
+    from kafkatoclickhouse_spark import registry
+    from kafkatoclickhouse_spark.operators import similarity as S
+
+    sf_dir = ann_recall.make_structured_embeddings(
+        spark, str(tmp_path / "fstruct"), n=2000, clusters=16
+    )
+    rows = registry.QUERIES["sim_ivf_filtered_topk"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["label"] in S.FILTER_LABELS for r in rows)
+
+    # filtered cosine ground truth (float64, self excluded)
+    import duckdb
+
+    con = duckdb.connect()
+    data = con.execute(
+        "SELECT vec_id, embedding, label FROM "
+        f"'{tmp_path}/fstruct/embeddings.parquet/*.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in data])
+    em = np.array([r[1] for r in data], dtype=np.float64)
+    labels = np.array([r[2] for r in data])
+    em_n = em / np.linalg.norm(em, axis=1, keepdims=True)
+    fmask = np.isin(labels, list(S.FILTER_LABELS))
+    qids = ids[ids % S.QUERY_MOD == 0][: S.QUERY_LIMIT]
+    truth = {}
+    for q in qids:
+        sims = em_n[fmask] @ em_n[ids == q][0]
+        cand_ids = ids[fmask]
+        keep = cand_ids != q
+        order = np.argsort(-sims[keep])[: S.TOP_K]
+        truth[int(q)] = set(int(x) for x in cand_ids[keep][order])
+    rec = ann_recall._mean_recall(rows, truth)
+    # measured 0.825 on this fixture (queries from ALL clusters,
+    # most outside the predicate) — gate at the tier convention 0.8
+    assert rec >= 0.8, f"filtered recall@10 {rec:.3f} < 0.8"

@@ -210,3 +210,58 @@ def test_binary_index_build_serve_lifecycle(
         raise RuntimeError("stale index was served without rebuild")
     except AssertionError:
         pass
+
+
+def test_ivf_append_lifecycle(spark, sf_dir, tmp_path, monkeypatch):
+    """r11 incremental append: build persists the frozen coarse
+    quantizer + base codes, append adds ONLY the new-batch codes
+    (idempotent — a second call is a no-op), and the serve query
+    returns its oracle-shape rows with the assignment/encode path
+    poisoned (retrieval reads only the persisted artifacts)."""
+    from kafkatoclickhouse_spark.operators import similarity as S
+
+    monkeypatch.setattr(
+        PQ, "default_index_dir", lambda s: str(tmp_path)
+    )
+    path = S.embedding_ivf_index_build(spark, sf_dir)
+    assert path == os.path.join(str(tmp_path), "ivf_app")
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["appended"] is False
+    # base codes hold no batch-slice ids
+    base_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(
+            os.path.join(path, "codes.parquet")
+        ).collect()
+    }
+    assert all(v % S.APPEND_MOD != S.APPEND_RES for v in base_ids)
+
+    path = S.embedding_ivf_index_append(spark, sf_dir)
+    app_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(
+            os.path.join(path, "codes_append.parquet")
+        ).collect()
+    }
+    assert app_ids and all(
+        v % S.APPEND_MOD == S.APPEND_RES for v in app_ids
+    )
+    t0 = os.path.getmtime(os.path.join(path, "codes_append.parquet"))
+    assert S.embedding_ivf_index_append(spark, sf_dir) == path  # no-op
+    assert os.path.getmtime(
+        os.path.join(path, "codes_append.parquet")
+    ) == t0
+
+    # SERVE with the assignment path poisoned: artifacts only
+    def boom(*a, **k):
+        raise AssertionError("serve path re-assigned the corpus")
+
+    monkeypatch.setattr(S, "_ivf_assign_codes", boom)
+    rows = registry.QUERIES["sim_ivf_appended_serve_topk"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    got_ids = {r["neighbor_id"] for r in rows}
+    # the appended batch is searchable: at least one batch-slice
+    # neighbor surfaces in the fixture's top-k results
+    assert any(v % S.APPEND_MOD == S.APPEND_RES for v in got_ids)
