@@ -164,6 +164,8 @@ HEADLINE = [
     "corpus_dsir_select",
     "sim_ivf_filtered_topk",
     "sim_ivf_appended_serve_topk",
+    "retrieval_hybrid_rrf",
+    "corpus_tokenizer_fertility",
 ]
 
 

@@ -1762,3 +1762,87 @@ def text_novelty_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (r11)
+# ---------------------------------------------------------------------------
+#
+# The tokenizer-health report a multilingual/multi-domain pipeline
+# runs before committing a merge table: FERTILITY (BPE tokens per
+# whitespace word) and COMPRESSION (chars per BPE token) per source.
+# A source whose fertility spikes is being shredded by the tokenizer
+# (the under-represented-script failure mode); budget/packing math
+# (corpus_budget_select_bpe, corpus_pack_chunks_bpe) silently degrades
+# for it first. Exact integer ppm on the frozen merge table, so the
+# recursive-CTE oracle replays every count.
+
+
+@query(
+    "corpus_tokenizer_fertility",
+    oracle=f"""
+    WITH RECURSIVE wd AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt FROM wd GROUP BY doc_id, word
+    ),
+    {bpefns.sql_bpe_word_tokens("wc")},
+    ntok AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_words,
+             CAST(SUM(cnt * f.ntok) AS BIGINT) AS n_bpe
+      FROM wc JOIN bpefinal f USING (word) GROUP BY doc_id
+    ),
+    d AS (
+      SELECT source,
+             COALESCE(n.n_words, 0) AS n_words,
+             COALESCE(n.n_bpe, 0) AS n_bpe,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars
+      FROM documents LEFT JOIN ntok n USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN SUM(n_words) = 0 THEN 0
+                ELSE SUM(n_bpe) * 1000000 // SUM(n_words) END AS BIGINT)
+             AS fertility_ppm,
+           CAST(CASE WHEN SUM(n_bpe) = 0 THEN 0
+                ELSE SUM(n_chars) * 1000000 // SUM(n_bpe) END AS BIGINT)
+             AS chars_per_token_ppm
+    FROM d GROUP BY source
+    """,
+)
+def corpus_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source tokenizer fertility/compression report under the
+    frozen BPE merge table: word, BPE-token and char totals plus
+    exact integer tokens-per-word and chars-per-token ppm ratios.
+    One Arrow-batched count pass + one source-keyed aggregate; the
+    oracle replays the merges with the shared recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        textfns.ws_token_count(F.col("text")).alias("n_words"),
+        bpefns.bpe_token_count_frozen(F.col("text")).alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            "CAST(CASE WHEN sum(n_words) = 0 THEN 0"
+            " ELSE sum(n_bpe) * 1000000 DIV sum(n_words) END AS LONG)"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "CAST(CASE WHEN sum(n_bpe) = 0 THEN 0"
+            " ELSE sum(n_chars) * 1000000 DIV sum(n_bpe) END AS LONG)"
+        ).alias("chars_per_token_ppm"),
+    )

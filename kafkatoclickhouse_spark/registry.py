@@ -57,6 +57,7 @@ def load_all() -> None:
         multimodal as _multimodal,
         pq as _pq,
         queries as _queries,
+        retrieval as _retrieval,
         semdedup as _semdedup,
         similarity as _similarity,
         text as _text,
