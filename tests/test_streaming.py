@@ -1531,3 +1531,56 @@ def test_type_counts_tws_ttl_expires_idle_state(spark, sf_dir, tmp_path):
         for r in out_a
     }
     assert new_rows == {(1, "click", 1, 1), (2, "view", 2, 1)}, new_rows
+
+
+def test_streaming_classifier_matches_batch_serve(spark, sf_dir, tmp_path):
+    """r11: the streaming trained-classifier score must agree
+    doc-for-doc (exact integer logit AND keep flag) with the batch
+    serve path on the same persisted model — the two plans differ
+    only in join-vs-map-literal delivery of the weight table. A
+    NULL-text doc must score exactly the prior bias, never NULL."""
+    from kafkatoclickhouse_spark import registry
+    from kafkatoclickhouse_spark.streaming.classifier import (
+        streaming_classifier_score,
+    )
+
+    batch = {
+        r["doc_id"]: (r["logit_micro"], r["keep"])
+        for r in registry.QUERIES["text_classifier_score_trained"](
+            spark, sf_dir
+        ).collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = tmp_path / "clf_feed"
+    docs.write.parquet(str(feed))
+    null_id = -777
+    docs.limit(1).withColumn("doc_id", F.lit(null_id)).withColumn(
+        "text", F.lit(None).cast("string")
+    ).write.mode("append").parquet(str(feed))
+    stream = spark.readStream.schema(docs.schema).parquet(str(feed))
+    assert stream.isStreaming
+
+    scored = streaming_classifier_score(stream, spark, sf_dir)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("clf_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "clf_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["doc_id"]: (r["logit_micro"], r["keep"])
+        for r in spark.table("clf_stream").collect()
+    }
+    import json
+    import os
+
+    from kafkatoclickhouse_spark.operators.classifier import clf_index_dir
+
+    with open(os.path.join(clf_index_dir(sf_dir), "meta.json")) as fh:
+        bias = json.load(fh)["bias_micro"]
+    assert got.pop(null_id) == (bias, bias >= 0)
+    assert got == batch
