@@ -234,6 +234,19 @@ def dedup_semdedup_cluster_stats(
 
 SEM_CELL_TARGET = 64
 
+# Caches created by the K-growth path, retired on the next invocation
+# so a long session holds at most one live assignment in memory
+# (VERDICT r11 nit: the level-1 cache was never unpersisted).
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _retire_caches() -> None:
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
 
 def _scaled_params(n: int) -> tuple[int, int, int]:
     """(K, K1, K2) from the corpus size — integer-exact formulas
@@ -295,6 +308,7 @@ def _scaled_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    _LIVE_CACHES.append(a1)
     sw2 = W.partitionBy("l1").orderBy("vec_id")
     s2 = (
         a1.withColumn("rn2", F.row_number().over(sw2))
@@ -306,8 +320,13 @@ def _scaled_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w2 = W.partitionBy("vec_id").orderBy("d2", "sid2")
+    # NO broadcast hint on s2: it holds all K sub-seeds and
+    # K = ceil(n/SEM_CELL_TARGET) grows LINEARLY with the corpus —
+    # force-broadcasting it is a driver/executor OOM at 100× scale
+    # (VERDICT r11 #2). A plain equi-join on l1 lets AQE broadcast
+    # while s2 is genuinely small and shuffle-hash-join beyond.
     return (
-        a1.join(F.broadcast(s2), "l1")
+        a1.join(s2, "l1")
         .withColumn("d2", _grid_dist("vq", "cq2"))
         .withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") == 1)
@@ -433,4 +452,7 @@ def dedup_semdedup_scaled(
     this variant runs the full scale curve (SCALING.md)."""
     # cached: the survivor step references the assignment three times
     # (pair sides a/b + the verdict join-back)
-    return _greedy_survivors(_scaled_cells(spark, sf_dir).cache())
+    _retire_caches()
+    cells = _scaled_cells(spark, sf_dir).cache()
+    _LIVE_CACHES.append(cells)
+    return _greedy_survivors(cells)

@@ -1391,7 +1391,13 @@ def sim_sq8_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BIN_WORD_BITS = 32
 BIN_WORDS = (DIM + BIN_WORD_BITS - 1) // BIN_WORD_BITS
-BIN_FETCH = 100  # Hamming-space over-fetch before the exact re-rank
+# Hamming-space over-fetch before the exact re-rank. 200 (not the
+# SQ8 tier's 100): 1 bit/dim makes near-iid vectors the worst case —
+# at 100 the iid fixture measured recall@10 0.78, below the 0.8 bar
+# the structured gate enforces (VERDICT r11 #7); doubling the probe
+# depth recovers it while re-ranking still touches only 200 float
+# vectors per query.
+BIN_FETCH = 200
 
 
 def _spark_sign_words(col: str) -> str:

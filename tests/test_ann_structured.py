@@ -111,6 +111,24 @@ def test_binary_refine_recall_on_structured_vectors(spark, tmp_path):
     )
 
 
+def test_binary_refine_recall_on_iid_vectors(spark):
+    """VERDICT r11 #7 gate: the iid driver fixture is the binary
+    tier's worst case (1 bit/dim keeps only direction octants). At
+    the r11 fetch depth of 100 it measured 0.78 — below the bar the
+    structured gate enforces; the r12 top-200 Hamming over-fetch
+    recovers 0.96. Gate both fixtures at >= 0.8 so a regression in
+    either regime fails loudly."""
+    from kafkatoclickhouse_spark import registry
+
+    sf_dir = "/root/testdata/sf0.001"
+    truth = ann_recall.cosine_truth(sf_dir)
+    rows = registry.QUERIES["sim_binary_refine_topk"](
+        spark, sf_dir
+    ).collect()
+    rec = ann_recall._mean_recall(rows, truth)
+    assert rec >= 0.8, f"iid binary+refine recall@10 {rec:.3f} < 0.8"
+
+
 def test_ivf_filtered_recall_and_predicate(spark, tmp_path):
     """r11 filtered ANN: every hit satisfies the predicate, and on
     clustered vectors the filtered-mass probe policy reaches high
