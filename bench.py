@@ -166,6 +166,9 @@ HEADLINE = [
     "sim_ivf_appended_serve_topk",
     "retrieval_hybrid_rrf",
     "corpus_tokenizer_fertility",
+    # round-12 session additions: 16-bit PNG pure decode (closes the
+    # last PIL-fallback image route)
+    "multimodal_decode_png16_stats",
 ]
 
 

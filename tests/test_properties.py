@@ -802,8 +802,20 @@ def test_classify_image_routes_off_fixture_variants():
     assert classify_image(relabeled) == (
         "png", "error", "png_interlaced",
     )
-    deep = png[:24] + b"\x10" + png[25:]
-    assert classify_image(deep) == ("png", "fallback", "png_deep")
+    # r12: depth 16 routes pure (detail png16); a sequential 8-bit
+    # stream RELABELED depth=16 has a bad IHDR CRC, so it surfaces as
+    # decode 'error' — while a genuinely encoded 16-bit stream
+    # decodes. Sub-byte depths stay on the fallback route.
+    relabeled16 = png[:24] + b"\x10" + png[25:]
+    assert classify_image(relabeled16) == ("png", "error", "png16")
+    deep = encode_png(
+        (img.astype(np.uint16) * 257), color_type=2, depth=16
+    )
+    assert classify_image(deep) == ("png", "pure", "png16")
+    lowbit = png[:24] + b"\x04" + png[25:]
+    assert classify_image(lowbit) == (
+        "png", "fallback", "png_unsupported_depth",
+    )
 
     # minimal JPEG headers: SOI + SOF variant straight away
     def sof(marker, precision=8, sampling=0x11):
