@@ -167,8 +167,11 @@ HEADLINE = [
     "retrieval_hybrid_rrf",
     "corpus_tokenizer_fertility",
     # round-12 session additions: 16-bit PNG pure decode (closes the
-    # last PIL-fallback image route)
+    # last PIL-fallback image route) and no-split FFD sequence
+    # packing (Krell et al. 2021)
     "multimodal_decode_png16_stats",
+    "corpus_pack_bestfit",
+    "corpus_pack_bestfit_report",
 ]
 
 

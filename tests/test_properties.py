@@ -865,6 +865,71 @@ def test_classify_image_routes_off_fixture_variants():
     assert classify_image(bogus_ncomp)[2] == "truncated"
 
 
+def test_pack_bestfit_ffd_invariants(spark, sf_dir):
+    """corpus_pack_bestfit pins (VERDICT r11 #5): every bin's fill is
+    within capacity (NO bin exceeds CHUNK_TOKENS — the no-split
+    guarantee concat-and-chunk cannot give), bins never cross packing
+    groups, bin_id = -1 exactly for oversize documents, and the FFD
+    half-full theorem holds per group: at most ONE bin ends ≤ half
+    full, else first-fit would have placed the second bin's first
+    document into the first."""
+    from collections import defaultdict
+
+    from kafkatoclickhouse_spark.operators.text import (
+        CHUNK_TOKENS,
+        PACK_FFD_GROUP,
+    )
+
+    rows = registry.QUERIES["corpus_pack_bestfit"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    fills: dict[int, int] = defaultdict(int)
+    for r in rows:
+        if r["bin_id"] == -1:
+            assert r["n_toks"] > CHUNK_TOKENS, r
+            continue
+        assert r["n_toks"] <= CHUNK_TOKENS, r
+        # a bin belongs to the group of every doc inside it
+        assert r["bin_id"] // PACK_FFD_GROUP == (
+            r["doc_id"] // PACK_FFD_GROUP
+        ), r
+        fills[r["bin_id"]] += r["n_toks"]
+    assert fills
+    by_grp: dict[int, list[int]] = defaultdict(list)
+    for bin_id, fill in fills.items():
+        assert fill <= CHUNK_TOKENS, (bin_id, fill)
+        by_grp[bin_id // PACK_FFD_GROUP].append(fill)
+    for grp, grp_fills in by_grp.items():
+        half_or_less = sum(1 for f in grp_fills if f <= CHUNK_TOKENS // 2)
+        assert half_or_less <= 1, (grp, sorted(grp_fills))
+
+
+def test_pack_bestfit_report_consistency(spark, sf_dir):
+    """The one-row report's FFD side must agree with the assignment
+    query it summarizes, and occupancy must be the exact integer
+    ppm."""
+    rows = registry.QUERIES["corpus_pack_bestfit"](
+        spark, sf_dir
+    ).collect()
+    rep = registry.QUERIES["corpus_pack_bestfit_report"](
+        spark, sf_dir
+    ).collect()[0]
+    from kafkatoclickhouse_spark.operators.text import CHUNK_TOKENS
+
+    bins = {r["bin_id"] for r in rows if r["bin_id"] >= 0}
+    packed = sum(r["n_toks"] for r in rows if r["bin_id"] >= 0)
+    assert rep["ffd_bins"] == len(bins)
+    assert rep["packed_tokens"] == packed
+    assert rep["ffd_waste_tokens"] == len(bins) * CHUNK_TOKENS - packed
+    assert rep["ffd_occupancy_ppm"] == packed * 1_000_000 // (
+        len(bins) * CHUNK_TOKENS
+    )
+    assert rep["n_oversize"] == sum(
+        1 for r in rows if r["bin_id"] == -1
+    )
+
+
 def test_pack_chunks_bpe_boundary_correctness(spark, sf_dir):
     """corpus_pack_chunks_bpe pins (VERDICT r10 #6): n_toks are the
     frozen-table BPE counts (python replay), token_offset is the
