@@ -172,6 +172,9 @@ HEADLINE = [
     "multimodal_decode_png16_stats",
     "corpus_pack_bestfit",
     "corpus_pack_bestfit_report",
+    "text_bpe_train",
+    "corpus_pack_chunks_bpe_trained",
+    "corpus_tokenizer_fertility_trained",
 ]
 
 

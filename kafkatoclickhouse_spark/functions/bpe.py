@@ -120,6 +120,55 @@ def bpe_token_count_frozen(col):
     return _count(col)
 
 
+def make_word_token_counter(ranks: dict[tuple[str, str], int]):
+    """Per-word BPE symbol counter over an ARBITRARY rank table (the
+    r12 in-engine-trained tables serve through this) — the identical
+    one-pair-per-step (rank, leftmost) apply rule as the frozen
+    :func:`word_token_count`. Memoized with a plain dict (not
+    lru_cache — cloudpickle cannot serialize a wrapped local, and
+    the closure ships to executors inside the pandas UDF)."""
+    memo: dict[str, int] = {}
+
+    def count(word: str) -> int:
+        hit = memo.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        while True:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or (r, i) < best):
+                    best = (r, i)
+            if best is None:
+                if len(memo) < 65536:
+                    memo[word] = len(syms)
+                return len(syms)
+            i = best[1]
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+
+    return count
+
+
+def bpe_token_count_for(col, ranks: dict[tuple[str, str], int]):
+    """Spark Column: Arrow-batched BPE token count of a text column
+    under an arbitrary (e.g. persisted in-engine-trained) rank
+    table. ``ranks`` is broadcast with the UDF closure — bounded by
+    the merge count, the same constant-shipping shape as the frozen
+    table."""
+    from pyspark.sql import functions as F
+
+    count = make_word_token_counter(ranks)
+
+    @F.pandas_udf("long")
+    def _count(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: 0 if t is None else sum(count(w) for w in t.split())
+        ).astype("int64")
+
+    return _count(col)
+
+
 def _sql_merges_literal() -> str:
     """DuckDB list literal of 'a b' pair keys in rank order —
     list_position() against it IS the rank (1-based; NULL = absent)."""
@@ -159,6 +208,52 @@ def sql_bpe_word_tokens(words_rel: str) -> str:
                || [syms[best.p] || syms[best.p + 1]]
                || syms[best.p + 2:len(syms)] AS syms
       FROM (SELECT word, syms, list_sort({cand})[1] AS best FROM bpe)
+      WHERE best IS NOT NULL
+    ),
+    bpefinal AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS ntok
+      FROM bpe
+      WHERE len({cand}) = 0
+    )"""
+
+
+def sql_bpe_word_tokens_dynamic(words_rel: str, merges_rel: str) -> str:
+    """Like :func:`sql_bpe_word_tokens`, but the rank table comes
+    from a CTE ``{merges_rel}`` with columns (merge_rank, left_sym,
+    right_sym) — e.g. one RETRAINED by the r12 in-engine training
+    oracle — instead of the frozen literal. The rank list rides
+    through the apply recursion as a carried column (``ml``), so no
+    lambda ever needs a correlated subquery. Emits the same
+    ``winit``/``bpe``/``bpefinal`` CTE names, drop-in for the frozen
+    variant's downstream fragments."""
+    cand = (
+        "list_filter(list_transform(range(1, len(syms)), i -> "
+        "{'r': list_position(ml, syms[i] || ' ' || syms[i + 1]),"
+        " 'p': i}), x -> x.r > 0)"
+    )
+    return f"""
+    mlist AS MATERIALIZED (
+      SELECT list(left_sym || ' ' || right_sym ORDER BY merge_rank)
+               AS ml
+      FROM {merges_rel}
+    ),
+    winit AS (
+      SELECT word,
+             list_transform(range(1, length(word) + 1),
+                            i -> substring(word, i, 1)) AS syms,
+             (SELECT ml FROM mlist) AS ml
+      FROM (SELECT DISTINCT word FROM {words_rel})
+    ),
+    bpe AS (
+      SELECT word, syms, ml FROM winit
+      UNION ALL
+      SELECT word,
+             syms[1:best.p - 1]
+               || [syms[best.p] || syms[best.p + 1]]
+               || syms[best.p + 2:len(syms)] AS syms,
+             ml
+      FROM (SELECT word, syms, ml, list_sort({cand})[1] AS best
+            FROM bpe)
       WHERE best IS NOT NULL
     ),
     bpefinal AS (

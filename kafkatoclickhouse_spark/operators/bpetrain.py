@@ -1,0 +1,490 @@
+"""In-engine BPE tokenizer training (VERDICT r11 #1 — closes the
+last offline stand-in: the frozen merge table in ``functions/bpe.py``
+was trained by the driver-side tool ``tools/train_bpe.py``; a real
+pipeline retrains its tokenizer on the corpus it just curated).
+
+Algorithm: deterministic greedy byte-pair encoding over the corpus's
+whitespace words (the exact semantics of ``tools/train_bpe.py:42``
+— symbols start as single characters, each round merges the pair
+with the highest total adjacent-occurrence count, ties to the
+lexicographically smallest (left, right), merged left-to-right
+non-overlapping within each word) for ``BPE_TRAIN_MERGES`` rounds or
+until no pair remains.
+
+Engine shape (the kmeans-Lloyd pattern applied to tokenizer
+training): the corpus-sized work happens ONCE — a word-frequency
+aggregate whose output is the training's entire sufficient statistic
+(unique words × counts, vocabulary-sized, narrow rows). Each round
+then runs one (symbol-pair)-keyed aggregate over the vocabulary
+state (map-side combined), a ONE-ROW argmax driver barrier (ORDER BY
+count DESC, pair ASC LIMIT 1 — bounded by construction, like
+collecting k centroids), and a map-side Arrow re-tokenize;
+``localCheckpoint`` bounds the lineage per round. Nothing
+corpus-sized ever reaches the driver, and no step's cost grows
+faster than the vocabulary.
+
+Persistence mirrors the other four index families
+(``classifier.text_classifier_index_build`` precedent):
+``merges.parquet`` (merge_rank, left_sym, right_sym) plus a
+``meta.json`` written LAST as the crash-safe build-complete marker,
+keyed by the source fixture's fingerprint. The serve queries
+(``corpus_pack_chunks_bpe_trained``,
+``corpus_tokenizer_fertility_trained``) read ONLY the persisted
+table — poison-pinned in ``tests/test_bpetrain.py`` — and their
+DuckDB oracles RETRAIN the identical table from raw text (a
+recursive CTE whose per-round state is the vocabulary as a list of
+(syms, count) structs, with the non-overlapping merge expressed in
+closed form over occurrence-run parity) and apply it through the
+dynamic twin of the frozen apply machinery, so any divergence
+between the in-engine trainer and the spec is a hash mismatch.
+
+The reference has no tokenizer (its only text handling is the
+required-field check in ``MyKafkaDeserializationSchema.scala:47``);
+this is [EXT] LLM-pipeline north-star surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkatoclickhouse_spark.functions import bpe as bpefns
+from kafkatoclickhouse_spark.operators.text import CHUNK_TOKENS
+from kafkatoclickhouse_spark.registry import query
+from kafkatoclickhouse_spark.tables import (
+    fan_out,
+    load_table,
+    table_fingerprint,
+)
+
+BPE_TRAIN_MERGES = 40  # matches the frozen table's training budget
+
+
+# ---------------------------------------------------------------------------
+# Spark trainer
+# ---------------------------------------------------------------------------
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, cnt) over whitespace words of non-blank documents —
+    the corpus-sized step, one shuffle, vocabulary-sized output."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            F.explode(
+                F.split(F.trim(F.col("text")), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    return words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def _apply_merge_col(a: str, b: str):
+    """Arrow-batched column: one merge applied to a syms array,
+    left-to-right non-overlapping (tools/train_bpe.py:58's loop)."""
+
+    @F.pandas_udf("array<string>")
+    def _apply(s: pd.Series) -> pd.Series:
+        merged = a + b
+
+        def ap(syms):
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        return s.map(ap)
+
+    return _apply
+
+
+def train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_TRAIN_MERGES
+) -> list[tuple[str, str]]:
+    """Greedy BPE training, in-engine. Returns the ordered merge
+    list (rank = position). Per round: vocabulary-sized pair-count
+    aggregate -> one-row argmax barrier -> map-side re-tokenize."""
+    state = (
+        _word_freqs(spark, sf_dir)
+        .select(
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            ).alias("syms"),
+            "cnt",
+        )
+        .localCheckpoint()
+    )
+    pair_expr = F.expr(
+        "CASE WHEN size(syms) >= 2 THEN"
+        " transform(sequence(1, size(syms) - 1),"
+        "   i -> struct(element_at(syms, i) AS a,"
+        "               element_at(syms, i + 1) AS b))"
+        " ELSE array() END"
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            state.select(F.explode(pair_expr).alias("p"), "cnt")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        state = state.select(
+            _apply_merge_col(a, b)(F.col("syms")).alias("syms"), "cnt"
+        ).localCheckpoint()
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# Persisted lifecycle (the FIFTH index family)
+# ---------------------------------------------------------------------------
+
+
+def bpe_index_dir(sf_dir: str) -> str:
+    """Fingerprint-keyed artifact location for the trained merge
+    table — same location discipline as the BM25/PQ/SQ8/classifier
+    artifacts."""
+    import hashlib
+
+    root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(
+            os.path.dirname(
+                os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))
+                )
+            ),
+            ".ann_index",
+        ),
+    )
+    fp = table_fingerprint(sf_dir, "documents")
+    tag = hashlib.sha256(repr(fp).encode()).hexdigest()[:12]
+    base = os.path.basename(sf_dir.rstrip("/")) or "data"
+    return os.path.join(root, f"{base}_{tag}_bpe")
+
+
+def text_bpe_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    force: bool = False,
+) -> str:
+    """BUILD half: train once and persist —
+
+      - ``merges.parquet`` (merge_rank, left_sym, right_sym): the
+        bounded table every serve path broadcasts;
+      - ``meta.json`` (written LAST — the crash-safe build-complete
+        marker): merge budget, trained merge count, source
+        fingerprint."""
+    path = path or bpe_index_dir(sf_dir)
+    fp = list(table_fingerprint(sf_dir, "documents"))
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.isfile(meta_path) and not force:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("fingerprint") == fp:
+            return path
+    try:
+        os.remove(meta_path)
+    except FileNotFoundError:
+        pass
+    os.makedirs(path, exist_ok=True)
+
+    merges = train_merges(spark, sf_dir)
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank long, left_sym string, right_sym string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "merges.parquet")
+    )
+    with open(meta_path, "w") as fh:
+        json.dump(
+            {
+                "fingerprint": fp,
+                "budget": BPE_TRAIN_MERGES,
+                "n_merges": len(merges),
+            },
+            fh,
+        )
+    return path
+
+
+def load_trained_ranks(
+    spark: SparkSession, sf_dir: str
+) -> dict[tuple[str, str], int]:
+    """Rank dict from the persisted artifact (building it first if
+    absent/stale) — bounded by the merge budget, broadcastable."""
+    path = text_bpe_index_build(spark, sf_dir)
+    rows = (
+        spark.read.parquet(os.path.join(path, "merges.parquet"))
+        .orderBy("merge_rank")
+        .collect()
+    )
+    return {
+        (r["left_sym"], r["right_sym"]): int(r["merge_rank"])
+        for r in rows
+    }
+
+
+# ---------------------------------------------------------------------------
+# Training-replay oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _sql_apply_one_merge(s: str, a: str, b: str) -> str:
+    """Closed-form SQL for ONE merge (``{a}``,``{b}``) applied
+    left-to-right non-overlapping to a syms list ``{s}``. Greedy
+    non-overlap has a closed form over occurrence-RUN parity: an
+    adjacent occurrence at position i merges iff the count of
+    contiguous occurrences immediately before it is even (inside a
+    run of overlapping occurrences — only possible when a = b —
+    every other one merges, starting at the run head)."""
+
+    def sel(i: str) -> str:
+        run_start = (
+            f"(1 + list_max(list_filter(range(0, {i}), j -> j = 0 OR"
+            f" NOT ({s}[j] = {a} AND {s}[j + 1] = {b}))))"
+        )
+        return (
+            f"({s}[{i}] = {a} AND {s}[{i} + 1] = {b}"
+            f" AND (({i} - {run_start}) % 2 = 0))"
+        )
+
+    return (
+        f"flatten(list_transform(range(1, len({s}) + 1), k -> "
+        f"CASE WHEN k < len({s}) AND {sel('k')}"
+        f" THEN [{s}[k] || {s}[k + 1]] "
+        f"WHEN k > 1 AND {sel('(k - 1)')} THEN [] "
+        f"ELSE [{s}[k]] END))"
+    )
+
+
+# argmax over all adjacent pairs of the single-row vocabulary state:
+# every occurrence contributes its word's count; list_sort on the
+# (t = -total, a, b) struct gives (max count, lexicographically
+# smallest pair) at [1]. Duplicated candidate structs (one per
+# occurrence) sort identically, so no distinct step is needed.
+_SQL_BEST_PAIR = """list_sort(list_transform(
+  flatten(list_transform(words, w ->
+     list_transform(range(1, len(w.s)), i ->
+        struct_pack(a := w.s[i], b := w.s[i + 1])))),
+  q -> struct_pack(
+     t := -list_sum(list_transform(words, w ->
+            w.c * len(list_filter(range(1, len(w.s)),
+                      i -> w.s[i] = q.a AND w.s[i + 1] = q.b)))),
+     a := q.a, b := q.b)))[1]"""
+
+
+def sql_bpe_train_ctes(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """CTE chain (no WITH prefix; requires WITH RECURSIVE) ending in
+    ``bpetrained`` (merge_rank, left_sym, right_sym): the greedy
+    training replayed from the ``documents`` table. State per round
+    is ONE ROW holding the whole vocabulary as a list of
+    (syms, count) structs, so the per-round argmax needs no
+    aggregation inside the recursion."""
+    apply_expr = _sql_apply_one_merge("w.s", "best.a", "best.b")
+    return f"""
+    bpevocab AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents WHERE LENGTH(trim(text)) > 0)
+      GROUP BY word
+    ),
+    bpeinit AS (
+      SELECT list(struct_pack(
+               s := list_transform(range(1, length(word) + 1),
+                                   i -> substring(word, i, 1)),
+               c := cnt) ORDER BY word) AS words
+      FROM bpevocab
+    ),
+    bpesteps AS (
+      SELECT 0 AS r, CAST([] AS STRUCT(a VARCHAR, b VARCHAR)[]) AS merges,
+             words
+      FROM bpeinit
+      UNION ALL
+      SELECT r + 1,
+             list_append(merges, struct_pack(a := best.a, b := best.b)),
+             list_transform(words, w ->
+               struct_pack(s := {apply_expr}, c := w.c))
+      FROM (SELECT r, merges, words, {_SQL_BEST_PAIR} AS best
+            FROM bpesteps WHERE r < {n_merges})
+      WHERE best IS NOT NULL
+    ),
+    bpelast AS (
+      SELECT merges FROM bpesteps ORDER BY r DESC LIMIT 1
+    ),
+    bpetrained AS MATERIALIZED (
+      SELECT CAST(u.m.rk AS BIGINT) AS merge_rank,
+             u.m.a AS left_sym, u.m.b AS right_sym
+      FROM (SELECT unnest(list_transform(range(1, len(merges) + 1),
+                     i -> struct_pack(rk := i - 1, a := merges[i].a,
+                                      b := merges[i].b))) AS m
+            FROM bpelast) u
+    )"""
+
+
+@query(
+    "text_bpe_train",
+    oracle=f"""
+    WITH RECURSIVE {sql_bpe_train_ctes()}
+    SELECT merge_rank, left_sym, right_sym FROM bpetrained
+    """,
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN: the greedy BPE merge table learned from this corpus's
+    own word distribution — (merge_rank, left_sym, right_sym), rank
+    = training order. The oracle RETRAINS the identical table from
+    raw text, so every round's pair count, argmax tie-break, and
+    non-overlapping re-tokenize is load-bearing for the hash match.
+    A pin in tests/test_bpetrain.py additionally equates the result
+    with ``tools/train_bpe.py``'s offline trainer on the fixture."""
+    merges = train_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank long, left_sym string, right_sym string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Serve from the persisted table
+# ---------------------------------------------------------------------------
+
+
+_SQL_TRAINED_NTOK = f"""
+    {sql_bpe_train_ctes()},
+    wd AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt FROM wd GROUP BY doc_id, word
+    ),
+    {bpefns.sql_bpe_word_tokens_dynamic("wc", "bpetrained")},
+    ntok AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_words,
+             CAST(SUM(cnt * f.ntok) AS BIGINT) AS n_bpe
+      FROM wc JOIN bpefinal f USING (word) GROUP BY doc_id
+    )"""
+
+
+@query(
+    "corpus_pack_chunks_bpe_trained",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_TRAINED_NTOK},
+    t AS (
+      SELECT d.doc_id, CAST(COALESCE(n.n_bpe, 0) AS BIGINT) AS n_toks
+      FROM documents d LEFT JOIN ntok n USING (doc_id)
+    ),
+    o AS (
+      SELECT doc_id, n_toks,
+             CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS token_offset
+      FROM t
+    )
+    SELECT doc_id, n_toks, token_offset,
+           token_offset // {CHUNK_TOKENS} AS chunk_id
+    FROM o
+    """,
+)
+def corpus_pack_chunks_bpe_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence packing budgeted in tokens of the IN-ENGINE-TRAINED
+    tokenizer, served from the persisted merge table (built
+    fingerprint-keyed on first use, crash-safe meta-last marker —
+    the fifth persisted index family). The Spark side reads ONLY
+    ``merges.parquet`` (poison-pinned); the oracle retrains the
+    table from raw text and replays the apply rule, so a stale or
+    corrupt artifact is a hash mismatch. Packing algebra is
+    byte-shared with ``corpus_pack_chunks`` (``_pack_chunks``)."""
+    from kafkatoclickhouse_spark.operators.text import _pack_chunks
+
+    ranks = load_trained_ranks(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return _pack_chunks(
+        docs, bpefns.bpe_token_count_for(F.col("text"), ranks)
+    )
+
+
+@query(
+    "corpus_tokenizer_fertility_trained",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_TRAINED_NTOK},
+    d AS (
+      SELECT source,
+             COALESCE(n.n_words, 0) AS n_words,
+             COALESCE(n.n_bpe, 0) AS n_bpe,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars
+      FROM documents LEFT JOIN ntok n USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN SUM(n_words) = 0 THEN 0
+                ELSE SUM(n_bpe) * 1000000 // SUM(n_words) END AS BIGINT)
+             AS fertility_ppm,
+           CAST(CASE WHEN SUM(n_bpe) = 0 THEN 0
+                ELSE SUM(n_chars) * 1000000 // SUM(n_bpe) END AS BIGINT)
+             AS chars_per_token_ppm
+    FROM d GROUP BY source
+    """,
+)
+def corpus_tokenizer_fertility_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source fertility/compression report under the
+    IN-ENGINE-TRAINED tokenizer, served from the persisted merge
+    table — the measurement a pipeline runs right after retraining
+    its tokenizer to see what the new table buys per source. Same
+    plan shape as ``corpus_tokenizer_fertility`` (one Arrow count
+    pass + one source-keyed aggregate); the oracle retrains and
+    replays."""
+    from kafkatoclickhouse_spark.functions import textfns
+
+    ranks = load_trained_ranks(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        textfns.ws_token_count(F.col("text")).alias("n_words"),
+        bpefns.bpe_token_count_for(F.col("text"), ranks).alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            "CAST(CASE WHEN sum(n_words) = 0 THEN 0"
+            " ELSE sum(n_bpe) * 1000000 DIV sum(n_words) END AS LONG)"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "CAST(CASE WHEN sum(n_bpe) = 0 THEN 0"
+            " ELSE sum(n_chars) * 1000000 DIV sum(n_bpe) END AS LONG)"
+        ).alias("chars_per_token_ppm"),
+    )

@@ -1,0 +1,178 @@
+"""In-engine BPE tokenizer training pins (VERDICT r11 #1).
+
+Three guarantees beyond the oracle hash gates:
+ - the in-engine trainer reproduces ``tools/train_bpe.py``'s offline
+   result on the fixture, merge for merge (the closure pin — the
+   frozen table's provenance is now retrainable inside the engine);
+ - the persisted lifecycle is crash-safe and fingerprint-keyed like
+   the other four index families;
+ - the serve queries read ONLY the persisted merge table (poison
+   pin — a corrupt artifact changes the counts, proving no silent
+   retrain).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkatoclickhouse_spark.functions import bpe as bpefns
+from kafkatoclickhouse_spark.operators import bpetrain
+
+_SPEC = importlib.util.spec_from_file_location(
+    "train_bpe",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "train_bpe.py",
+    ),
+)
+train_bpe = importlib.util.module_from_spec(_SPEC)
+sys.modules["train_bpe"] = train_bpe
+_SPEC.loader.exec_module(train_bpe)
+
+
+def test_in_engine_training_matches_offline_tool(spark, sf_dir):
+    """The closure pin: in-engine merges == tools/train_bpe.py's on
+    the same fixture at the same budget."""
+    expected = train_bpe.train(
+        train_bpe.word_freqs(sf_dir), bpetrain.BPE_TRAIN_MERGES
+    )
+    got = bpetrain.train_merges(spark, sf_dir)
+    assert got == expected
+
+
+def test_trained_apply_rule_matches_offline_retokenize():
+    """The serve-side counter under a trained table must agree with
+    a brute-force re-tokenize that applies the merges in rank order
+    (the training-side convention) — the one-pair-per-step
+    (rank, leftmost) rule is equivalent for trained tables because
+    training itself produced the ranks greedily."""
+    vocab = {"lower": 5, "lowest": 3, "newer": 6, "aaa": 7, "aaaa": 2}
+    from collections import Counter
+
+    merges = train_bpe.train(Counter(vocab), 10)
+    ranks = {m: i for i, m in enumerate(merges)}
+    count = bpefns.make_word_token_counter(ranks)
+
+    def offline(word: str) -> int:
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for w in list(vocab) + ["unseen", "lowlow", "aaaaaaa"]:
+        assert count(w) == offline(w), w
+
+
+def test_build_is_fingerprint_cached_and_meta_last(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "bpe_idx")
+    p1 = bpetrain.text_bpe_index_build(spark, sf_dir, path=path)
+    meta = json.load(open(os.path.join(p1, "meta.json")))
+    assert meta["n_merges"] > 0
+    mtime = os.path.getmtime(os.path.join(p1, "meta.json"))
+    # warm call: short-circuits on the fingerprint, no rebuild
+    p2 = bpetrain.text_bpe_index_build(spark, sf_dir, path=path)
+    assert p2 == p1
+    assert os.path.getmtime(os.path.join(p1, "meta.json")) == mtime
+    # a missing meta marker (crash between parquet and meta) rebuilds
+    os.remove(os.path.join(p1, "meta.json"))
+    bpetrain.text_bpe_index_build(spark, sf_dir, path=path)
+    assert os.path.isfile(os.path.join(p1, "meta.json"))
+
+
+def test_serve_reads_only_persisted_merges(spark, sf_dir):
+    """Poison the persisted merge table; a warm serve call must
+    reflect the poisoned table (i.e. it did NOT retrain). An empty
+    merge table makes every word decompose to single characters, so
+    n_bpe_tokens collapses to the character count of the words."""
+    path = bpetrain.text_bpe_index_build(spark, sf_dir)
+    fert = bpetrain.corpus_tokenizer_fertility_trained(spark, sf_dir)
+    before = {r["source"]: r["n_bpe_tokens"] for r in fert.collect()}
+    assert before
+
+    merges_pq = os.path.join(path, "merges.parquet")
+    spark.createDataFrame(
+        [], "merge_rank long, left_sym string, right_sym string"
+    ).write.mode("overwrite").parquet(merges_pq)
+    try:
+        after = {
+            r["source"]: r["n_bpe_tokens"]
+            for r in bpetrain.corpus_tokenizer_fertility_trained(
+                spark, sf_dir
+            ).collect()
+        }
+        assert after != before, (
+            "serve path retrained instead of reading the persisted table"
+        )
+        # with zero merges every token is a single character
+        assert all(after[s] >= before[s] for s in before)
+    finally:
+        bpetrain.text_bpe_index_build(spark, sf_dir, force=True)
+
+
+def test_training_stops_when_vocabulary_exhausts(spark, tmp_path):
+    """Asking for far more merges than pairs exist must terminate
+    (the argmax barrier returns no row) and stay a prefix-extension
+    of the smaller run. Runs on a tiny planted corpus so exhaustion
+    arrives in a handful of rounds."""
+    docs_dir = str(tmp_path / "tinycorpus")
+    os.makedirs(docs_dir, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "aa ab aa"), (2, "ab ba"), (3, "aa aa ba")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(docs_dir, "documents.parquet")
+    )
+    small = bpetrain.train_merges(spark, docs_dir, n_merges=2)
+    big = bpetrain.train_merges(spark, docs_dir, n_merges=10_000)
+    assert small == big[:2]
+    # the vocabulary holds 3 distinct 2-char words: at most 3 merges
+    assert len(big) <= 3
+    offline = train_bpe.train(
+        __import__("collections").Counter(
+            {"aa": 4, "ab": 2, "ba": 2}
+        ),
+        10_000,
+    )
+    assert big == offline
+
+
+def test_trained_table_column_contract(spark, sf_dir):
+    df = bpetrain.text_bpe_train(spark, sf_dir)
+    assert df.columns == ["merge_rank", "left_sym", "right_sym"]
+    rows = df.orderBy("merge_rank").collect()
+    assert [r["merge_rank"] for r in rows] == list(range(len(rows)))
+    assert all(r["left_sym"] and r["right_sym"] for r in rows)
+    # ranks are dense and the table is non-trivial on the fixture
+    assert len(rows) > 0
+
+
+def test_pack_chunks_trained_offsets_contiguous(spark, sf_dir):
+    rows = sorted(
+        bpetrain.corpus_pack_chunks_bpe_trained(spark, sf_dir).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    run = 0
+    for r in rows:
+        assert r["token_offset"] == run, r
+        assert r["chunk_id"] == r["token_offset"] // 2048
+        run += r["n_toks"]
+    assert run > 0
