@@ -55,6 +55,38 @@ def main(argv: list[str] | None = None) -> int:
         metavar="DIR",
         help="land output as parquet instead of JDBC (smoke/backfill)",
     )
+    ap.add_argument(
+        "--curate",
+        default=None,
+        metavar="DIR",
+        help="run the CURATION topology instead of the R1-R7 event "
+        "chain: stream documents-shaped parquet from DIR through "
+        "score -> decontam -> dedup -> per-source count window -> "
+        "sink (VERDICT r11 #4)",
+    )
+    ap.add_argument(
+        "--curate-fixture",
+        default=None,
+        metavar="DIR",
+        help="fixture directory providing the trained classifier "
+        "model and the eval set for decontamination (defaults to "
+        "the --curate DIR)",
+    )
+    ap.add_argument(
+        "--curate-stages",
+        default=",".join(
+            ("score", "decontam", "dedup")
+        ),
+        metavar="CSV",
+        help="comma-separated subset of score,decontam,dedup",
+    )
+    ap.add_argument(
+        "--curate-ts-col",
+        default=None,
+        metavar="COL",
+        help="event-time column bounding the dedup state (required "
+        "when the dedup stage is on)",
+    )
     args = ap.parse_args(argv)
     path = args.config_path or args.config
     if not path:
@@ -106,12 +138,69 @@ def main(argv: list[str] | None = None) -> int:
 
     from kafkatoclickhouse_spark.streaming import sink, source
 
-    raw = None
-    if args.file_source:
-        raw = source.file_raw_stream(spark, args.file_source)
     write_fn = None
     if args.parquet_sink:
         write_fn = sink.parquet_writer(args.parquet_sink)
+
+    if args.curate:
+        from kafkatoclickhouse_spark.functions import hashing
+        from kafkatoclickhouse_spark.operators import decontam as bd
+        from kafkatoclickhouse_spark.streaming import curation
+        from kafkatoclickhouse_spark.tables import load_table
+
+        stages = tuple(
+            s.strip() for s in args.curate_stages.split(",") if s.strip()
+        )
+        fixture = args.curate_fixture or args.curate
+        if write_fn is None:
+            write_fn = sink.jdbc_writer(
+                cfg.jdbc_url,
+                cfg.jdbc_table,
+                user=cfg.jdbc_user or None,
+                password=cfg.jdbc_password or None,
+            )
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, fixture, "documents")
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(
+                    args.curate + "/documents.parquet"
+                ).schema
+            ).parquet(args.curate + "/documents.parquet")
+        )
+        eval_shingles = None
+        if "decontam" in stages:
+            eval_shingles = (
+                docs.where(F.col("doc_id") % bd.EVAL_MOD == 0)
+                .select(
+                    F.explode(
+                        hashing.word_shingles(
+                            F.col("text"), bd.DECONTAM_N
+                        )
+                    ).alias("shingle")
+                )
+                .distinct()
+            )
+        q = curation.start_curation(
+            spark,
+            fixture,
+            stream,
+            write_fn=write_fn,
+            checkpoint_dir=cfg.checkpoint_dir,
+            stages=stages,
+            eval_shingles=eval_shingles,
+            ts_col=args.curate_ts_col,
+            window_size=cfg.window_size,
+            max_retries=cfg.max_retries,
+            available_now=args.available_now,
+        )
+        q.awaitTermination()
+        return 0
+
+    raw = None
+    if args.file_source:
+        raw = source.file_raw_stream(spark, args.file_source)
     q = job.start(
         spark,
         cfg,

@@ -1584,3 +1584,131 @@ def test_streaming_classifier_matches_batch_serve(spark, sf_dir, tmp_path):
         bias = json.load(fh)["bias_micro"]
     assert got.pop(null_id) == (bias, bias >= 0)
     assert got == batch
+
+
+def test_streaming_curation_topology_matches_batch(spark, sf_dir, tmp_path):
+    """r12 (VERDICT r11 #4): the COMPOSED curation topology — score →
+    decontam → dedup in one stream — must agree with the batch
+    composition of the same three verdicts: a document is emitted iff
+    it passes the trained-classifier gate AND is uncontaminated AND
+    is the sole survivor of its content fingerprint, with exactly one
+    emission per surviving fingerprint."""
+    from kafkatoclickhouse_spark import registry
+    from kafkatoclickhouse_spark.functions import hashing, textfns
+    from kafkatoclickhouse_spark.operators import decontam as bd
+    from kafkatoclickhouse_spark.streaming.curation import (
+        curation_topology,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+    )
+    feed = tmp_path / "curate_feed"
+    docs.write.parquet(str(feed))
+    stream = spark.readStream.schema(docs.schema).parquet(str(feed))
+    assert stream.isStreaming
+
+    evals = (
+        docs.where(F.col("doc_id") % bd.EVAL_MOD == 0)
+        .select(
+            F.explode(
+                hashing.word_shingles(F.col("text"), bd.DECONTAM_N)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    curated = curation_topology(
+        stream,
+        spark,
+        sf_dir,
+        eval_shingles=evals,
+        ts_col="ingest_ts",
+    )
+    got = run_stream(curated, "curation_stream", tmp_path / "cur_ckpt")
+    got_rows = got.collect()
+
+    # batch composition of the same three verdicts
+    keep = {
+        r["doc_id"]
+        for r in registry.QUERIES["text_classifier_score_trained"](
+            spark, sf_dir
+        ).collect()
+        if r["keep"]
+    }
+    clean = {
+        r["doc_id"]
+        for r in bd.text_decontaminate(spark, sf_dir).collect()
+        if not r["contaminated"]
+    }
+    survivors = (
+        docs.filter(
+            F.col("doc_id").isin(list(keep & clean))
+        )
+        .select(
+            "doc_id", textfns.fingerprint(F.col("text")).alias("fp")
+        )
+        .collect()
+    )
+    want_fps = {r["fp"] for r in survivors}
+    survivor_ids = {r["doc_id"] for r in survivors}
+
+    got_ids = [r["doc_id"] for r in got_rows]
+    assert len(got_ids) == len(set(got_ids))  # one emission per doc
+    assert set(got_ids) <= survivor_ids  # only gate-passing docs
+    got_fps = {
+        r["fp"]
+        for r in docs.filter(F.col("doc_id").isin(got_ids))
+        .select(textfns.fingerprint(F.col("text")).alias("fp"))
+        .collect()
+    }
+    # exactly one emission per surviving fingerprint
+    assert got_fps == want_fps
+    assert len(got_ids) == len(want_fps)
+    assert len(got_ids) > 0
+
+
+def test_curation_cli_smoke(spark, sf_dir, tmp_path):
+    """python -m … --curate end-to-end on the file double: curated
+    docs flow through the per-source count window into the parquet
+    sink; no window exceeds the configured size."""
+    from kafkatoclickhouse_spark.__main__ import main
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+    )
+    feed = tmp_path / "cli_feed"
+    docs.write.parquet(str(feed / "documents.parquet"))
+    props = tmp_path / "curate.properties"
+    props.write_text(
+        "window.size=5\n"
+        f"checkpoint.path={tmp_path / 'cli_ckpt'}\n"
+    )
+    out_dir = tmp_path / "cli_out"
+    rc = main(
+        [
+            str(props),
+            "--curate",
+            str(feed),
+            "--curate-fixture",
+            sf_dir,
+            "--curate-ts-col",
+            "ingest_ts",
+            "--parquet-sink",
+            str(out_dir),
+            "--available-now",
+            "--no-catalog",
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(str(out_dir))
+    rows = out.collect()
+    assert rows, "curation CLI produced no output"
+    assert {"window_id", "window_pos", "flush_reason"} <= set(out.columns)
+    from collections import Counter
+
+    per_window = Counter(
+        (r["source"], r["window_id"]) for r in rows
+    )
+    assert max(per_window.values()) <= 5
