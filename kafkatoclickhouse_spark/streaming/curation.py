@@ -111,13 +111,20 @@ def start_curation(
     window_size: int = 20,
     max_retries: int = 3,
     available_now: bool = False,
+    engine: str = "jvm",
 ) -> StreamingQuery:
     """Curated stream → per-``window_key`` count window → retrying
     sink, one running query. The count window is the reference R5
     operator reused verbatim on the curation stream (fixed-size write
-    batches per source; partial tails flush on timeout in infinite
-    mode, stay in checkpointed state under ``availableNow`` — the
-    same finite-drain rule as ``job.build_topology``)."""
+    batches per source). ``engine`` follows ``job.start``'s r11
+    production default: ``"jvm"`` runs the measured-2.2× foreachBatch
+    JVM path (`count_window_jvm`; timeout flush stays armed even
+    under ``availableNow`` there — flushes piggyback on data
+    batches); ``"grouped_udf"`` keeps the applyInPandasWithState
+    topology, whose partial-window timeout must disarm on finite
+    drains (the ``job.build_topology`` rule)."""
+    if engine not in ("jvm", "grouped_udf"):
+        raise ValueError(f"unknown engine {engine!r}")
     curated = curation_topology(
         docs_stream,
         spark,
@@ -126,15 +133,38 @@ def start_curation(
         eval_shingles=eval_shingles,
         ts_col=ts_col,
     )
-    windowed = count_window.keyed_count_window(
+    if engine == "grouped_udf":
+        windowed = count_window.keyed_count_window(
+            curated,
+            key=window_key,
+            n=window_size,
+            timeout_ms=None if available_now else 60_000,
+        )
+        writer = windowed.writeStream.foreachBatch(
+            sink.foreach_batch_writer(write_fn, max_retries=max_retries)
+        ).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    import os
+
+    from kafkatoclickhouse_spark.streaming import count_window_jvm
+
+    def sink_write(fired: DataFrame) -> None:
+        sink.write_with_retry(write_fn, fired, max_retries=max_retries)
+
+    # state snapshots live NEXT TO the checkpoint (same durability
+    # domain — the job.start convention)
+    state_dir = os.path.join(checkpoint_dir, "jvm_window_state")
+    return count_window_jvm.run_count_window_jvm(
         curated,
+        write_fn=sink_write,
+        checkpoint_dir=checkpoint_dir,
+        state_dir=state_dir,
         key=window_key,
         n=window_size,
-        timeout_ms=None if available_now else 60_000,
+        order_col="doc_id",
+        available_now=available_now,
+        timeout_ms=60_000,
     )
-    writer = windowed.writeStream.foreachBatch(
-        sink.foreach_batch_writer(write_fn, max_retries=max_retries)
-    ).option("checkpointLocation", checkpoint_dir)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -1712,3 +1712,136 @@ def test_curation_cli_smoke(spark, sf_dir, tmp_path):
         (r["source"], r["window_id"]) for r in rows
     )
     assert max(per_window.values()) <= 5
+
+
+def test_curation_engines_row_identical(spark, sf_dir, tmp_path):
+    """r12: the curation topology's two count-window engines (JVM
+    foreachBatch default vs legacy grouped-UDF) must emit identical
+    fired rows on a doc_id-ordered feed — the same topology-level
+    engine-identity pin job.start carries for the event chain. Runs
+    the STATELESS gate stages (score + decontam): they preserve
+    arrival order, so grouped-UDF arrival order and the JVM path's
+    explicit doc_id order coincide and the pin covers window_id AND
+    window_pos exactly. (The dedup stage's dropDuplicates state store
+    re-orders its output, so after it only membership is
+    contract-stable — pinned separately below.)"""
+    from kafkatoclickhouse_spark.functions import hashing
+    from kafkatoclickhouse_spark.operators import decontam as bd
+    from kafkatoclickhouse_spark.streaming.curation import start_curation
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+        )
+        .orderBy("doc_id")
+        .coalesce(1)
+    )
+    feed = tmp_path / "eng_feed"
+    docs.write.parquet(str(feed))
+    evals = (
+        docs.where(F.col("doc_id") % bd.EVAL_MOD == 0)
+        .select(
+            F.explode(
+                hashing.word_shingles(F.col("text"), bd.DECONTAM_N)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    outs = {}
+    for engine in ("jvm", "grouped_udf"):
+        out_dir = tmp_path / f"out_{engine}"
+        rows_sink = []
+
+        def write_fn(df, _sink=rows_sink):
+            _sink.extend(df.collect())
+
+        stream = spark.readStream.schema(docs.schema).parquet(str(feed))
+        q = start_curation(
+            spark,
+            sf_dir,
+            stream,
+            write_fn=write_fn,
+            checkpoint_dir=str(tmp_path / f"ckpt_{engine}"),
+            stages=("score", "decontam"),
+            eval_shingles=evals,
+            window_size=5,
+            available_now=True,
+            engine=engine,
+        )
+        q.awaitTermination(300)
+        outs[engine] = sorted(
+            (r["doc_id"], r["window_id"], r["window_pos"])
+            for r in rows_sink
+        )
+    assert outs["jvm"] == outs["grouped_udf"]
+    assert len(outs["jvm"]) > 0
+
+
+def test_curation_engines_same_membership_with_dedup(
+    spark, sf_dir, tmp_path
+):
+    """With the stateful dedup stage on, the state store's output
+    order is engine-visible, so the cross-engine contract weakens to
+    MEMBERSHIP: both engines fire the same multiset of curated
+    doc_ids. window_size=1 so no partial tails exist — with tails,
+    WHICH docs land in the never-fired tail depends on the state
+    store's order, and the two engines' finite-drain timeout
+    contracts differ by design (JVM keeps the flush armed)."""
+    from collections import Counter
+
+    from kafkatoclickhouse_spark.functions import hashing
+    from kafkatoclickhouse_spark.operators import decontam as bd
+    from kafkatoclickhouse_spark.streaming.curation import start_curation
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+        )
+        .orderBy("doc_id")
+        .coalesce(1)
+    )
+    feed = tmp_path / "memb_feed"
+    docs.write.parquet(str(feed))
+    evals = (
+        docs.where(F.col("doc_id") % bd.EVAL_MOD == 0)
+        .select(
+            F.explode(
+                hashing.word_shingles(F.col("text"), bd.DECONTAM_N)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    fired = {}
+    for engine in ("jvm", "grouped_udf"):
+        rows_sink = []
+
+        def write_fn(df, _sink=rows_sink):
+            _sink.extend(df.collect())
+
+        stream = spark.readStream.schema(docs.schema).parquet(str(feed))
+        q = start_curation(
+            spark,
+            sf_dir,
+            stream,
+            write_fn=write_fn,
+            checkpoint_dir=str(tmp_path / f"mckpt_{engine}"),
+            eval_shingles=evals,
+            ts_col="ingest_ts",
+            window_size=1,
+            available_now=True,
+            engine=engine,
+        )
+        q.awaitTermination(300)
+        fired[engine] = rows_sink
+        sizes = Counter(
+            (r["source"], r["window_id"]) for r in rows_sink
+        )
+        assert sizes and max(sizes.values()) <= 1, engine
+    assert Counter(r["doc_id"] for r in fired["jvm"]) == Counter(
+        r["doc_id"] for r in fired["grouped_udf"]
+    )
+    assert fired["jvm"]
