@@ -175,6 +175,8 @@ HEADLINE = [
     "text_bpe_train",
     "corpus_pack_chunks_bpe_trained",
     "corpus_tokenizer_fertility_trained",
+    "text_bpe_encode_ids",
+    "corpus_pack_examples",
 ]
 
 

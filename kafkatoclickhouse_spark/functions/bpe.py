@@ -169,6 +169,66 @@ def bpe_token_count_for(col, ranks: dict[tuple[str, str], int]):
     return _count(col)
 
 
+def make_word_encoder(
+    ranks: dict[tuple[str, str], int], vocab: dict[str, int]
+):
+    """Per-word encoder to TOKEN IDS under an arbitrary rank table +
+    string-keyed vocabulary (first-id-wins on duplicate strings) —
+    the apply rule of :func:`make_word_token_counter`, emitting the
+    surviving symbols' ids instead of their count. Unknown symbols
+    (impossible when the vocab was built from the same corpus) map
+    to -1 so a stale artifact fails loudly in the hash, not
+    silently. Plain-dict memo (cloudpickle-safe)."""
+    memo: dict[str, list[int]] = {}
+
+    def encode(word: str) -> list[int]:
+        hit = memo.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        while True:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or (r, i) < best):
+                    best = (r, i)
+            if best is None:
+                break
+            i = best[1]
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        ids = [vocab.get(s, -1) for s in syms]
+        if len(memo) < 65536:
+            memo[word] = ids
+        return ids
+
+    return encode
+
+
+def bpe_encode_ids_for(
+    col, ranks: dict[tuple[str, str], int], vocab: dict[str, int]
+):
+    """Spark Column: Arrow-batched token-ID encoding of a text column
+    (concatenation of per-word encodings in word order; NULL/blank
+    text encodes to an empty array)."""
+    from pyspark.sql import functions as F
+
+    encode = make_word_encoder(ranks, vocab)
+
+    @F.pandas_udf("array<long>")
+    def _encode(s: pd.Series) -> pd.Series:
+        def doc(t):
+            if t is None:
+                return []
+            out: list[int] = []
+            for w in t.split():
+                out.extend(encode(w))
+            return out
+
+        return s.map(doc)
+
+    return _encode(col)
+
+
 def _sql_merges_literal() -> str:
     """DuckDB list literal of 'a b' pair keys in rank order —
     list_position() against it IS the rank (1-based; NULL = absent)."""
@@ -256,8 +316,9 @@ def sql_bpe_word_tokens_dynamic(words_rel: str, merges_rel: str) -> str:
             FROM bpe)
       WHERE best IS NOT NULL
     ),
+    bpesyms AS (
+      SELECT word, syms FROM bpe WHERE len({cand}) = 0
+    ),
     bpefinal AS (
-      SELECT word, CAST(len(syms) AS BIGINT) AS ntok
-      FROM bpe
-      WHERE len({cand}) = 0
+      SELECT word, CAST(len(syms) AS BIGINT) AS ntok FROM bpesyms
     )"""

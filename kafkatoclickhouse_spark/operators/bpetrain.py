@@ -202,7 +202,9 @@ def text_bpe_index_build(
     if os.path.isfile(meta_path) and not force:
         with open(meta_path) as fh:
             meta = json.load(fh)
-        if meta.get("fingerprint") == fp:
+        # vocab_size guards artifacts from before the vocab half
+        # existed — absent key forces one rebuild
+        if meta.get("fingerprint") == fp and "vocab_size" in meta:
             return path
     try:
         os.remove(meta_path)
@@ -217,12 +219,47 @@ def text_bpe_index_build(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "merges.parquet")
     )
+    # vocabulary: corpus characters (sorted, ids 0..C-1 — a bounded
+    # barrier like the argmax: distinct chars, not distinct words)
+    # then merged symbols at C + rank; duplicate STRINGS keep the
+    # lowest id (two merges can form the same string — ('a','bc')
+    # and ('ab','c') — and token ids key by string, first-id-wins,
+    # the same rule the oracle's list_position gives for free).
+    chars = sorted(
+        r["c"]
+        for r in _word_freqs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word)),"
+                    " i -> substring(word, i, 1))"
+                )
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    )
+    vocab_rows: list[tuple[str, int]] = []
+    seen: set[str] = set()
+    for i, sym in enumerate(
+        chars + [a + b for a, b in merges]
+    ):
+        if sym not in seen:
+            seen.add(sym)
+            vocab_rows.append((sym, i))
+    spark.createDataFrame(
+        vocab_rows, "symbol string, id long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "vocab.parquet")
+    )
     with open(meta_path, "w") as fh:
         json.dump(
             {
                 "fingerprint": fp,
                 "budget": BPE_TRAIN_MERGES,
                 "n_merges": len(merges),
+                "n_chars": len(chars),
+                "vocab_size": len(vocab_rows),
             },
             fh,
         )
@@ -244,6 +281,19 @@ def load_trained_ranks(
         (r["left_sym"], r["right_sym"]): int(r["merge_rank"])
         for r in rows
     }
+
+
+def load_trained_vocab(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, int]:
+    """symbol → token-id dict from the persisted artifact — chars
+    first (sorted), merged symbols at n_chars + rank, duplicate
+    strings first-id-wins (deduped at build time)."""
+    path = text_bpe_index_build(spark, sf_dir)
+    rows = spark.read.parquet(
+        os.path.join(path, "vocab.parquet")
+    ).collect()
+    return {r["symbol"]: int(r["id"]) for r in rows}
 
 
 # ---------------------------------------------------------------------------
@@ -487,4 +537,212 @@ def corpus_tokenizer_fertility_trained(
             "CAST(CASE WHEN sum(n_bpe) = 0 THEN 0"
             " ELSE sum(n_chars) * 1000000 DIV sum(n_bpe) END AS LONG)"
         ).alias("chars_per_token_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-ID materialization: the tensor-ready artifact (r12 session)
+# ---------------------------------------------------------------------------
+#
+# Everything upstream — training, budget selection, packing — deals
+# in token COUNTS; what a trainer actually loads is token IDS. The
+# id rule is the standard one: corpus characters (sorted) take ids
+# 0..C-1, merged symbols take C + rank; ids key by STRING with
+# first-id-wins (two merges can form the same string). Encoding a
+# document = concatenating its words' surviving-symbol ids in word
+# order. The oracle retrains the table, rebuilds the identical
+# vocabulary, re-derives every word's surviving-symbol SEQUENCE via
+# the dynamic apply machinery, and assembles documents positionally
+# — so the id assignment, the apply order, and the concatenation
+# order are all load-bearing for the hash.
+
+_SQL_VOCAB_CTES = """
+    bpechars AS MATERIALIZED (
+      SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c) - 1 AS BIGINT) AS id
+      FROM (SELECT DISTINCT unnest(list_transform(
+                     range(1, length(word) + 1),
+                     i -> substring(word, i, 1))) AS c
+            FROM (SELECT DISTINCT word FROM wd))
+    ),
+    bpevocablist AS MATERIALIZED (
+      SELECT list(sym ORDER BY id) AS vl FROM (
+        SELECT c AS sym, id FROM bpechars
+        UNION ALL
+        SELECT left_sym || right_sym AS sym,
+               (SELECT COUNT(*) FROM bpechars) + merge_rank AS id
+        FROM bpetrained)
+    )"""
+
+# (doc_id, ord, word): every word occurrence with its position —
+# documents with NULL/blank text contribute nothing here and are
+# re-attached with empty arrays at the end.
+_SQL_WPOS_CTE = """
+    wpos AS (
+      SELECT doc_id, u.s.o AS ord, u.s.w AS word FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) + 1),
+                        i -> struct_pack(o := i, w := ws[i]))) AS s
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents WHERE LENGTH(trim(text)) > 0)) u
+    )"""
+
+_SQL_ENCODE_IDS = f"""
+    {sql_bpe_train_ctes()},
+    wd AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    {bpefns.sql_bpe_word_tokens_dynamic("wd", "bpetrained")},
+    {_SQL_VOCAB_CTES},
+    {_SQL_WPOS_CTE},
+    wenc AS (
+      SELECT w.doc_id, w.ord,
+             list_transform(b.syms, s ->
+               CAST(list_position(v.vl, s) - 1 AS BIGINT)) AS ids
+      FROM wpos w JOIN bpesyms b USING (word), bpevocablist v
+    ),
+    docenc AS (
+      SELECT doc_id, flatten(list(ids ORDER BY ord)) AS token_ids
+      FROM wenc GROUP BY doc_id
+    )"""
+
+
+@query(
+    "text_bpe_encode_ids",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_ENCODE_IDS}
+    SELECT d.doc_id,
+           CAST(COALESCE(len(e.token_ids), 0) AS BIGINT) AS n_tokens,
+           COALESCE(e.token_ids, CAST([] AS BIGINT[])) AS token_ids
+    FROM documents d LEFT JOIN docenc e USING (doc_id)
+    """,
+)
+def text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE: (doc_id, n_tokens, token_ids) under the
+    in-engine-trained tokenizer, served from the persisted
+    merges + vocabulary (poison-pinned like the count serves). One
+    Arrow map stage — per-word memoized apply, ids concatenated in
+    word order; NULL/blank text encodes to []. The oracle retrains,
+    rebuilds the vocabulary, and re-derives every id positionally."""
+    ranks = load_trained_ranks(spark, sf_dir)
+    vocab = load_trained_vocab(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ids = bpefns.bpe_encode_ids_for(F.col("text"), ranks, vocab)
+    return docs.select(
+        "doc_id",
+        F.size(ids).cast("long").alias("n_tokens"),
+        ids.alias("token_ids"),
+    ).withColumn(
+        "n_tokens",
+        F.when(F.col("n_tokens") < 0, F.lit(0)).otherwise(
+            F.col("n_tokens")
+        ),
+    )
+
+
+@query(
+    "corpus_pack_examples",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_ENCODE_IDS},
+    enc AS (
+      SELECT d.doc_id,
+             COALESCE(e.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+             CAST(COALESCE(len(e.token_ids), 0) AS BIGINT) AS n_toks
+      FROM documents d LEFT JOIN docenc e USING (doc_id)
+    ),
+    o AS (
+      SELECT doc_id, token_ids,
+             CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS token_offset
+      FROM enc
+    ),
+    tok AS (
+      SELECT token_offset + u.t.p - 1 AS gpos, u.t.tid AS tid
+      FROM (SELECT token_offset,
+                   unnest(list_transform(range(1, len(token_ids) + 1),
+                            i -> struct_pack(p := i,
+                                             tid := token_ids[i]))) AS t
+            FROM o) u
+    )
+    SELECT CAST(gpos // {CHUNK_TOKENS} AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           list(tid ORDER BY gpos) AS token_ids
+    FROM tok GROUP BY 1
+    """,
+)
+def corpus_pack_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE training examples: the concat-and-chunk layout
+    with ACTUAL token ids — (chunk_id, n_tokens, token_ids), every
+    chunk except the last exactly {CHUNK_TOKENS} ids of the
+    in-engine-trained tokenizer, documents split across boundaries
+    exactly as `corpus_pack_chunks*` predicted. This is the tensor
+    the trainer loads. Plan: one Arrow encode pass, the two-phase
+    bucketed prefix sum for offsets (no global sort), posexplode to
+    (global position, id), ONE chunk-keyed aggregate with an
+    in-group sort — linear, and the only corpus-scale shuffle
+    carries (pos, id) pairs, never text."""
+    from pyspark.sql import Window as W
+
+    from kafkatoclickhouse_spark.operators.text import PREFIX_BUCKET
+
+    ranks = load_trained_ranks(spark, sf_dir)
+    vocab = load_trained_vocab(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ids = bpefns.bpe_encode_ids_for(F.col("text"), ranks, vocab)
+    enc = docs.select(
+        "doc_id",
+        ids.alias("token_ids"),
+        F.floor(F.col("doc_id") / PREFIX_BUCKET).alias("bucket"),
+    ).withColumn("n_toks", F.size("token_ids").cast("long"))
+    w_local = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = enc.withColumn("local_cum", F.sum("n_toks").over(w_local))
+    totals = enc.groupBy("bucket").agg(
+        F.sum("n_toks").alias("bucket_total")
+    )
+    w_buckets = W.orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    prefixes = totals.select(
+        "bucket",
+        (
+            F.sum("bucket_total").over(w_buckets)
+            - F.col("bucket_total")
+        ).alias("bucket_prefix"),
+    )
+    placed = local.join(F.broadcast(prefixes), "bucket").select(
+        (
+            F.col("bucket_prefix")
+            + F.col("local_cum")
+            - F.col("n_toks")
+        ).alias("token_offset"),
+        "token_ids",
+    )
+    tok = placed.select(
+        F.posexplode("token_ids").alias("p", "tid"),
+        "token_offset",
+    ).select(
+        (F.col("token_offset") + F.col("p")).alias("gpos"), "tid"
+    )
+    return (
+        tok.groupBy(
+            F.floor(F.col("gpos") / CHUNK_TOKENS)
+            .cast("long")
+            .alias("chunk_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("gpos", "tid"))
+                ),
+                lambda s: s["tid"],
+            ).alias("token_ids"),
+        )
     )

@@ -176,3 +176,53 @@ def test_pack_chunks_trained_offsets_contiguous(spark, sf_dir):
         assert r["chunk_id"] == r["token_offset"] // 2048
         run += r["n_toks"]
     assert run > 0
+
+
+def test_encode_ids_agree_with_count_serve(spark, sf_dir):
+    """Cross-pin: the id encoder and the count serve run the same
+    apply rule off the same artifact, so len(token_ids) must equal
+    the packing serve's n_toks for every document — and no id may be
+    -1 (the vocabulary was built from this corpus, so every
+    surviving symbol is known)."""
+    ids = {
+        r["doc_id"]: r["token_ids"]
+        for r in bpetrain.text_bpe_encode_ids(spark, sf_dir).collect()
+    }
+    counts = {
+        r["doc_id"]: r["n_toks"]
+        for r in bpetrain.corpus_pack_chunks_bpe_trained(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(ids) == set(counts) and ids
+    for doc_id, arr in ids.items():
+        assert len(arr) == counts[doc_id], doc_id
+        assert all(t >= 0 for t in arr), doc_id
+
+
+def test_pack_examples_exact_occupancy_and_order(spark, sf_dir):
+    """The materialized chunks tile the concatenated id stream
+    exactly: dense chunk_ids, every chunk but the last holds exactly
+    CHUNK_TOKENS ids, and re-concatenating chunks in order
+    reproduces the per-doc encodings concatenated in doc_id order."""
+    from kafkatoclickhouse_spark.operators.text import CHUNK_TOKENS
+
+    chunks = sorted(
+        (r["chunk_id"], r["n_tokens"], list(r["token_ids"]))
+        for r in bpetrain.corpus_pack_examples(spark, sf_dir).collect()
+    )
+    assert chunks
+    assert [c[0] for c in chunks] == list(range(len(chunks)))
+    for cid, n, arr in chunks[:-1]:
+        assert n == CHUNK_TOKENS and len(arr) == CHUNK_TOKENS, cid
+    last = chunks[-1]
+    assert 0 < last[1] <= CHUNK_TOKENS and len(last[2]) == last[1]
+
+    stream = [t for _, _, arr in chunks for t in arr]
+    want = []
+    for r in sorted(
+        bpetrain.text_bpe_encode_ids(spark, sf_dir).collect(),
+        key=lambda r: r["doc_id"],
+    ):
+        want.extend(r["token_ids"])
+    assert stream == want
