@@ -177,6 +177,7 @@ HEADLINE = [
     "corpus_tokenizer_fertility_trained",
     "text_bpe_encode_ids",
     "corpus_pack_examples",
+    "corpus_pack_bestfit_trained",
 ]
 
 

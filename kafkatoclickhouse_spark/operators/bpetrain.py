@@ -746,3 +746,59 @@ def corpus_pack_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_ids"),
         )
     )
+
+
+def _ffd_trained_oracle() -> str:
+    """Oracle for the trained-tokenizer FFD variant — retrain CTEs +
+    dynamic-rank count replay feeding the shared group-local FFD
+    recursion (text._sql_ffd_assign). Assembled in a function because
+    it composes fragments from BOTH modules."""
+    from kafkatoclickhouse_spark.operators.text import _sql_ffd_assign
+
+    return f"""
+    WITH RECURSIVE {sql_bpe_train_ctes()},
+    wd AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt FROM wd GROUP BY doc_id, word
+    ),
+    {bpefns.sql_bpe_word_tokens_dynamic("wc", "bpetrained")},
+    ntok AS (
+      SELECT doc_id, CAST(SUM(cnt * f.ntok) AS BIGINT) AS n_toks
+      FROM wc JOIN bpefinal f USING (word) GROUP BY doc_id
+    ),
+    ffd_in AS MATERIALIZED (
+      SELECT d.doc_id, CAST(COALESCE(n.n_toks, 0) AS BIGINT) AS n_toks
+      FROM documents d LEFT JOIN ntok n USING (doc_id)
+    ),
+    {_sql_ffd_assign("ffd_in")}
+    SELECT doc_id, n_toks, bin_id FROM ffd_assign
+    """
+
+
+@query("corpus_pack_bestfit_trained", oracle=_ffd_trained_oracle())
+def corpus_pack_bestfit_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """No-split FFD packing (corpus_pack_bestfit) re-budgeted in the
+    IN-ENGINE-TRAINED tokenizer's tokens, served from the persisted
+    merge table — the composition a pipeline actually runs after
+    retraining its tokenizer: counts, bins and the oversize flag all
+    move with the new table. Packing algebra is byte-shared
+    (`text._ffd_pack`); the oracle retrains, replays the counts via
+    the dynamic apply machinery, and replays the identical greedy
+    bin sequence."""
+    from kafkatoclickhouse_spark.operators.text import _ffd_pack
+
+    ranks = load_trained_ranks(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        bpefns.bpe_token_count_for(F.col("text"), ranks).alias(
+            "n_toks"
+        ),
+    )
+    return _ffd_pack(tokens)

@@ -226,3 +226,35 @@ def test_pack_examples_exact_occupancy_and_order(spark, sf_dir):
     ):
         want.extend(r["token_ids"])
     assert stream == want
+
+
+def test_pack_bestfit_trained_invariants(spark, sf_dir):
+    """The trained-tokenizer FFD variant inherits the packer's
+    invariants: bins within capacity, group-local, oversize flagged,
+    and its n_toks agree with the count serve."""
+    from collections import defaultdict
+
+    from kafkatoclickhouse_spark.operators.text import (
+        CHUNK_TOKENS,
+        PACK_FFD_GROUP,
+    )
+
+    rows = bpetrain.corpus_pack_bestfit_trained(spark, sf_dir).collect()
+    counts = {
+        r["doc_id"]: r["n_toks"]
+        for r in bpetrain.corpus_pack_chunks_bpe_trained(
+            spark, sf_dir
+        ).collect()
+    }
+    fills: dict[int, int] = defaultdict(int)
+    assert rows
+    for r in rows:
+        assert r["n_toks"] == counts[r["doc_id"]], r
+        if r["bin_id"] == -1:
+            assert r["n_toks"] > CHUNK_TOKENS
+            continue
+        assert r["bin_id"] // PACK_FFD_GROUP == (
+            r["doc_id"] // PACK_FFD_GROUP
+        )
+        fills[r["bin_id"]] += r["n_toks"]
+    assert fills and max(fills.values()) <= CHUNK_TOKENS
