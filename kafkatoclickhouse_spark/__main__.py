@@ -91,6 +91,19 @@ def main(argv: list[str] | None = None) -> int:
     path = args.config_path or args.config
     if not path:
         ap.error("a .properties path is required (positional or --config_path)")
+    if args.curate:
+        stages = {
+            s.strip() for s in args.curate_stages.split(",") if s.strip()
+        }
+        if "dedup" in stages and not args.curate_ts_col:
+            # fail at the CLI surface, not deep inside topology
+            # construction (ADVICE r12)
+            ap.error(
+                "--curate-ts-col is required when the dedup stage is "
+                "enabled (it bounds the dedup state's event-time "
+                "horizon); pass --curate-ts-col COL or drop dedup "
+                "from --curate-stages"
+            )
 
     cfg = cfgmod.PipelineConfig.from_properties(
         cfgmod.load_properties(path)

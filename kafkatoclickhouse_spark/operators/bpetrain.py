@@ -111,12 +111,157 @@ def _apply_merge_col(a: str, b: str):
     return _apply
 
 
+def _train_local(
+    freqs: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """Greedy BPE training replayed locally from the word-frequency
+    table — the production-budget path (VERDICT r12 #2). The
+    word-freq table is the training's complete sufficient statistic,
+    so once it fits the driver the 32k-merge budget costs zero Spark
+    jobs instead of one job + barrier per merge.
+
+    Semantics are exactly ``tools/train_bpe.py``'s loop (max total
+    adjacent count, ties to the lexicographically smallest pair,
+    left-to-right non-overlapping apply) but with INCREMENTAL pair
+    maintenance: each round re-tokenizes only the words that contain
+    the chosen pair (an inverted pair→words index), and the argmax
+    is a lazy-deletion heap — a heap entry is (−count, pair), so the
+    pop order IS the (max count, lexicographically smallest) rule;
+    entries stale against the live count dict are skipped on pop.
+    Per-merge cost is O(affected words + log heap) and shrinks as
+    merges get rarer — wall grows sublinearly in the budget instead
+    of paying a full vocabulary sweep per round.
+
+    Duplicate-string symbols (a later merge can recreate the string
+    of an earlier pair's side, making a 'consumed' pair adjacency
+    reappear — the ADVICE r12 sharp edge) are handled naturally:
+    the pair's count entry and membership set are rebuilt by the
+    add path, so the pair can win again, exactly like the reference
+    full-sweep recount."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    grouped: Counter = Counter()
+    for w, c in freqs.items():
+        grouped[tuple(w)] += int(c)
+    word_syms: list[list[str]] = [list(k) for k in grouped]
+    word_cnt: list[int] = [grouped[k] for k in grouped]
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, syms in enumerate(word_syms):
+        c = word_cnt[idx]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += c
+            pair_words[p].add(idx)
+
+    def apply_one(syms: list[str], a: str, b: str) -> list[str]:
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if -negc > 0 and pair_counts.get(p, 0) == -negc:
+                best = p
+                break
+        if best is None:
+            break
+        merges.append(best)
+        a, b = best
+        touched: set[tuple[str, str]] = set()
+        # membership sets may hold stale word ids (a word that lost
+        # the pair in an earlier round) — reprocessing those is a
+        # subtract/add identity, so correctness never depends on
+        # eager cleanup
+        for idx in list(pair_words.pop(best, ())):
+            syms = word_syms[idx]
+            c = word_cnt[idx]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= c
+                touched.add(p)
+            new = apply_one(syms, a, b)
+            word_syms[idx] = new
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_counts[p] += c
+                touched.add(p)
+                pair_words[p].add(idx)
+        # the winner's adjacencies are fully consumed this round
+        # (applying (a,b) can't create an (a,b) adjacency)
+        pair_counts.pop(best, None)
+        touched.discard(best)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c <= 0:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+            else:
+                heapq.heappush(heap, (-c, p))
+    return merges
+
+
+# Unique-word bound for the bounded-collect training path: below it
+# the word-freq table (the complete sufficient statistic) collects to
+# the driver — a few hundred MB at the bound — and the merge loop
+# runs locally with zero per-merge Spark jobs. Above it the
+# distributed per-round loop is the fallback (correct at any scale,
+# but one job per merge — a scheduler wall at 32k budgets, which is
+# exactly why the collect path exists).
+BPE_LOCAL_MAX_WORDS = 4_000_000
+
+
 def train_merges(
-    spark: SparkSession, sf_dir: str, n_merges: int = BPE_TRAIN_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_TRAIN_MERGES,
+    local_max_words: int = BPE_LOCAL_MAX_WORDS,
 ) -> list[tuple[str, str]]:
     """Greedy BPE training, in-engine. Returns the ordered merge
-    list (rank = position). Per round: vocabulary-sized pair-count
-    aggregate -> one-row argmax barrier -> map-side re-tokenize."""
+    list (rank = position). Two pinned-identical strategies:
+
+    - **bounded-collect** (the production-budget default): one
+      corpus-sized word-frequency aggregate, collected iff it is
+      provably under ``local_max_words`` (LIMIT n+1 — the collect is
+      bounded by construction, never by luck), then the incremental
+      local merge loop (zero Spark jobs per merge);
+    - **distributed per-round** (the any-scale fallback): per round
+      one (symbol-pair)-keyed aggregate -> one-row argmax barrier ->
+      map-side Arrow re-tokenize.
+
+    ``tests/test_bpetrain.py`` pins both strategies merge-for-merge
+    equal to each other and to ``tools/train_bpe.py`` at the fixture
+    budget."""
+    wf = _word_freqs(spark, sf_dir)
+    if local_max_words and local_max_words > 0:
+        rows = wf.limit(local_max_words + 1).collect()
+        if len(rows) <= local_max_words:
+            return _train_local(
+                {r["word"]: r["cnt"] for r in rows}, n_merges
+            )
+    return train_merges_distributed(spark, sf_dir, n_merges)
+
+
+def train_merges_distributed(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_TRAIN_MERGES
+) -> list[tuple[str, str]]:
+    """The distributed per-round trainer (the r12 shape): vocabulary
+    never leaves the cluster; each round costs one pair-count
+    aggregate, a ONE-ROW argmax barrier, and an Arrow re-tokenize."""
     state = (
         _word_freqs(spark, sf_dir)
         .select(
@@ -203,8 +348,13 @@ def text_bpe_index_build(
         with open(meta_path) as fh:
             meta = json.load(fh)
         # vocab_size guards artifacts from before the vocab half
-        # existed — absent key forces one rebuild
-        if meta.get("fingerprint") == fp and "vocab_size" in meta:
+        # existed — absent key forces one rebuild; the budget check
+        # forces one when BPE_TRAIN_MERGES changes (ADVICE r12)
+        if (
+            meta.get("fingerprint") == fp
+            and "vocab_size" in meta
+            and meta.get("budget") == BPE_TRAIN_MERGES
+        ):
             return path
     try:
         os.remove(meta_path)
@@ -679,11 +829,37 @@ def corpus_pack_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk except the last exactly {CHUNK_TOKENS} ids of the
     in-engine-trained tokenizer, documents split across boundaries
     exactly as `corpus_pack_chunks*` predicted. This is the tensor
-    the trainer loads. Plan: one Arrow encode pass, the two-phase
-    bucketed prefix sum for offsets (no global sort), posexplode to
-    (global position, id), ONE chunk-keyed aggregate with an
-    in-group sort — linear, and the only corpus-scale shuffle
-    carries (pos, id) pairs, never text."""
+    the trainer loads. Plan (VERDICT r12 #1): one Arrow encode pass,
+    the two-phase bucketed prefix sum for offsets (no global sort),
+    then doc-SLICE pieces — a doc overlaps at most
+    ceil(n/CHUNK_TOKENS)+1 chunks, so the corpus-scale shuffle
+    carries O(docs + chunk crossings) array rows instead of one row
+    per token — assembled per chunk with one sort_array + flatten."""
+    pieces = _chunk_pieces(_placed_encodings(spark, sf_dir))
+    assembled = pieces.groupBy("chunk_id").agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("start_gpos", "piece"))
+                ),
+                lambda s: s["piece"],
+            )
+        ).alias("token_ids")
+    )
+    return assembled.select(
+        "chunk_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        "token_ids",
+    )
+
+
+def _placed_encodings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, token_offset, n_toks, token_ids) under the trained
+    tokenizer — one Arrow encode pass plus the two-phase bucketed
+    prefix sum for global offsets (no global sort). Shared by the
+    pack-examples family."""
     from pyspark.sql import Window as W
 
     from kafkatoclickhouse_spark.operators.text import PREFIX_BUCKET
@@ -716,34 +892,57 @@ def corpus_pack_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("bucket_total")
         ).alias("bucket_prefix"),
     )
-    placed = local.join(F.broadcast(prefixes), "bucket").select(
+    return local.join(F.broadcast(prefixes), "bucket").select(
+        "doc_id",
         (
             F.col("bucket_prefix")
             + F.col("local_cum")
             - F.col("n_toks")
         ).alias("token_offset"),
+        "n_toks",
         "token_ids",
     )
-    tok = placed.select(
-        F.posexplode("token_ids").alias("p", "tid"),
-        "token_offset",
-    ).select(
-        (F.col("token_offset") + F.col("p")).alias("gpos"), "tid"
+
+
+def _chunk_pieces(placed: DataFrame) -> DataFrame:
+    """Doc-slice pieces of the concat-and-chunk layout: one row per
+    (document, chunk) CROSSING — at most ceil(n/CHUNK_TOKENS)+1 per
+    document, never one per token. Each piece is the F.slice of the
+    doc's id array that lands in that chunk, keyed by its global
+    start position so the chunk assembler can order pieces without
+    ever seeing individual tokens."""
+    c = F.lit(CHUNK_TOKENS)
+    lo = F.greatest(F.col("chunk_id") * c, F.col("token_offset"))
+    hi = F.least(
+        (F.col("chunk_id") + 1) * c,
+        F.col("token_offset") + F.col("n_toks"),
     )
     return (
-        tok.groupBy(
-            F.floor(F.col("gpos") / CHUNK_TOKENS)
-            .cast("long")
-            .alias("chunk_id")
+        placed.filter(F.col("n_toks") > 0)
+        .select(
+            "doc_id",
+            "token_offset",
+            "n_toks",
+            "token_ids",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("token_offset") / c),
+                    F.floor(
+                        (F.col("token_offset") + F.col("n_toks") - 1)
+                        / c
+                    ),
+                )
+            ).alias("chunk_id"),
         )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("gpos", "tid"))
-                ),
-                lambda s: s["tid"],
-            ).alias("token_ids"),
+        .select(
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "doc_id",
+            lo.alias("start_gpos"),
+            F.slice(
+                F.col("token_ids"),
+                (lo - F.col("token_offset") + 1).cast("int"),
+                (hi - lo).cast("int"),
+            ).alias("piece"),
         )
     )
 

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from kafkatoclickhouse_spark import cacheutil
 from kafkatoclickhouse_spark.functions.vector import cosine_with_norms, norm
 from kafkatoclickhouse_spark.operators.kmeans import (
     KM_ITERS,
@@ -246,21 +247,14 @@ SEM_BCAST_MAX_K = 65536
 # r11 nit: the level-1 cache was never unpersisted), while repeated
 # invocations on the SAME fixture (the bench protocol's interleaved
 # repeats) keep hitting Spark's cache-manager plan match instead of
-# paying a cold rebuild each round.
-_LIVE_CACHES: list[DataFrame] = []
-_LIVE_KEY: list[tuple[int, str]] = []
+# paying a cold rebuild each round. Registry lives in cacheutil —
+# keyed on applicationId (stable, unlike id(spark)) under a lock
+# (ADVICE r12).
+_CACHE_FAMILY = "semdedup_scaled"
 
 
 def _retire_caches(spark: SparkSession, sf_dir: str) -> None:
-    key = (id(spark), sf_dir)
-    if _LIVE_KEY and _LIVE_KEY[0] == key:
-        return
-    while _LIVE_CACHES:
-        try:
-            _LIVE_CACHES.pop().unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
-    _LIVE_KEY[:] = [key]
+    cacheutil.retire_unless(_CACHE_FAMILY, spark, sf_dir)
 
 
 def _scaled_params(n: int) -> tuple[int, int, int]:
@@ -323,7 +317,7 @@ def _scaled_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    _LIVE_CACHES.append(a1)
+    cacheutil.register(_CACHE_FAMILY, a1)
     sw2 = W.partitionBy("l1").orderBy("vec_id")
     s2 = (
         a1.withColumn("rn2", F.row_number().over(sw2))
@@ -472,5 +466,5 @@ def dedup_semdedup_scaled(
     # (pair sides a/b + the verdict join-back)
     _retire_caches(spark, sf_dir)
     cells = _scaled_cells(spark, sf_dir).cache()
-    _LIVE_CACHES.append(cells)
+    cacheutil.register(_CACHE_FAMILY, cells)
     return _greedy_survivors(cells)

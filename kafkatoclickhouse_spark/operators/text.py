@@ -898,8 +898,15 @@ def corpus_pack_bestfit_report(
     padding: ffd_occupancy_ppm is the filled fraction of FFD's bins,
     chunk_split_docs counts documents concat-and-chunk would cut.
     All integer arithmetic, exact in both engines."""
+    from kafkatoclickhouse_spark import cacheutil
+
     tokens = _ffd_tokens(spark, sf_dir)
+    # cached: three aggregates read the packed assignment; retired
+    # when the next invocation targets a different (session, fixture)
+    # so repeated calls don't accumulate cached plans (ADVICE r12)
+    cacheutil.retire_unless("pack_bestfit_report", spark, sf_dir)
     packed = _ffd_pack(tokens).cache()
+    cacheutil.register("pack_bestfit_report", packed)
     bins = (
         packed.filter(F.col("bin_id") >= 0)
         .groupBy("bin_id")

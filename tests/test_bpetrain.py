@@ -47,12 +47,117 @@ def test_in_engine_training_matches_offline_tool(spark, sf_dir):
     assert got == expected
 
 
+def test_bounded_collect_and_distributed_trainers_identical(
+    spark, sf_dir
+):
+    """The two training strategies are pinned merge-for-merge equal
+    at the fixture budget (VERDICT r12 #2): the bounded-collect path
+    (the production-budget default — zero Spark jobs per merge) and
+    the distributed per-round loop (the any-scale fallback) must
+    produce the identical table, and the default `train_merges`
+    must actually take the collect path on the fixture (its word
+    table is tiny)."""
+    dist = bpetrain.train_merges_distributed(spark, sf_dir)
+    default = bpetrain.train_merges(spark, sf_dir)
+    # force the fallback through the dispatcher too
+    forced_dist = bpetrain.train_merges(
+        spark, sf_dir, local_max_words=0
+    )
+    assert default == dist == forced_dist
+    assert len(default) > 0
+
+
+def test_local_trainer_incremental_matches_full_sweep():
+    """The incremental pair-maintenance trainer equals the offline
+    full-vocabulary-sweep loop on synthetic vocabularies that
+    exercise the sharp edges: overlapping runs (a=b), merged symbols
+    re-pairing, ties, and early exhaustion."""
+    from collections import Counter
+
+    cases = [
+        {"aaaa": 3, "aaab": 2, "abab": 5},
+        {"lower": 5, "lowest": 3, "newer": 6, "wider": 1},
+        {"xy": 1, "yx": 1},  # permanent tie — lexicographic break
+        {"a": 7},  # no pairs at all
+        {"mississippi": 4, "missile": 2, "sips": 9},
+    ]
+    for freqs in cases:
+        for budget in (1, 2, 5, 40, 10_000):
+            got = bpetrain._train_local(dict(freqs), budget)
+            want = train_bpe.train(Counter(freqs), budget)
+            assert got == want, (freqs, budget)
+
+
+def test_local_trainer_property_matches_full_sweep():
+    """Hypothesis sweep: on arbitrary small vocabularies the
+    incremental trainer and the full-sweep reference agree for any
+    budget (stale pair→words membership, prune timing, and the
+    non-overlap apply rule all get fuzzed)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.text(alphabet="abc", min_size=1, max_size=8)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        freqs=st.dictionaries(
+            words, st.integers(min_value=1, max_value=9), max_size=8
+        ),
+        budget=st.integers(min_value=0, max_value=30),
+    )
+    def check(freqs, budget):
+        got = bpetrain._train_local(dict(freqs), budget)
+        want = train_bpe.train(Counter(freqs), budget)
+        assert got == want
+
+    check()
+
+
+def test_local_trainer_per_merge_cost_shrinks():
+    """The sublinearity measurement (VERDICT r12 #2 'done' bar): on
+    a vocabulary large enough to sustain thousands of merges, the
+    incremental trainer's marginal per-merge cost FALLS with the
+    budget — the whole point of replacing one Spark job per merge.
+    Deterministic synthetic corpus; asserts the 4× budget extension
+    costs less than 2× the first tranche's wall."""
+    import random
+    import time
+
+    rng = random.Random(13)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    freqs = {
+        "".join(rng.choice(alpha) for _ in range(rng.randint(3, 12))): (
+            rng.randint(1, 50)
+        )
+        for _ in range(20_000)
+    }
+    t0 = time.time()
+    first = bpetrain._train_local(dict(freqs), 500)
+    t1 = time.time()
+    extended = bpetrain._train_local(dict(freqs), 2000)
+    t2 = time.time()
+    assert len(first) == 500 and len(extended) == 2000
+    assert extended[:500] == first  # prefix-stable under budget growth
+    assert (t2 - t1) < 2.0 * (t1 - t0), (
+        f"2000-merge wall {t2 - t1:.2f}s vs 500-merge {t1 - t0:.2f}s — "
+        "per-merge cost should shrink, not grow linearly"
+    )
+
+
 def test_trained_apply_rule_matches_offline_retokenize():
     """The serve-side counter under a trained table must agree with
     a brute-force re-tokenize that applies the merges in rank order
-    (the training-side convention) — the one-pair-per-step
-    (rank, leftmost) rule is equivalent for trained tables because
-    training itself produced the ranks greedily."""
+    (the training-side convention). NOTE (ADVICE r12): the
+    one-pair-per-step (rank, leftmost) rule is NOT equivalent to
+    sequential rank-order apply for arbitrary merge tables — with
+    duplicate-string symbols (a low-rank merge whose left symbol is
+    recreated by a higher-rank merge) the two rules can tokenize
+    differently. Parity holds because Spark AND the oracle both
+    serve with the same (rank, leftmost) rule, and this pin checks
+    the rules agree on THIS greedily-trained fixture table — it is
+    a fixture property, not a theorem about all tables."""
     vocab = {"lower": 5, "lowest": 3, "newer": 6, "aaa": 7, "aaaa": 2}
     from collections import Counter
 
