@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafkatoclickhouse_spark.functions import bpe as bpefns
+from kafkatoclickhouse_spark.functions import hashing
 from kafkatoclickhouse_spark.operators.text import CHUNK_TOKENS
 from kafkatoclickhouse_spark.registry import query
 from kafkatoclickhouse_spark.tables import (
@@ -944,6 +945,339 @@ def _chunk_pieces(placed: DataFrame) -> DataFrame:
                 (hi - lo).cast("int"),
             ).alias("piece"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packed-example boundary metadata: doc_spans + loss mask (r13)
+# ---------------------------------------------------------------------------
+#
+# A packed chunk is only trainable if the trainer knows where the
+# documents inside it begin and end: attention must not cross a
+# document boundary, and the FIRST token of every span has no
+# same-document predecessor inside the example, so it cannot be
+# scored by next-token loss. The metadata rule:
+#
+#   doc_spans: array<array<bigint>> of [doc_id, start, len] triples
+#     — chunk-local, 0-based, ordered by start, tiling the chunk
+#     exactly (triples, not structs: the parity canonicalization
+#     stringifies cells, and Spark Row(...) != DuckDB dict, while
+#     nested integer lists print identically in both engines);
+#   loss_mask: array<long>, same length as token_ids — 0 at each
+#     span's first position, 1 elsewhere (the standard
+#     document-masked-packing rule).
+
+_SQL_PACK_SPANS = f"""
+    enc AS (
+      SELECT d.doc_id,
+             COALESCE(e.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+             CAST(COALESCE(len(e.token_ids), 0) AS BIGINT) AS n_toks
+      FROM documents d LEFT JOIN docenc e USING (doc_id)
+    ),
+    o AS (
+      SELECT doc_id, token_ids, n_toks,
+             CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS token_offset
+      FROM enc
+    ),
+    pc AS (
+      SELECT doc_id, token_offset, n_toks, token_ids,
+             unnest(range(token_offset // {CHUNK_TOKENS},
+                    (token_offset + n_toks - 1) // {CHUNK_TOKENS} + 1))
+               AS chunk_id
+      FROM o WHERE n_toks > 0
+    ),
+    spn AS (
+      SELECT chunk_id, doc_id, token_offset, token_ids,
+             greatest(chunk_id * {CHUNK_TOKENS}, token_offset) AS gs,
+             least((chunk_id + 1) * {CHUNK_TOKENS},
+                   token_offset + n_toks) AS ge
+      FROM pc
+    ),
+    ch AS (
+      SELECT chunk_id,
+             flatten(list(list_slice(token_ids,
+                            gs - token_offset + 1,
+                            ge - token_offset) ORDER BY gs))
+               AS token_ids,
+             list(CAST([doc_id,
+                        gs - chunk_id * {CHUNK_TOKENS},
+                        ge - gs] AS BIGINT[]) ORDER BY gs)
+               AS doc_spans
+      FROM spn GROUP BY chunk_id
+    )"""
+
+_SQL_LOSS_MASK = (
+    "flatten(list_transform(doc_spans, s ->"
+    " list_prepend(CAST(0 AS BIGINT),"
+    "   list_transform(range(1, s[3]), i -> CAST(1 AS BIGINT)))))"
+)
+
+
+def _loss_mask_col(spans):
+    """Spark twin of _SQL_LOSS_MASK: 0 at each span's first
+    position, 1 for the rest — span lengths (triple slot 2, 0-based)
+    are always ≥ 1 here."""
+    return F.flatten(
+        F.transform(
+            spans,
+            lambda s: F.concat(
+                F.array(F.lit(0).cast("long")),
+                F.array_repeat(
+                    F.lit(1).cast("long"),
+                    (s[2] - F.lit(1)).cast("int"),
+                ),
+            ),
+        )
+    )
+
+
+@query(
+    "corpus_pack_examples_spans",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_ENCODE_IDS},
+    {_SQL_PACK_SPANS}
+    SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(token_ids) AS BIGINT) AS n_tokens,
+           token_ids, doc_spans,
+           {_SQL_LOSS_MASK} AS loss_mask
+    FROM ch
+    """,
+)
+def corpus_pack_examples_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The trainable packed example (VERDICT r12 #4): chunk ids plus
+    the boundary metadata a document-masked trainer needs —
+    (chunk_id, n_tokens, token_ids, doc_spans, loss_mask). Spans are
+    chunk-local 0-based (doc_id, start, len) ordered by start and
+    tile the chunk exactly; the loss mask zeroes each span's first
+    position (no same-document predecessor). Same doc-slice-piece
+    plan as `corpus_pack_examples` — spans and mask are derived from
+    the pieces already in the chunk aggregate, so the metadata costs
+    no extra shuffle."""
+    pieces = _chunk_pieces(_placed_encodings(spark, sf_dir))
+    assembled = pieces.groupBy("chunk_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("start_gpos", "doc_id", "piece"))
+        ).alias("ps")
+    )
+    base = F.col("chunk_id") * F.lit(CHUNK_TOKENS)
+    spans = F.transform(
+        F.col("ps"),
+        lambda p: F.array(
+            p["doc_id"].cast("long"),
+            (p["start_gpos"] - base).cast("long"),
+            F.size(p["piece"]).cast("long"),
+        ),
+    )
+    return (
+        assembled.select(
+            "chunk_id",
+            F.flatten(
+                F.transform(F.col("ps"), lambda p: p["piece"])
+            ).alias("token_ids"),
+            spans.alias("doc_spans"),
+        )
+        .select(
+            "chunk_id",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+            "token_ids",
+            "doc_spans",
+            _loss_mask_col(F.col("doc_spans")).alias("loss_mask"),
+        )
+    )
+
+
+def _ffd_examples_trained_oracle() -> str:
+    """Oracle for the FFD materialization: encode CTEs + the shared
+    group-local FFD recursion over n_toks = len(token_ids), bins
+    assembled in doc_id order with running-offset spans."""
+    from kafkatoclickhouse_spark.operators.text import _sql_ffd_assign
+
+    return f"""
+    WITH RECURSIVE {_SQL_ENCODE_IDS},
+    enc AS (
+      SELECT d.doc_id,
+             COALESCE(e.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+             CAST(COALESCE(len(e.token_ids), 0) AS BIGINT) AS n_toks
+      FROM documents d LEFT JOIN docenc e USING (doc_id)
+    ),
+    ffd_in AS MATERIALIZED (
+      SELECT doc_id, n_toks FROM enc
+    ),
+    {_sql_ffd_assign("ffd_in")},
+    b AS (
+      SELECT a.bin_id, a.doc_id, e.token_ids, e.n_toks
+      FROM ffd_assign a JOIN enc e USING (doc_id)
+      WHERE a.bin_id >= 0 AND e.n_toks > 0
+    ),
+    bagg AS (
+      SELECT bin_id,
+             flatten(list(token_ids ORDER BY doc_id)) AS token_ids,
+             list(struct_pack(doc_id := doc_id, len := n_toks)
+                  ORDER BY doc_id) AS dl
+      FROM b GROUP BY bin_id
+    ),
+    bsp AS (
+      SELECT bin_id, token_ids,
+             list_transform(range(1, len(dl) + 1), i ->
+               CAST([dl[i].doc_id,
+                     COALESCE(list_sum(list_transform(
+                       dl[1:i-1], x -> x.len)), 0),
+                     dl[i].len] AS BIGINT[])) AS doc_spans
+      FROM bagg
+    )
+    SELECT CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(len(token_ids) AS BIGINT) AS n_tokens,
+           token_ids, doc_spans,
+           {_SQL_LOSS_MASK} AS loss_mask
+    FROM bsp
+    """
+
+
+@query(
+    "corpus_pack_bestfit_examples_trained",
+    oracle=_ffd_examples_trained_oracle(),
+)
+def corpus_pack_bestfit_examples_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATERIALIZE the no-split FFD bins with actual token ids and
+    boundary metadata — (bin_id, n_tokens, token_ids, doc_spans,
+    loss_mask): whole documents concatenated in doc_id order inside
+    each bin, spans carrying running offsets, the same loss-mask
+    rule as the chunk layout. Oversize (bin_id = -1) and empty
+    documents carry no trainable tokens and are excluded — the
+    waste/oversize accounting lives in `corpus_pack_bestfit_report`.
+    Plan: the Arrow encode pass + the group-local FFD assignment
+    (embarrassingly parallel id-range groups), one bin-keyed
+    aggregate; spans/mask derived in-aggregate, no extra shuffle."""
+    from kafkatoclickhouse_spark.operators.text import _ffd_pack
+
+    placed = _placed_encodings(spark, sf_dir)
+    enc = placed.select("doc_id", "n_toks", "token_ids")
+    assign = _ffd_pack(enc.select("doc_id", "n_toks"))
+    rows = (
+        assign.filter(F.col("bin_id") >= 0)
+        .join(enc.filter(F.col("n_toks") > 0), "doc_id")
+        .select("bin_id", "doc_id", "token_ids")
+    )
+    bins = rows.groupBy("bin_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "token_ids"))
+        ).alias("ps")
+    )
+    span_type = "array<array<bigint>>"
+    spans = F.aggregate(
+        F.col("ps"),
+        F.struct(
+            F.lit(0).cast("long").alias("off"),
+            F.lit(None).cast(span_type).alias("sp"),
+        ),
+        lambda acc, p: F.struct(
+            (acc["off"] + F.size(p["token_ids"])).alias("off"),
+            F.concat(
+                F.coalesce(acc["sp"], F.array().cast(span_type)),
+                F.array(
+                    F.array(
+                        p["doc_id"].cast("long"),
+                        acc["off"],
+                        F.size(p["token_ids"]).cast("long"),
+                    )
+                ),
+            ).alias("sp"),
+        ),
+        lambda acc: acc["sp"],
+    )
+    return (
+        bins.select(
+            "bin_id",
+            F.flatten(
+                F.transform(F.col("ps"), lambda p: p["token_ids"])
+            ).alias("token_ids"),
+            spans.alias("doc_spans"),
+        )
+        .select(
+            "bin_id",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+            "token_ids",
+            "doc_spans",
+            _loss_mask_col(F.col("doc_spans")).alias("loss_mask"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch order (r13)
+# ---------------------------------------------------------------------------
+
+EPOCH_SEED = 20260816  # fixed artifact seed — reruns reproduce it
+N_EPOCHS = 3
+_EPOCH_HASH_SQL = hashing.sql_portable_hash64(
+    "epoch || ':' || chunk_id", EPOCH_SEED
+)
+
+
+@query(
+    "corpus_epoch_order",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_TRAINED_NTOK},
+    tot AS (
+      SELECT CAST(COALESCE(SUM(n_bpe), 0) AS BIGINT) AS t FROM ntok
+    ),
+    ch AS (
+      SELECT unnest(range(0, (t + {CHUNK_TOKENS} - 1)
+                             // {CHUNK_TOKENS})) AS chunk_id
+      FROM tot
+    ),
+    ep AS (SELECT unnest(range(1, {N_EPOCHS} + 1)) AS epoch)
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           {_EPOCH_HASH_SQL} AS order_key
+    FROM ch CROSS JOIN ep
+    """,
+)
+def corpus_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle of the packed chunks
+    (VERDICT r12 #8): (epoch, chunk_id, order_key) for N_EPOCHS
+    epochs over the chunk universe `corpus_pack_examples`
+    materializes — the consumer reads epoch e in ORDER BY
+    (order_key, chunk_id) and visits every chunk exactly once, in a
+    different pseudorandom order each epoch, reproducibly across
+    runs, engines, and partitionings (the seeded portable-hash key
+    is content-independent). WINDOWLESS by design: no global
+    row_number — the sort key itself is the artifact, so the plan is
+    one 1-row total-token aggregate, a sequence explode, and a
+    broadcast cross join with the 3-row epoch table; nothing
+    single-partition ever carries corpus-sized data."""
+    ranks = load_trained_ranks(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.select(
+        bpefns.bpe_token_count_for(F.col("text"), ranks).alias("n")
+    ).agg(F.sum("n").cast("long").alias("t"))
+    chunks = total.filter(F.col("t") > 0).select(
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor(
+                    (F.col("t") + CHUNK_TOKENS - 1) / CHUNK_TOKENS
+                ).cast("long")
+                - 1,
+            )
+        ).alias("chunk_id")
+    )
+    epochs = spark.range(1, N_EPOCHS + 1).select(
+        F.col("id").alias("epoch")
+    )
+    return chunks.crossJoin(F.broadcast(epochs)).select(
+        F.col("epoch").cast("long").alias("epoch"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        hashing.portable_hash64(
+            F.concat_ws(":", F.col("epoch"), F.col("chunk_id")),
+            EPOCH_SEED,
+        ).alias("order_key"),
     )
 
 

@@ -333,6 +333,83 @@ def test_pack_examples_exact_occupancy_and_order(spark, sf_dir):
     assert stream == want
 
 
+def test_pack_examples_spans_tile_and_reconcatenate(spark, sf_dir):
+    """Boundary-metadata pins (VERDICT r12 #4): in every chunk the
+    spans tile [0, n_tokens) exactly in order; the loss mask is 0
+    precisely at span starts and has one entry per token; and
+    re-assembling each document's tokens FROM ITS SPANS across
+    chunks reproduces the per-doc encodings."""
+    from collections import defaultdict
+
+    enc = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpetrain.text_bpe_encode_ids(spark, sf_dir).collect()
+    }
+    rows = bpetrain.corpus_pack_examples_spans(spark, sf_dir).collect()
+    assert rows
+    rebuilt: dict[int, list[tuple[int, list[int]]]] = defaultdict(list)
+    for r in rows:
+        spans = [tuple(s) for s in r["doc_spans"]]
+        toks = list(r["token_ids"])
+        mask = list(r["loss_mask"])
+        assert len(mask) == r["n_tokens"] == len(toks)
+        pos = 0
+        for doc_id, start, ln in spans:
+            assert start == pos and ln >= 1, (r["chunk_id"], spans)
+            assert mask[start] == 0
+            assert all(
+                m == 1 for m in mask[start + 1 : start + ln]
+            ), (r["chunk_id"], doc_id)
+            rebuilt[doc_id].append(
+                (r["chunk_id"], toks[start : start + ln])
+            )
+            pos += ln
+        assert pos == r["n_tokens"], r["chunk_id"]
+    for doc_id, pieces in rebuilt.items():
+        got = [t for _, piece in sorted(pieces) for t in piece]
+        assert got == enc[doc_id], doc_id
+    # every non-empty doc appears
+    assert set(rebuilt) == {d for d, ids in enc.items() if ids}
+
+
+def test_pack_bestfit_examples_trained_whole_docs(spark, sf_dir):
+    """FFD materialization pins: every bin's spans tile it exactly,
+    each span is one WHOLE document's encoding (FFD never splits),
+    and the bins cover exactly the non-oversize, non-empty docs."""
+    enc = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpetrain.text_bpe_encode_ids(spark, sf_dir).collect()
+    }
+    assign = {
+        r["doc_id"]: r["bin_id"]
+        for r in bpetrain.corpus_pack_bestfit_trained(
+            spark, sf_dir
+        ).collect()
+    }
+    rows = bpetrain.corpus_pack_bestfit_examples_trained(
+        spark, sf_dir
+    ).collect()
+    assert rows
+    seen: set[int] = set()
+    for r in rows:
+        toks = list(r["token_ids"])
+        pos = 0
+        for doc_id, start, ln in (tuple(s) for s in r["doc_spans"]):
+            assert start == pos
+            assert toks[start : start + ln] == enc[doc_id], doc_id
+            assert assign[doc_id] == r["bin_id"], doc_id
+            seen.add(doc_id)
+            pos += ln
+        assert pos == r["n_tokens"] == len(toks)
+        assert len(r["loss_mask"]) == r["n_tokens"]
+    want = {
+        d
+        for d, ids in enc.items()
+        if ids and assign[d] >= 0
+    }
+    assert seen == want
+
+
 def test_pack_bestfit_trained_invariants(spark, sf_dir):
     """The trained-tokenizer FFD variant inherits the packer's
     invariants: bins within capacity, group-local, oversize flagged,
@@ -363,3 +440,38 @@ def test_pack_bestfit_trained_invariants(spark, sf_dir):
         )
         fills[r["bin_id"]] += r["n_toks"]
     assert fills and max(fills.values()) <= CHUNK_TOKENS
+
+
+def test_epoch_order_permutation_pins(spark, sf_dir):
+    """Epoch-order pins (VERDICT r12 #8): every materialized chunk
+    appears exactly once per epoch; the per-epoch orders (sort by
+    (order_key, chunk_id)) differ between epochs; and the artifact
+    is partitioning-independent — recomputing off a repartitioned
+    plan yields identical keys (the hash is content-independent)."""
+    chunk_ids = sorted(
+        r["chunk_id"]
+        for r in bpetrain.corpus_pack_examples(spark, sf_dir)
+        .select("chunk_id")
+        .collect()
+    )
+    rows = bpetrain.corpus_epoch_order(spark, sf_dir).collect()
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(
+            (r["order_key"], r["chunk_id"])
+        )
+    assert sorted(by_epoch) == list(range(1, bpetrain.N_EPOCHS + 1))
+    orders = {}
+    for e, pairs in by_epoch.items():
+        assert sorted(c for _, c in pairs) == chunk_ids, e
+        orders[e] = [c for _, c in sorted(pairs)]
+    # distinct permutations across epochs (fixture has >1 chunk)
+    assert len({tuple(o) for o in orders.values()}) == len(orders)
+    # stability: a second computation is bit-identical
+    again = sorted(
+        (r["epoch"], r["chunk_id"], r["order_key"])
+        for r in bpetrain.corpus_epoch_order(spark, sf_dir).collect()
+    )
+    assert again == sorted(
+        (r["epoch"], r["chunk_id"], r["order_key"]) for r in rows
+    )
