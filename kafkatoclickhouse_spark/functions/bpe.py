@@ -170,7 +170,9 @@ def bpe_token_count_for(col, ranks: dict[tuple[str, str], int]):
 
 
 def make_word_encoder(
-    ranks: dict[tuple[str, str], int], vocab: dict[str, int]
+    ranks: dict[tuple[str, str], int],
+    vocab: dict[str, int],
+    sym_width: int = 1,
 ):
     """Per-word encoder to TOKEN IDS under an arbitrary rank table +
     string-keyed vocabulary (first-id-wins on duplicate strings) —
@@ -178,14 +180,23 @@ def make_word_encoder(
     surviving symbols' ids instead of their count. Unknown symbols
     (impossible when the vocab was built from the same corpus) map
     to -1 so a stale artifact fails loudly in the hash, not
-    silently. Plain-dict memo (cloudpickle-safe)."""
+    silently. Plain-dict memo (cloudpickle-safe). ``sym_width`` is
+    the initial-symbol width: 1 for character alphabets, 2 for the
+    byte mode's hex-pair alphabet."""
     memo: dict[str, list[int]] = {}
 
     def encode(word: str) -> list[int]:
         hit = memo.get(word)
         if hit is not None:
             return hit
-        syms = list(word)
+        syms = (
+            list(word)
+            if sym_width == 1
+            else [
+                word[i : i + sym_width]
+                for i in range(0, len(word), sym_width)
+            ]
+        )
         while True:
             best = None
             for i in range(len(syms) - 1):
@@ -227,6 +238,35 @@ def bpe_encode_ids_for(
         return s.map(doc)
 
     return _encode(col)
+
+
+def bpe_encode_ids_units(
+    units_col,
+    ranks: dict[tuple[str, str], int],
+    vocab: dict[str, int],
+    sym_width: int = 2,
+):
+    """Spark Column: Arrow-batched token-ID encoding of a column of
+    PRE-TOKEN UNIT arrays (e.g. hex-encoded byte units) — the byte
+    mode's twin of :func:`bpe_encode_ids_for`: per-unit encodings
+    concatenated in unit order; NULL arrays encode to []."""
+    from pyspark.sql import functions as F
+
+    encode = make_word_encoder(ranks, vocab, sym_width)
+
+    @F.pandas_udf("array<long>")
+    def _encode(s: pd.Series) -> pd.Series:
+        def doc(units):
+            if units is None:
+                return []
+            out: list[int] = []
+            for u in units:
+                out.extend(encode(u))
+            return out
+
+        return s.map(doc)
+
+    return _encode(units_col)
 
 
 def _sql_merges_literal() -> str:
@@ -277,35 +317,60 @@ def sql_bpe_word_tokens(words_rel: str) -> str:
     )"""
 
 
-def sql_bpe_word_tokens_dynamic(words_rel: str, merges_rel: str) -> str:
+def sql_init_syms_expr(sym_width: int = 1, col: str = "word") -> str:
+    """DuckDB expression splitting ``col`` into initial symbols of
+    ``sym_width`` characters (1 = character alphabet, 2 = the byte
+    mode's hex pairs)."""
+    if sym_width == 1:
+        return (
+            f"list_transform(range(1, length({col}) + 1),"
+            f" i -> substring({col}, i, 1))"
+        )
+    return (
+        f"list_transform(range(1, length({col}) // {sym_width} + 1),"
+        f" i -> substring({col}, {sym_width} * (i - 1) + 1,"
+        f" {sym_width}))"
+    )
+
+
+def sql_bpe_word_tokens_dynamic(
+    words_rel: str,
+    merges_rel: str,
+    prefix: str = "",
+    sym_width: int = 1,
+) -> str:
     """Like :func:`sql_bpe_word_tokens`, but the rank table comes
     from a CTE ``{merges_rel}`` with columns (merge_rank, left_sym,
     right_sym) — e.g. one RETRAINED by the r12 in-engine training
     oracle — instead of the frozen literal. The rank list rides
     through the apply recursion as a carried column (``ml``), so no
-    lambda ever needs a correlated subquery. Emits the same
-    ``winit``/``bpe``/``bpefinal`` CTE names, drop-in for the frozen
-    variant's downstream fragments."""
+    lambda ever needs a correlated subquery. Emits the
+    ``{prefix}winit``/``{prefix}bpe``/``{prefix}bpefinal`` CTE
+    names (prefix defaults empty — drop-in for the frozen variant's
+    downstream fragments; the byte mode passes a prefix so both
+    alphabets can coexist in one oracle). ``sym_width`` picks the
+    initial-symbol split (2 = hex-pair byte alphabet)."""
+    p = prefix
     cand = (
         "list_filter(list_transform(range(1, len(syms)), i -> "
         "{'r': list_position(ml, syms[i] || ' ' || syms[i + 1]),"
         " 'p': i}), x -> x.r > 0)"
     )
+    init = sql_init_syms_expr(sym_width)
     return f"""
-    mlist AS MATERIALIZED (
+    {p}mlist AS MATERIALIZED (
       SELECT list(left_sym || ' ' || right_sym ORDER BY merge_rank)
                AS ml
       FROM {merges_rel}
     ),
-    winit AS (
+    {p}winit AS (
       SELECT word,
-             list_transform(range(1, length(word) + 1),
-                            i -> substring(word, i, 1)) AS syms,
-             (SELECT ml FROM mlist) AS ml
+             {init} AS syms,
+             (SELECT ml FROM {p}mlist) AS ml
       FROM (SELECT DISTINCT word FROM {words_rel})
     ),
-    bpe AS (
-      SELECT word, syms, ml FROM winit
+    {p}bpe AS (
+      SELECT word, syms, ml FROM {p}winit
       UNION ALL
       SELECT word,
              syms[1:best.p - 1]
@@ -313,12 +378,12 @@ def sql_bpe_word_tokens_dynamic(words_rel: str, merges_rel: str) -> str:
                || syms[best.p + 2:len(syms)] AS syms,
              ml
       FROM (SELECT word, syms, ml, list_sort({cand})[1] AS best
-            FROM bpe)
+            FROM {p}bpe)
       WHERE best IS NOT NULL
     ),
-    bpesyms AS (
-      SELECT word, syms FROM bpe WHERE len({cand}) = 0
+    {p}bpesyms AS (
+      SELECT word, syms FROM {p}bpe WHERE len({cand}) = 0
     ),
-    bpefinal AS (
-      SELECT word, CAST(len(syms) AS BIGINT) AS ntok FROM bpesyms
+    {p}bpefinal AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS ntok FROM {p}bpesyms
     )"""

@@ -19,6 +19,35 @@ from pyspark.sql import functions as F
 # pre-tokenizer regex that both Spark and DuckDB regex engines accept.
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# GPT-2-style pre-tokenizer for the byte-level BPE mode (r13):
+# apostrophe contractions, space-prefixed letter/digit/punct runs,
+# whitespace runs. The original's `\s+(?!\S)` lookahead is dropped —
+# RE2 (DuckDB) has no lookahead — so interior whitespace runs stay
+# whole; Java and RE2 agree on everything here (leftmost-first
+# alternation, Unicode \p{L}/\p{N}), verified cross-engine in
+# tests/test_bpetrain.py.
+PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+# the same pattern as a DuckDB string literal (quote-doubled)
+PRETOKEN_RE_SQL = "'" + PRETOKEN_RE.replace("'", "''") + "'"
+
+
+def pretoken_units(text: Column) -> Column:
+    """Array of GPT-2-style pre-token units of ``text`` (JVM regex,
+    no UDF). NULL text yields NULL — callers coalesce."""
+    return F.regexp_extract_all(text, F.lit(PRETOKEN_RE), 0)
+
+
+def hex_units(units: Column) -> Column:
+    """Lowercase UTF-8 hex encoding of each unit — the byte mode's
+    portable 256-symbol alphabet (two hex chars = one byte), twin of
+    SQL ``lower(hex(encode(u)))``."""
+    return F.transform(
+        units, lambda u: F.lower(F.hex(F.encode(u, "UTF-8")))
+    )
+
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Public common-word lists.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 from kafkatoclickhouse_spark.functions import bpe as bpefns
 from kafkatoclickhouse_spark.functions import hashing
+from kafkatoclickhouse_spark.functions import textfns
 from kafkatoclickhouse_spark.operators.text import CHUNK_TOKENS
 from kafkatoclickhouse_spark.registry import query
 from kafkatoclickhouse_spark.tables import (
@@ -113,7 +114,7 @@ def _apply_merge_col(a: str, b: str):
 
 
 def _train_local(
-    freqs: dict[str, int], n_merges: int
+    freqs: dict[str, int], n_merges: int, sym_width: int = 1
 ) -> list[tuple[str, str]]:
     """Greedy BPE training replayed locally from the word-frequency
     table — the production-budget path (VERDICT r12 #2). The
@@ -144,7 +145,15 @@ def _train_local(
 
     grouped: Counter = Counter()
     for w, c in freqs.items():
-        grouped[tuple(w)] += int(c)
+        syms0 = (
+            tuple(w)
+            if sym_width == 1
+            else tuple(
+                w[i : i + sym_width]
+                for i in range(0, len(w), sym_width)
+            )
+        )
+        grouped[syms0] += int(c)
     word_syms: list[list[str]] = [list(k) for k in grouped]
     word_cnt: list[int] = [grouped[k] for k in grouped]
     pair_counts: Counter = Counter()
@@ -247,14 +256,29 @@ def train_merges(
     ``tests/test_bpetrain.py`` pins both strategies merge-for-merge
     equal to each other and to ``tools/train_bpe.py`` at the fixture
     budget."""
-    wf = _word_freqs(spark, sf_dir)
+    return _train_from_wf(
+        spark, _word_freqs(spark, sf_dir), n_merges, local_max_words
+    )
+
+
+def _train_from_wf(
+    spark: SparkSession,
+    wf: DataFrame,
+    n_merges: int,
+    local_max_words: int,
+    sym_width: int = 1,
+) -> list[tuple[str, str]]:
+    """Strategy dispatch over any (word, cnt) sufficient statistic —
+    shared by the character and byte alphabets."""
     if local_max_words and local_max_words > 0:
         rows = wf.limit(local_max_words + 1).collect()
         if len(rows) <= local_max_words:
             return _train_local(
-                {r["word"]: r["cnt"] for r in rows}, n_merges
+                {r["word"]: r["cnt"] for r in rows},
+                n_merges,
+                sym_width,
             )
-    return train_merges_distributed(spark, sf_dir, n_merges)
+    return _train_distributed_from(spark, wf, n_merges, sym_width)
 
 
 def train_merges_distributed(
@@ -263,15 +287,24 @@ def train_merges_distributed(
     """The distributed per-round trainer (the r12 shape): vocabulary
     never leaves the cluster; each round costs one pair-count
     aggregate, a ONE-ROW argmax barrier, and an Arrow re-tokenize."""
+    return _train_distributed_from(
+        spark, _word_freqs(spark, sf_dir), n_merges, 1
+    )
+
+
+def _train_distributed_from(
+    spark: SparkSession, wf: DataFrame, n_merges: int, sym_width: int
+) -> list[tuple[str, str]]:
+    init = (
+        "transform(sequence(1, length(word)),"
+        " i -> substring(word, i, 1))"
+        if sym_width == 1
+        else f"transform(sequence(1, length(word) DIV {sym_width}),"
+        f" i -> substring(word, {sym_width} * (i - 1) + 1,"
+        f" {sym_width}))"
+    )
     state = (
-        _word_freqs(spark, sf_dir)
-        .select(
-            F.expr(
-                "transform(sequence(1, length(word)),"
-                " i -> substring(word, i, 1))"
-            ).alias("syms"),
-            "cnt",
-        )
+        wf.select(F.expr(init).alias("syms"), "cnt")
         .localCheckpoint()
     )
     pair_expr = F.expr(
@@ -496,51 +529,66 @@ _SQL_BEST_PAIR = """list_sort(list_transform(
      a := q.a, b := q.b)))[1]"""
 
 
-def sql_bpe_train_ctes(n_merges: int = BPE_TRAIN_MERGES) -> str:
-    """CTE chain (no WITH prefix; requires WITH RECURSIVE) ending in
-    ``bpetrained`` (merge_rank, left_sym, right_sym): the greedy
-    training replayed from the ``documents`` table. State per round
-    is ONE ROW holding the whole vocabulary as a list of
-    (syms, count) structs, so the per-round argmax needs no
-    aggregation inside the recursion."""
-    apply_expr = _sql_apply_one_merge("w.s", "best.a", "best.b")
-    return f"""
-    bpevocab AS MATERIALIZED (
+_SQL_CHAR_VOCAB = """
       SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
         SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
         FROM documents WHERE LENGTH(trim(text)) > 0)
-      GROUP BY word
+      GROUP BY word"""
+
+
+def sql_bpe_train_ctes(
+    n_merges: int = BPE_TRAIN_MERGES,
+    prefix: str = "",
+    vocab_sql: str | None = None,
+    sym_width: int = 1,
+) -> str:
+    """CTE chain (no WITH prefix; requires WITH RECURSIVE) ending in
+    ``{prefix}bpetrained`` (merge_rank, left_sym, right_sym): the
+    greedy training replayed from the ``documents`` table. State per
+    round is ONE ROW holding the whole vocabulary as a list of
+    (syms, count) structs, so the per-round argmax needs no
+    aggregation inside the recursion. Parameterized over the
+    alphabet (r13 byte mode): ``vocab_sql`` is the (word, cnt)
+    sufficient-statistic SELECT (default: whitespace words),
+    ``sym_width`` the initial-symbol split, ``prefix`` namespaces
+    the CTEs so two alphabets can coexist in one oracle."""
+    p = prefix
+    apply_expr = _sql_apply_one_merge("w.s", "best.a", "best.b")
+    vocab_sql = vocab_sql or _SQL_CHAR_VOCAB
+    init = bpefns.sql_init_syms_expr(sym_width)
+    return f"""
+    {p}bpevocab AS MATERIALIZED (
+      {vocab_sql}
     ),
-    bpeinit AS (
+    {p}bpeinit AS (
       SELECT list(struct_pack(
-               s := list_transform(range(1, length(word) + 1),
-                                   i -> substring(word, i, 1)),
+               s := {init},
                c := cnt) ORDER BY word) AS words
-      FROM bpevocab
+      FROM {p}bpevocab
     ),
-    bpesteps AS (
+    {p}bpesteps AS (
       SELECT 0 AS r, CAST([] AS STRUCT(a VARCHAR, b VARCHAR)[]) AS merges,
              words
-      FROM bpeinit
+      FROM {p}bpeinit
       UNION ALL
       SELECT r + 1,
              list_append(merges, struct_pack(a := best.a, b := best.b)),
              list_transform(words, w ->
                struct_pack(s := {apply_expr}, c := w.c))
       FROM (SELECT r, merges, words, {_SQL_BEST_PAIR} AS best
-            FROM bpesteps WHERE r < {n_merges})
+            FROM {p}bpesteps WHERE r < {n_merges})
       WHERE best IS NOT NULL
     ),
-    bpelast AS (
-      SELECT merges FROM bpesteps ORDER BY r DESC LIMIT 1
+    {p}bpelast AS (
+      SELECT merges FROM {p}bpesteps ORDER BY r DESC LIMIT 1
     ),
-    bpetrained AS MATERIALIZED (
+    {p}bpetrained AS MATERIALIZED (
       SELECT CAST(u.m.rk AS BIGINT) AS merge_rank,
              u.m.a AS left_sym, u.m.b AS right_sym
       FROM (SELECT unnest(list_transform(range(1, len(merges) + 1),
                      i -> struct_pack(rk := i - 1, a := merges[i].a,
                                       b := merges[i].b))) AS m
-            FROM bpelast) u
+            FROM {p}bpelast) u
     )"""
 
 
@@ -1335,3 +1383,353 @@ def corpus_pack_bestfit_trained(
         ),
     )
     return _ffd_pack(tokens)
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE mode (r13 — VERDICT r12 #5)
+# ---------------------------------------------------------------------------
+#
+# The production tokenizer shape (GPT-2, Radford et al. 2019): the
+# alphabet is the 256 BYTE values, so there is no OOV by
+# construction, and merges run over GPT-2-style pre-token units
+# (apostrophe contractions, space-prefixed letter/digit/punct runs,
+# whitespace runs) instead of whitespace words. Portability trick:
+# a byte is represented as its two-char lowercase hex string —
+# `lower(hex(encode(u)))` in both engines — so the entire existing
+# training/apply/oracle machinery (string symbols, pair keys,
+# recursive retrainer) works unchanged with sym_width=2, and token
+# id = byte value for the 256 base symbols, 256 + rank for merges.
+
+BPE_BYTES_MERGES = 40  # fixture training budget for the byte mode
+
+_SQL_BYTE_VOCAB = f"""
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT lower(hex(encode(u))) AS word FROM (
+          SELECT unnest(regexp_extract_all(text,
+                   {textfns.PRETOKEN_RE_SQL})) AS u
+          FROM documents WHERE text IS NOT NULL)
+        WHERE u <> '')
+      GROUP BY word"""
+
+
+def _byte_unit_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(hex_unit, cnt) over GPT-2-style pre-token units — the byte
+    mode's sufficient statistic (corpus-sized aggregate, unit-
+    vocabulary-sized output)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    units = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(textfns.pretoken_units(F.col("text"))).alias("u")
+    )
+    return (
+        units.filter(F.col("u") != "")
+        .select(
+            F.lower(F.hex(F.encode(F.col("u"), "UTF-8"))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def train_merges_bytes(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_BYTES_MERGES,
+    local_max_words: int = BPE_LOCAL_MAX_WORDS,
+) -> list[tuple[str, str]]:
+    """Byte-level greedy BPE training — the same two pinned
+    strategies as :func:`train_merges`, over hex-pair symbols."""
+    return _train_from_wf(
+        spark,
+        _byte_unit_freqs(spark, sf_dir),
+        n_merges,
+        local_max_words,
+        sym_width=2,
+    )
+
+
+def sql_bpe_bytes_train_ctes(n_merges: int = BPE_BYTES_MERGES) -> str:
+    """Byte-alphabet retrainer CTEs, namespaced ``b*`` so they can
+    coexist with the char-mode chain in one oracle; ends in
+    ``bbpetrained``."""
+    return sql_bpe_train_ctes(
+        n_merges, prefix="b", vocab_sql=_SQL_BYTE_VOCAB, sym_width=2
+    )
+
+
+def bpe_bytes_index_dir(sf_dir: str) -> str:
+    """Artifact location for the byte-mode merge table."""
+    return bpe_index_dir(sf_dir) + "bytes"
+
+
+def text_bpe_bytes_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    force: bool = False,
+) -> str:
+    """BUILD half of the byte-mode artifact: ``merges.parquet`` +
+    crash-safe meta-last marker. No vocab parquet — the byte
+    alphabet is the CONSTANT 0..255, so the vocabulary is fully
+    determined by the merge table (id = byte value | 256 + rank)."""
+    path = path or bpe_bytes_index_dir(sf_dir)
+    fp = list(table_fingerprint(sf_dir, "documents"))
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.isfile(meta_path) and not force:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if (
+            meta.get("fingerprint") == fp
+            and meta.get("budget") == BPE_BYTES_MERGES
+        ):
+            return path
+    try:
+        os.remove(meta_path)
+    except FileNotFoundError:
+        pass
+    os.makedirs(path, exist_ok=True)
+    merges = train_merges_bytes(spark, sf_dir)
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank long, left_sym string, right_sym string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "merges.parquet")
+    )
+    with open(meta_path, "w") as fh:
+        json.dump(
+            {
+                "fingerprint": fp,
+                "budget": BPE_BYTES_MERGES,
+                "n_merges": len(merges),
+                "alphabet": "bytes-hex",
+                "vocab_size": 256 + len(merges),
+            },
+            fh,
+        )
+    return path
+
+
+def load_trained_ranks_bytes(
+    spark: SparkSession, sf_dir: str
+) -> dict[tuple[str, str], int]:
+    path = text_bpe_bytes_index_build(spark, sf_dir)
+    rows = (
+        spark.read.parquet(os.path.join(path, "merges.parquet"))
+        .orderBy("merge_rank")
+        .collect()
+    )
+    return {
+        (r["left_sym"], r["right_sym"]): int(r["merge_rank"])
+        for r in rows
+    }
+
+
+def load_trained_vocab_bytes(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, int]:
+    """hex symbol → token id: bytes take id = value (0..255), merged
+    symbols 256 + rank, duplicate strings first-id-wins."""
+    ranks = load_trained_ranks_bytes(spark, sf_dir)
+    vocab = {f"{i:02x}": i for i in range(256)}
+    for (a, b), r in sorted(ranks.items(), key=lambda kv: kv[1]):
+        vocab.setdefault(a + b, 256 + r)
+    return vocab
+
+
+@query(
+    "text_bpe_train_bytes",
+    oracle=f"""
+    WITH RECURSIVE {sql_bpe_bytes_train_ctes()}
+    SELECT merge_rank, left_sym, right_sym FROM bbpetrained
+    """,
+)
+def text_bpe_train_bytes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRAIN, byte mode: the greedy merge table over the 256-byte
+    hex alphabet and GPT-2-style pre-token units. The oracle
+    RETRAINS from raw text through the alphabet-parameterized
+    recursive CTEs (the same argmax/tie/apply spec, hex symbols), so
+    the pre-tokenizer regex, the UTF-8 byte mapping, and every merge
+    decision are all load-bearing for the hash."""
+    merges = train_merges_bytes(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank long, left_sym string, right_sym string",
+    )
+
+
+_SQL_FROZEN_CHAR_APPLY = bpefns.sql_bpe_word_tokens("wc")
+
+_SQL_BYTES_ENCODE = f"""
+    {sql_bpe_bytes_train_ctes()},
+    bwd AS (
+      SELECT doc_id, u.s.o AS ord,
+             lower(hex(encode(u.s.w))) AS word
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(us) + 1),
+                        i -> struct_pack(o := i, w := us[i]))) AS s
+        FROM (SELECT doc_id,
+                     regexp_extract_all(text,
+                       {textfns.PRETOKEN_RE_SQL}) AS us
+              FROM documents WHERE text IS NOT NULL)) u
+    ),
+    {bpefns.sql_bpe_word_tokens_dynamic("bwd", "bbpetrained",
+                                        prefix="b", sym_width=2)},
+    bvl AS MATERIALIZED (
+      SELECT list(sym ORDER BY id) AS vl FROM (
+        SELECT printf('%02x', i) AS sym, CAST(i AS BIGINT) AS id
+        FROM (SELECT unnest(range(0, 256)) AS i)
+        UNION ALL
+        SELECT left_sym || right_sym AS sym,
+               CAST(256 + merge_rank AS BIGINT) AS id
+        FROM bbpetrained)
+    ),
+    bwenc AS (
+      SELECT w.doc_id, w.ord,
+             list_transform(b.syms, s ->
+               CAST(list_position(v.vl, s) - 1 AS BIGINT)) AS ids
+      FROM bwd w JOIN bbpesyms b USING (word), bvl v
+    ),
+    bdocenc AS (
+      SELECT doc_id, flatten(list(ids ORDER BY ord)) AS token_ids
+      FROM bwenc GROUP BY doc_id
+    )"""
+
+
+@query(
+    "text_bpe_encode_ids_bytes",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BYTES_ENCODE}
+    SELECT d.doc_id,
+           CAST(COALESCE(len(e.token_ids), 0) AS BIGINT) AS n_tokens,
+           COALESCE(e.token_ids, CAST([] AS BIGINT[])) AS token_ids
+    FROM documents d LEFT JOIN bdocenc e USING (doc_id)
+    """,
+)
+def text_bpe_encode_ids_bytes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENCODE, byte mode: (doc_id, n_tokens, token_ids) under the
+    byte-level trained tokenizer, served from the persisted merge
+    table. Pre-tokenization and hex mapping run JVM-side
+    (regexp_extract_all + hex(encode())); the merge apply is one
+    Arrow map over the unit arrays. NO OOV is possible — every
+    symbol decomposes to known bytes — and the pin test asserts all
+    ids ≥ 0. The oracle retrains and re-derives every id through
+    the byte-parameterized apply recursion."""
+    ranks = load_trained_ranks_bytes(spark, sf_dir)
+    vocab = load_trained_vocab_bytes(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    units = textfns.hex_units(
+        textfns.pretoken_units(F.col("text"))
+    )
+    ids = bpefns.bpe_encode_ids_units(units, ranks, vocab, 2)
+    return docs.select(
+        "doc_id",
+        F.greatest(F.size(ids), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.coalesce(ids, F.array().cast("array<long>")).alias(
+            "token_ids"
+        ),
+    )
+
+
+@query(
+    "corpus_tokenizer_fertility_bytes",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BYTES_ENCODE},
+    wd AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt FROM wd
+      GROUP BY doc_id, word
+    ),
+    {_SQL_FROZEN_CHAR_APPLY},
+    chartok AS (
+      SELECT doc_id, CAST(SUM(cnt * f.ntok) AS BIGINT) AS n_char
+      FROM wc JOIN bpefinal f USING (word) GROUP BY doc_id
+    ),
+    bunits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_units
+      FROM bwd GROUP BY doc_id
+    ),
+    per AS (
+      SELECT d.source,
+             COALESCE(u.n_units, 0) AS n_units,
+             COALESCE(len(e.token_ids), 0) AS n_byte,
+             COALESCE(c.n_char, 0) AS n_char,
+             CASE WHEN d.text IS NULL THEN 0
+                  ELSE strlen(d.text) END AS n_bytes
+      FROM documents d
+      LEFT JOIN bunits u USING (doc_id)
+      LEFT JOIN bdocenc e USING (doc_id)
+      LEFT JOIN chartok c USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_units) AS BIGINT) AS n_units,
+           CAST(SUM(n_byte) AS BIGINT) AS n_byte_tokens,
+           CAST(SUM(n_char) AS BIGINT) AS n_char_tokens,
+           CAST(SUM(n_bytes) AS BIGINT) AS n_text_bytes,
+           CAST(CASE WHEN SUM(n_byte) = 0 THEN 0
+                ELSE SUM(n_bytes) * 1000000 // SUM(n_byte) END
+                AS BIGINT) AS bytes_per_token_ppm,
+           CAST(CASE WHEN SUM(n_char) = 0 THEN 0
+                ELSE SUM(n_byte) * 1000000 // SUM(n_char) END
+                AS BIGINT) AS byte_vs_char_ppm
+    FROM per GROUP BY source
+    """,
+)
+def corpus_tokenizer_fertility_bytes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source fertility comparison, byte-level vs char-level
+    (VERDICT r12 #5's 'done' bar): the byte-trained tokenizer's
+    token counts and compression (text bytes per token) next to the
+    frozen char-level tokenizer's counts — byte_vs_char_ppm > 1e6
+    means the byte table spends more tokens than the char table on
+    that source. One Arrow encode pass + one JVM count pass + one
+    source-keyed aggregate; the oracle retrains the byte table AND
+    replays the frozen char apply."""
+    ranks = load_trained_ranks_bytes(spark, sf_dir)
+    vocab = load_trained_vocab_bytes(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    units = textfns.pretoken_units(F.col("text"))
+    ids = bpefns.bpe_encode_ids_units(
+        textfns.hex_units(units), ranks, vocab, 2
+    )
+    per_doc = docs.select(
+        "source",
+        F.greatest(F.size(units), F.lit(0))
+        .cast("long")
+        .alias("n_units"),
+        F.greatest(F.size(ids), F.lit(0))
+        .cast("long")
+        .alias("n_byte"),
+        bpefns.bpe_token_count_frozen(F.col("text")).alias("n_char"),
+        F.coalesce(F.octet_length("text"), F.lit(0))
+        .cast("long")
+        .alias("n_bytes"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_units").cast("long").alias("n_units"),
+        F.sum("n_byte").cast("long").alias("n_byte_tokens"),
+        F.sum("n_char").cast("long").alias("n_char_tokens"),
+        F.sum("n_bytes").cast("long").alias("n_text_bytes"),
+        F.expr(
+            "CAST(CASE WHEN sum(n_byte) = 0 THEN 0"
+            " ELSE sum(n_bytes) * 1000000 DIV sum(n_byte) END"
+            " AS LONG)"
+        ).alias("bytes_per_token_ppm"),
+        F.expr(
+            "CAST(CASE WHEN sum(n_char) = 0 THEN 0"
+            " ELSE sum(n_byte) * 1000000 DIV sum(n_char) END"
+            " AS LONG)"
+        ).alias("byte_vs_char_ppm"),
+    )

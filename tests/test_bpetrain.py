@@ -475,3 +475,138 @@ def test_epoch_order_permutation_pins(spark, sf_dir):
     assert again == sorted(
         (r["epoch"], r["chunk_id"], r["order_key"]) for r in rows
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level mode pins (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_pretokenizer_cross_engine_agreement(spark, sf_dir):
+    """The GPT-2-style pre-tokenizer regex must split IDENTICALLY
+    under Java (Spark) and RE2 (DuckDB) on the real fixture text —
+    the byte mode's whole oracle story rests on this."""
+    import duckdb
+
+    from kafkatoclickhouse_spark.functions import textfns
+    from kafkatoclickhouse_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: list(r["u"])
+        for r in docs.filter(F.col("text").isNotNull())
+        .select("doc_id", textfns.pretoken_units(F.col("text")).alias("u"))
+        .collect()
+    }
+    con = duckdb.connect()
+    want = {
+        d: u
+        for d, u in con.execute(
+            f"""SELECT doc_id, regexp_extract_all(text,
+                  {textfns.PRETOKEN_RE_SQL})
+               FROM read_parquet('{sf_dir}/documents.parquet')
+               WHERE text IS NOT NULL"""
+        ).fetchall()
+    }
+    assert got == want and got
+
+
+def test_bytes_trainer_matches_chr_mapped_offline(spark, sf_dir):
+    """Closure pin for the byte mode: mapping each byte to a unique
+    unicode char turns byte-level training into char-level training
+    (hex-pair lexicographic order is isomorphic to byte order), so
+    tools/train_bpe.py's full-sweep loop over the mapped vocabulary
+    must reproduce the in-engine byte merges exactly."""
+    from collections import Counter
+
+    wf = {
+        r["word"]: r["cnt"]
+        for r in bpetrain._byte_unit_freqs(spark, sf_dir).collect()
+    }
+    assert wf
+
+    def to_chr(h):
+        return "".join(
+            chr(0x2600 + int(h[i : i + 2], 16))
+            for i in range(0, len(h), 2)
+        )
+
+    def to_hex(cs):
+        return "".join(f"{ord(c) - 0x2600:02x}" for c in cs)
+
+    mapped = Counter({to_chr(w): c for w, c in wf.items()})
+    off = train_bpe.train(mapped, bpetrain.BPE_BYTES_MERGES)
+    want = [(to_hex(a), to_hex(b)) for a, b in off]
+    got = bpetrain.train_merges_bytes(spark, sf_dir)
+    assert got == want and got
+
+
+def test_bytes_trainer_prefix_stable(spark, sf_dir):
+    """Budget growth extends, never rewrites, the byte merge table
+    (the r12 prefix-stability pin carried to the new alphabet)."""
+    wf = {
+        r["word"]: r["cnt"]
+        for r in bpetrain._byte_unit_freqs(spark, sf_dir).collect()
+    }
+    m40 = bpetrain._train_local(dict(wf), 40, sym_width=2)
+    m60 = bpetrain._train_local(dict(wf), 60, sym_width=2)
+    assert m60[: len(m40)] == m40
+
+
+def test_bytes_encode_roundtrip_no_oov(spark, sf_dir):
+    """The byte mode's defining property: NO OOV and LOSSLESS —
+    every id ≥ 0, and concatenating the vocabulary strings of a
+    document's ids reproduces the document's exact UTF-8 hex
+    (whitespace included: unlike the char mode, byte-level
+    pre-tokenization covers every character)."""
+    from kafkatoclickhouse_spark.tables import load_table
+
+    vocab = bpetrain.load_trained_vocab_bytes(spark, sf_dir)
+    inv = {i: s for s, i in vocab.items()}
+    assert len(inv) == len(vocab)  # ids unique (first-id-wins)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = bpetrain.text_bpe_encode_ids_bytes(spark, sf_dir).collect()
+    assert rows
+    nonempty = 0
+    for r in rows:
+        ids = list(r["token_ids"])
+        assert all(t >= 0 for t in ids), r["doc_id"]
+        want = (texts[r["doc_id"]] or "").encode("utf-8").hex()
+        assert "".join(inv[t] for t in ids) == want, r["doc_id"]
+        nonempty += bool(ids)
+    assert nonempty > 0
+
+
+def test_bytes_serve_reads_only_persisted_merges(spark, sf_dir):
+    """Poison pin for the byte artifact: an emptied merge table must
+    change the serve output (every token collapses to one byte) —
+    proving the encode path reads the persisted table, not a silent
+    retrain."""
+    path = bpetrain.text_bpe_bytes_index_build(spark, sf_dir)
+    before = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpetrain.text_bpe_encode_ids_bytes(
+            spark, sf_dir
+        ).collect()
+    }
+    spark.createDataFrame(
+        [], "merge_rank long, left_sym string, right_sym string"
+    ).write.mode("overwrite").parquet(
+        os.path.join(path, "merges.parquet")
+    )
+    try:
+        after = {
+            r["doc_id"]: r["n_tokens"]
+            for r in bpetrain.text_bpe_encode_ids_bytes(
+                spark, sf_dir
+            ).collect()
+        }
+        assert after != before
+        assert all(after[d] >= before[d] for d in before)
+    finally:
+        bpetrain.text_bpe_bytes_index_build(spark, sf_dir, force=True)
