@@ -314,11 +314,27 @@ def _parse_jpeg(payload: bytes):
             comps = []
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad sampling factors {samp:#x}")
+                if progressive and samp != 0x11:
                     raise ValueError(
-                        "subsampled JPEG unsupported (only 4:4:4/gray)"
+                        "subsampled progressive JPEG unsupported"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
+            if nc == 1:
+                # single-component frame: sampling factors are
+                # meaningless (hmax = hi, so the component grid
+                # equals the image grid — T.81 A.1.1); normalize so
+                # the 1x1 fast path serves these streams
+                comps = [(comps[0][0], comps[0][1], 1, 1)]
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            for _cid, _tq, hi, vi in comps:
+                if hmax % hi or vmax % vi:
+                    raise ValueError(
+                        "non-divisor sampling factors unsupported"
+                    )
             frame = (h, w, comps)
         elif marker == 0xC4:  # DHT
             p = 0
@@ -368,9 +384,30 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     progressive, frame, qt, scans = _parse_jpeg(payload)
     h, w, comps = frame
     nc = len(comps)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    subsampled = hmax != 1 or vmax != 1
     by, bx = (h + 7) // 8, (w + 7) // 8
     nb = by * bx
-    if not progressive:
+    if subsampled:
+        # baseline-only (the parser rejects subsampled SOF2): MCU
+        # interleave at mixed sampling factors (T.81 A.2.3)
+        if len(scans) != 1:
+            raise ValueError("multiple scans in a baseline stream")
+        sc, ss, se, ah, al, dc_luts, ac_luts, entropy = scans[0]
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("bad baseline scan header")
+        if len(sc) != nc:
+            raise ValueError("scan/frame component mismatch")
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        coef = _baseline_entropy_decode_sampled(
+            entropy, sc, comps, mcux, mcuy, dc_luts, ac_luts
+        )
+        grids = [
+            (mcuy * vi, mcux * hi) for (_cid, _tq, hi, vi) in comps
+        ]
+    elif not progressive:
         if len(scans) != 1:
             raise ValueError("multiple scans in a baseline stream")
         sc, ss, se, ah, al, dc_luts, ac_luts, entropy = scans[0]
@@ -380,9 +417,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("scan/frame component mismatch")
         flat = _baseline_entropy_decode(entropy, sc, nb, dc_luts, ac_luts)
         coef = [flat[ci::nc] for ci in range(nc)]
+        grids = [(by, bx)] * nc
     else:
         coef = [np.zeros((nb, 64), dtype=np.int64) for _ in range(nc)]
-        cid_to_ci = {cid: i for i, (cid, _tq) in enumerate(comps)}
+        cid_to_ci = {cid: i for i, (cid, *_rest) in enumerate(comps)}
         pred = [0] * nc
         for sc, ss, se, ah, al, dc_luts, ac_luts, entropy in scans:
             br = _Bits(entropy)
@@ -404,17 +442,34 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                     _ac_first_scan(br, coef[cis[0]], ss, se, al, lut, nb)
                 else:
                     _ac_refine_scan(br, coef[cis[0]], ss, se, al, lut, nb)
+        grids = [(by, bx)] * nc
     # batch dequant, unzigzag, iDCT per component — all vectorized
     planes = []
-    for ci, (_cid, tq) in enumerate(comps):
+    for ci, (_cid, tq, hi, vi) in enumerate(comps):
+        by_c, bx_c = grids[ci]
+        nb_c = by_c * bx_c
         dq = coef[ci].astype(np.int64) * qt[tq].astype(np.int64)[None, :]
-        blocks = dq[:, UNZIGZAG].reshape(nb, 8, 8).astype(np.float64)
+        blocks = dq[:, UNZIGZAG].reshape(nb_c, 8, 8).astype(np.float64)
         pix = np.einsum("ij,bjk,kl->bil", _A.T, blocks, _A)
         plane = (
-            pix.reshape(by, bx, 8, 8)
+            pix.reshape(by_c, bx_c, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(by * 8, bx * 8)
+            .reshape(by_c * 8, bx_c * 8)
         )
+        if subsampled:
+            # crop to the component's own dims (ceil(d * fi/fmax)),
+            # then NEAREST upsample by replication — the exactness
+            # carve-out's chroma rule (constant regions reproduce
+            # exactly; a production fancy-upsampler would differ only
+            # inside gradients, which the lossy-path tests bound)
+            ch = -(-h * vi // vmax)
+            cw = -(-w * hi // hmax)
+            plane = plane[:ch, :cw]
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0),
+                hmax // hi,
+                axis=1,
+            )
         planes.append(plane[:h, :w] + 128.0)
     if len(planes) == 1:
         g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
@@ -506,6 +561,109 @@ def _baseline_entropy_decode(
         if pos > total_bits + 7:
             raise ValueError("JPEG entropy stream exhausted")
     return np.array(flat, dtype=np.int64).reshape(n_blocks, 64)
+
+
+def _baseline_entropy_decode_sampled(
+    entropy: bytes, scan, comps, mcux: int, mcuy: int, dc_luts, ac_luts
+):
+    """MCU-interleaved entropy decode at mixed sampling factors
+    (T.81 A.2.3): within each MCU, components in scan order, each
+    contributing Vi×Hi blocks in raster order. Returns one
+    (nb_c, 64) int64 coefficient matrix per component, indexed by
+    the component's OWN block grid (mcuy*Vi rows × mcux*Hi cols).
+    Same 16-bit-peek LUT walk as the 1×1 fast loop."""
+    data = entropy + b"\x00\x00\x00\x00"
+    cid_to_ci = {cid: i for i, (cid, *_rest) in enumerate(comps)}
+    flats = [
+        [0] * (mcux * hi * mcuy * vi * 64)
+        for (_cid, _tq, hi, vi) in comps
+    ]
+    # per-MCU slot schedule: (ci, v, hh, hi, vi, dc_lut, ac_lut)
+    slots = []
+    for cid, td, ta in scan:
+        ci = cid_to_ci[cid]
+        _cid, _tq, hi, vi = comps[ci]
+        for v in range(vi):
+            for hh in range(hi):
+                slots.append(
+                    (ci, v, hh, hi, vi, dc_luts[td], ac_luts[ta])
+                )
+    pred = [0] * len(comps)
+    pos = 0
+    total_bits = (len(data) - 4) * 8
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, v, hh, hi, vi, dc_lut, ac_lut in slots:
+                flat = flats[ci]
+                base = (
+                    (my * vi + v) * (mcux * hi) + (mx * hi + hh)
+                ) * 64
+                i = pos >> 3
+                wnd = (
+                    (data[i] << 24) | (data[i + 1] << 16)
+                    | (data[i + 2] << 8) | data[i + 3]
+                )
+                e = dc_lut[(wnd >> (16 - (pos & 7))) & 0xFFFF]
+                if e == 0:
+                    raise ValueError("invalid Huffman code in JPEG stream")
+                sz = e >> 8
+                pos += e & 0xFF
+                if sz:
+                    i = pos >> 3
+                    wnd = (
+                        (data[i] << 24) | (data[i + 1] << 16)
+                        | (data[i + 2] << 8) | data[i + 3]
+                    )
+                    val = (wnd >> (32 - (pos & 7) - sz)) & ((1 << sz) - 1)
+                    pos += sz
+                    pred[ci] += (
+                        val if val >= (1 << (sz - 1)) else val - (1 << sz) + 1
+                    )
+                flat[base] = pred[ci]
+                k = 1
+                while k < 64:
+                    i = pos >> 3
+                    wnd = (
+                        (data[i] << 24) | (data[i + 1] << 16)
+                        | (data[i + 2] << 8) | data[i + 3]
+                    )
+                    e = ac_lut[(wnd >> (16 - (pos & 7))) & 0xFFFF]
+                    if e == 0:
+                        raise ValueError(
+                            "invalid Huffman code in JPEG stream"
+                        )
+                    rs = e >> 8
+                    pos += e & 0xFF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    size = rs & 0x0F
+                    if k > 63:
+                        raise ValueError("AC coefficient overrun")
+                    i = pos >> 3
+                    wnd = (
+                        (data[i] << 24) | (data[i + 1] << 16)
+                        | (data[i + 2] << 8) | data[i + 3]
+                    )
+                    val = (
+                        (wnd >> (32 - (pos & 7) - size))
+                        & ((1 << size) - 1)
+                    )
+                    pos += size
+                    flat[base + k] = (
+                        val
+                        if val >= (1 << (size - 1))
+                        else val - (1 << size) + 1
+                    )
+                    k += 1
+                if pos > total_bits + 7:
+                    raise ValueError("JPEG entropy stream exhausted")
+    return [
+        np.array(f, dtype=np.int64).reshape(-1, 64) for f in flats
+    ]
 
 
 # ------------------- progressive scan kernels (T.81 Annex G) ---------
@@ -804,6 +962,93 @@ def encode_jpeg_rgb(img: np.ndarray, quant: np.ndarray = COLOR_QUANT) -> bytes:
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 9, 8, h, w, 3)
     for cid in (1, 2, 3):
         out += bytes([cid, 0x11, 0])
+    out += _dht_seg(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+    out += _dht_seg(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+    out += _dht_seg(0, 1, DC_CHR_BITS, DC_CHR_VALS)
+    out += _dht_seg(1, 1, AC_CHR_BITS, AC_CHR_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3)
+    out += bytes([1, 0x00])
+    out += bytes([2, 0x11])
+    out += bytes([3, 0x11])
+    out += bytes([0, 63, 0])
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_rgb_subsampled(
+    img: np.ndarray,
+    sampling: tuple[int, int] = (2, 2),
+    quant: np.ndarray = COLOR_QUANT,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline chroma-subsampled YCbCr JPEG.
+    ``sampling`` = luma (Hi, Vi): (2, 2) = 4:2:0, (2, 1) = 4:2:2;
+    chroma rides at 1×1. Chroma is BOX-AVERAGE downsampled after
+    edge-replicate padding to the MCU grid, so a region whose chroma
+    is constant per chroma block encodes exactly — the decode-side
+    exactness carve-out's chroma half."""
+    sh, sv = sampling
+    if (sh, sv) not in ((2, 2), (2, 1), (1, 2)):
+        raise ValueError(f"unsupported sampling {sampling}")
+    h, w, _ = img.shape
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    mh, mw = 8 * sv, 8 * sh
+    H, W = -(-h // mh) * mh, -(-w // mw) * mw
+
+    def pad(p: np.ndarray) -> np.ndarray:
+        out = np.empty((H, W), dtype=np.float64)
+        out[:h, :w] = p
+        out[h:, :w] = p[h - 1 : h, :]
+        out[:, w:] = out[:, w - 1 : w]
+        return out
+
+    def down(p: np.ndarray) -> np.ndarray:
+        return p.reshape(H // sv, sv, W // sh, sh).mean(axis=(1, 3))
+
+    yp = np.round(pad(y))
+    cbd = np.round(down(pad(cb)))
+    crd = np.round(down(pad(cr)))
+    tabs = [
+        (_canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
+         _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)),
+        (_canonical_codes(DC_CHR_BITS, DC_CHR_VALS),
+         _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)),
+        (_canonical_codes(DC_CHR_BITS, DC_CHR_VALS),
+         _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)),
+    ]
+    comp = [_component_qcoefs(p, quant) for p in (yp, cbd, crd)]
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    mcux, mcuy = W // mw, H // mh
+    ybx = W // 8  # luma blocks across
+    cbx = W // (8 * sh)  # chroma blocks across
+    for my in range(mcuy):
+        for mx in range(mcux):
+            qrows, lasts = comp[0]
+            for v in range(sv):
+                for hh in range(sh):
+                    blk = (my * sv + v) * ybx + (mx * sh + hh)
+                    preds[0] = _encode_block(
+                        writer, qrows[blk], lasts[blk], preds[0],
+                        *tabs[0],
+                    )
+            for ci in (1, 2):
+                qrows, lasts = comp[ci]
+                blk = my * cbx + mx
+                preds[ci] = _encode_block(
+                    writer, qrows[blk], lasts[blk], preds[ci],
+                    *tabs[ci],
+                )
+    out = bytearray(b"\xff\xd8")
+    out += _quant_seg(0, quant)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 9, 8, h, w, 3)
+    out += bytes([1, (sh << 4) | sv, 0])
+    out += bytes([2, 0x11, 0])
+    out += bytes([3, 0x11, 0])
     out += _dht_seg(0, 0, DC_LUM_BITS, DC_LUM_VALS)
     out += _dht_seg(1, 0, AC_LUM_BITS, AC_LUM_VALS)
     out += _dht_seg(0, 1, DC_CHR_BITS, DC_CHR_VALS)

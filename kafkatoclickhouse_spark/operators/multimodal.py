@@ -847,6 +847,113 @@ def multimodal_decode_jpeg_progressive_stats(
     return decode_stats(synthesize_jpeg_progressive_images(docs))
 
 
+# --- 4:2:0 chroma-subsampled JPEG fixture + oracled decode (r13) ------
+#
+# Real-world color JPEGs are overwhelmingly 4:2:0; until r13 those
+# streams took the PIL-fallback route (VERDICT r12 #2). The codec now
+# decodes subsampled BASELINE natively (MCU interleave at mixed
+# sampling factors + nearest chroma upsample, operators/jpeg.py),
+# certified here under the carve-out's color extension: GRAY-VALUED
+# tiles in a REAL 3-component 4:2:0 stream have Y block-constant
+# (exact DC-only luma) and chroma constant 128 (exactly zero
+# coefficients), so the full interleaved decode — 4 Y blocks + Cb +
+# Cr per MCU, per-component DC prediction chains, chroma upsample,
+# color transform — is bit-exact and the oracle replays the
+# closed-form block rule. Lossy color content is bounded in
+# tests/test_jpeg.py (16×16 color tiles decode within ±1).
+
+J420_BW_BASE, J420_BW_MOD = 3, 3  # luma blocks across = 3 + d % 3
+J420_BH_BASE, J420_BH_MOD = 3, 2  # luma blocks down   = 3 + d % 2
+
+
+def _jpeg420_block_value(doc_id, bx, by):
+    """Shared block-luma rule, mirrored textually in the oracle —
+    distinct constants from the other JPEG fixtures so a cross-wired
+    fixture (or a decoder ignoring the sampled path) cannot pass."""
+    return (doc_id * 37 + bx * 13 + by * 11) % 256
+
+
+def synthesize_jpeg420_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with a REAL baseline 4:2:0 color JPEG per
+    document — three components at mixed sampling factors (luma 2×2,
+    chroma 1×1), MCU-interleaved entropy stream, chroma Huffman
+    tables, box-average chroma downsample. Dims are deliberately NOT
+    MCU-aligned for every doc (odd luma block counts), so the
+    encoder's edge-replicate pad and the decoder's component crop
+    are load-bearing. Map-only, like the other synthesizers."""
+    import numpy as np
+
+    from kafkatoclickhouse_spark.operators.jpeg import (
+        encode_jpeg_rgb_subsampled,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw = J420_BW_BASE + d % J420_BW_MOD
+                bh = J420_BH_BASE + d % J420_BH_MOD
+                by, bx = np.mgrid[0:bh, 0:bw]
+                blocks = _jpeg420_block_value(d, bx, by)
+                gray = np.kron(
+                    blocks, np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                img = np.stack([gray, gray, gray], axis=-1)
+                payloads.append(
+                    encode_jpeg_rgb_subsampled(img, (2, 2))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+@query(
+    "multimodal_decode_jpeg420_stats",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             {J420_BW_BASE} + doc_id % {J420_BW_MOD} AS bw,
+             {J420_BH_BASE} + doc_id % {J420_BH_MOD} AS bh
+      FROM documents
+    ),
+    blk AS (
+      SELECT doc_id, bw, bh, unnest(range(bw * bh)) AS i FROM dims
+    ),
+    v AS (
+      SELECT doc_id, bw, bh,
+             (doc_id * 37 + (i % bw) * 13 + (i // bw) * 11) % 256 AS val
+      FROM blk
+    )
+    SELECT doc_id,
+           CAST(MAX(bw) * 8 AS INTEGER) AS width,
+           CAST(MAX(bh) * 8 AS INTEGER) AS height,
+           3 AS channels,
+           CAST(SUM(val) * 64 AS BIGINT) AS sum_r,
+           CAST(SUM(val) * 64 AS BIGINT) AS sum_g,
+           CAST(SUM(val) * 64 AS BIGINT) AS sum_b
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_decode_jpeg420_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synthesize a baseline 4:2:0 color JPEG per document (gray-
+    valued block-constant tiles — the carve-out's color extension),
+    decode it through the MCU-interleaved sampled path — per-MCU
+    4×Y + Cb + Cr block schedule, three DC prediction chains, chroma
+    Huffman tables, component crop, nearest upsample, YCbCr→RGB —
+    and report exact per-channel pixel sums. The oracle recomputes
+    the closed-form rule without seeing a byte of JPEG, so every
+    stage of the subsampled decode is load-bearing for the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_stats(synthesize_jpeg420_images(docs))
+
+
 # --- PNG fixture + oracled decode (VERDICT r8 #2) --------------------
 #
 # PNG is lossless, so no carve-out is needed: any closed-form pixel
@@ -1246,6 +1353,13 @@ def _classify_jpeg(p: bytes) -> tuple[str, str, str]:
             if i + 10 + 3 * ncomp > len(p):  # component table cut off
                 return ("jpeg", "fallback", "truncated")
             samplings = [p[i + 10 + 3 * c + 1] for c in range(ncomp)]
+            hs = [s >> 4 for s in samplings]
+            vs = [s & 0x0F for s in samplings]
+            factors_ok = (
+                all(1 <= f <= 4 for f in hs + vs)
+                and all(max(hs) % f == 0 for f in hs)
+                and all(max(vs) % f == 0 for f in vs)
+            )
             if (
                 m in (0xC0, 0xC2)
                 and precision == 8
@@ -1254,6 +1368,19 @@ def _classify_jpeg(p: bytes) -> tuple[str, str, str]:
                 # baseline AND progressive both decode natively (r11)
                 detail = (
                     "jpeg_baseline" if m == 0xC0 else "jpeg_progressive"
+                )
+                return ("jpeg", _try_pure(p), detail)
+            if m == 0xC0 and precision == 8 and factors_ok:
+                # subsampled BASELINE decodes natively since r13
+                # (MCU interleave + nearest chroma upsample); the
+                # detail names the layout for the coverage report
+                maxh, maxv = max(hs), max(vs)
+                detail = (
+                    "jpeg420"
+                    if (maxh, maxv) == (2, 2)
+                    else "jpeg422"
+                    if (maxh, maxv) in ((2, 1), (1, 2))
+                    else "jpeg_sampled"
                 )
                 return ("jpeg", _try_pure(p), detail)
             if m not in (0xC0, 0xC2):
@@ -1424,16 +1551,17 @@ def _synthesize_deep_jpeg_headers(docs: DataFrame) -> DataFrame:
     oracle="""
     SELECT format, path, detail, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM (
-      SELECT CASE CAST(doc_id % 9 AS INTEGER)
+      SELECT CASE CAST(doc_id % 10 AS INTEGER)
                WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
                WHEN 2 THEN 'jpeg' WHEN 3 THEN 'png'
                WHEN 4 THEN 'jpeg' WHEN 6 THEN 'png'
                WHEN 7 THEN 'png' WHEN 8 THEN 'jpeg'
+               WHEN 9 THEN 'jpeg'
                ELSE 'unknown' END AS format,
-             CASE CAST(doc_id % 9 AS INTEGER)
+             CASE CAST(doc_id % 10 AS INTEGER)
                WHEN 8 THEN 'fallback'
                WHEN 5 THEN 'undecodable' ELSE 'pure' END AS path,
-             CASE CAST(doc_id % 9 AS INTEGER)
+             CASE CAST(doc_id % 10 AS INTEGER)
                WHEN 0 THEN 'ppm_p6' WHEN 1 THEN 'bmp24'
                WHEN 2 THEN 'jpeg_baseline'
                WHEN 3 THEN 'png8_noninterlaced'
@@ -1441,6 +1569,7 @@ def _synthesize_deep_jpeg_headers(docs: DataFrame) -> DataFrame:
                WHEN 6 THEN 'png_interlaced'
                WHEN 7 THEN 'png16'
                WHEN 8 THEN 'jpeg_deep'
+               WHEN 9 THEN 'jpeg420'
                ELSE 'unknown_magic' END AS detail
       FROM documents)
     GROUP BY format, path, detail
@@ -1450,15 +1579,17 @@ def multimodal_codec_coverage(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Codec-coverage report over a MIXED image corpus: one payload
-    per document, format by doc_id % 9 (PPM / BMP24 / baseline JPEG
+    per document, format by doc_id % 10 (PPM / BMP24 / baseline JPEG
     / PNG / REAL progressive JPEG / non-image bytes / Adam7
-    interlaced PNG / 16-bit PNG / 12-bit JPEG header), classified by
+    interlaced PNG / 16-bit PNG / 12-bit JPEG header / REAL 4:2:0
+    color JPEG), classified by
     :func:`classify_image` and counted by (format, route, detail).
     The oracle predicts every class in closed form, so the hash
     match certifies (a) the marker-level triage routes each
     synthesized format correctly — progressive JPEG and interlaced
     PNG route PURE since r11, 16-bit PNG since r12, and their
-    streams actually decode, (b) every pure-routed stream DECODES (a
+    streams actually decode and 4:2:0 baseline routes PURE since
+    r13, (b) every pure-routed stream DECODES (a
     codec regression flips its row to path='error' and fails
     parity), and (c) nothing raises on the fallback/undecodable
     classes (12-bit JPEG keeps the fallback route exercised now that
@@ -1466,7 +1597,7 @@ def multimodal_codec_coverage(
     (format, path, detail) triples — at 100 TB the payloads never
     leave their scan tasks."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    cls = F.col("doc_id") % 9
+    cls = F.col("doc_id") % 10
     branches = [
         synthesize_ppm_images(docs.filter(cls == 0)),
         synthesize_bmp_images(docs.filter(cls == 1), w=32, h=16),
@@ -1485,6 +1616,7 @@ def multimodal_codec_coverage(
         synthesize_png_interlaced_images(docs.filter(cls == 6)),
         synthesize_png16_images(docs.filter(cls == 7)),
         _synthesize_deep_jpeg_headers(docs.filter(cls == 8)),
+        synthesize_jpeg420_images(docs.filter(cls == 9)),
     ]
     mixed = branches[0]
     for b in branches[1:]:

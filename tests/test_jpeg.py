@@ -91,12 +91,15 @@ def test_non_baseline_streams_rejected_loudly():
     enc1[i + 1] = 0xC1
     with pytest.raises(ValueError, match="frame type"):
         J.decode_jpeg(bytes(enc1))
-    # 4:2:0 subsampling flag
+    # sampling factors on a SINGLE-component frame are meaningless
+    # (hmax = hi — T.81 A.1.1): since r13 the decoder normalizes
+    # them to 1x1 and decodes identically instead of raising
     enc2 = bytearray(J.encode_jpeg_gray(img))
     i = bytes(enc2).find(b"\xff\xc0")
     enc2[i + 2 + 2 + 6 + 1] = 0x22  # sampling byte of component 1
-    with pytest.raises(ValueError, match="subsampl"):
-        J.decode_jpeg(bytes(enc2))
+    assert np.array_equal(
+        J.decode_jpeg(bytes(enc2)), J.decode_jpeg(bytes(J.encode_jpeg_gray(img)))
+    )
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"not a jpeg")
 
@@ -273,3 +276,109 @@ def test_property_malformed_progressive_raise_valueerror_only(cut, seed):
             J.decode_jpeg(stream)
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Chroma-subsampled baseline (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_subsampled_gray_tiles_bit_exact_all_layouts():
+    """The carve-out's color extension: gray-valued 8×8-constant
+    tiles in a REAL 3-component subsampled stream decode bit-exactly
+    for 4:2:0, 4:2:2, and 4:4:0 — Y is DC-only, chroma is constant
+    128 (zero coefficients), and nearest upsample of a constant is
+    the constant."""
+    rng = np.random.RandomState(11)
+    for sampling in ((2, 2), (2, 1), (1, 2)):
+        for bh, bw in ((2, 3), (3, 2), (4, 4)):
+            blocks = rng.randint(0, 256, size=(bh, bw))
+            gray = np.kron(
+                blocks, np.ones((8, 8), dtype=np.int64)
+            ).astype(np.uint8)
+            img = np.stack([gray, gray, gray], axis=-1)
+            out = J.decode_jpeg(
+                J.encode_jpeg_rgb_subsampled(img, sampling)
+            )
+            assert np.array_equal(out, img), (sampling, bh, bw)
+
+
+def test_subsampled_color_tiles_bounded():
+    """16×16-constant COLOR tiles (so the box-averaged chroma is
+    chroma-block-constant): the only error sources are the two
+    YCbCr float round-trips — decode within ±2 per channel."""
+    rng = np.random.RandomState(5)
+    blocks = rng.randint(0, 256, size=(3, 4, 3))
+    img = (
+        np.kron(
+            blocks.transpose(2, 0, 1), np.ones((16, 16), dtype=np.int64)
+        )
+        .transpose(1, 2, 0)
+        .astype(np.uint8)
+    )
+    out = J.decode_jpeg(J.encode_jpeg_rgb_subsampled(img, (2, 2)))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_subsampled_dc_prediction_chains_are_per_component():
+    """Distinct per-component DC predictors across many MCUs: a
+    gradient of tile values makes every Y/Cb/Cr DC diff nonzero and
+    different — a shared or mis-ordered predictor corrupts pixels."""
+    bh, bw = 4, 6
+    by, bx = np.mgrid[0:bh, 0:bw]
+    gray = np.kron(
+        (by * 40 + bx * 7) % 256, np.ones((8, 8), dtype=np.int64)
+    ).astype(np.uint8)
+    img = np.stack([gray, gray, gray], axis=-1)
+    out = J.decode_jpeg(J.encode_jpeg_rgb_subsampled(img, (2, 2)))
+    assert np.array_equal(out, img)
+
+
+def test_subsampled_rejects_progressive_and_bad_factors():
+    import struct
+
+    # subsampled SOF2 must raise, not silently mis-decode
+    img = np.full((16, 16, 3), 90, dtype=np.uint8)
+    payload = bytearray(J.encode_jpeg_rgb_subsampled(img, (2, 2)))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # flip SOF0 -> SOF2
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(payload))
+    # non-divisor factor combos must raise (3x1 luma vs 2x1 chroma)
+    payload = bytearray(J.encode_jpeg_rgb_subsampled(img, (2, 2)))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 10 + 1] = 0x32  # luma Hi=3, Vi=2 over chroma 1x1
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(payload))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=8, max_value=40),
+    w=st.integers(min_value=8, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    sampling=st.sampled_from([(2, 2), (2, 1), (1, 2)]),
+)
+def test_property_subsampled_lossy_roundtrip_bounded(
+    h, w, seed, sampling
+):
+    """Arbitrary color content at arbitrary (non-MCU-aligned) dims
+    through the subsampled encode/decode: shape preserved, and the
+    smooth-content error stays within the quantizer+subsample bound.
+    Content is a low-frequency gradient so the chroma loss is
+    dominated by averaging, not aliasing."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = rng.randint(0, 120, size=3)
+    img = np.stack(
+        [
+            (base[c] + yy * rng.randint(0, 3) + xx * rng.randint(0, 3))
+            % 200
+            for c in range(3)
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg_rgb_subsampled(img, sampling))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() <= 30.0
