@@ -178,6 +178,17 @@ HEADLINE = [
     "text_bpe_encode_ids",
     "corpus_pack_examples",
     "corpus_pack_bestfit_trained",
+    # round-13 session additions: packed-example boundary metadata,
+    # deterministic epoch order, byte-level BPE (GPT-2-style
+    # pre-tokenization), 4:2:0 JPEG + GIF native decode
+    "corpus_pack_examples_spans",
+    "corpus_pack_bestfit_examples_trained",
+    "corpus_epoch_order",
+    "text_bpe_train_bytes",
+    "text_bpe_encode_ids_bytes",
+    "corpus_tokenizer_fertility_bytes",
+    "multimodal_decode_jpeg420_stats",
+    "multimodal_decode_gif_stats",
 ]
 
 

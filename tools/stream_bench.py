@@ -161,6 +161,96 @@ def breakdown(spark, feed: str, n_rows: int, work: str, window_size: int):
     return out
 
 
+def curate_breakdown(spark, sf_dir: str, work: str, window_size: int):
+    """Per-stage throughput of the CURATION topology (VERDICT r12
+    #7): the documents feed drained through progressively more of
+    the curation chain — none (the bare per-source count window),
+    + classifier gate, + decontamination, + the dedup horizon —
+    each warm + median-of-3 timed drains, so differencing attributes
+    cost per stage. Also reports the dedup state size from the last
+    progress event's stateOperators (the state-growth signal a
+    production run watches)."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from kafkatoclickhouse_spark.functions import hashing
+    from kafkatoclickhouse_spark.operators import decontam as bd
+    from kafkatoclickhouse_spark.streaming import curation
+    from kafkatoclickhouse_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+    )
+    feed = os.path.join(work, "docs_feed")
+    docs.write.parquet(os.path.join(feed, "documents.parquet"))
+    n_docs = docs.count()
+    eval_shingles = (
+        docs.where(F.col("doc_id") % bd.EVAL_MOD == 0)
+        .select(
+            F.explode(
+                hashing.word_shingles(F.col("text"), bd.DECONTAM_N)
+            ).alias("shingle")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    schema = spark.read.parquet(
+        os.path.join(feed, "documents.parquet")
+    ).schema
+
+    state_rows = {}
+
+    def variant(name: str, stages: tuple[str, ...]):
+        walls = []
+        for rnd in ("warm", "t0", "t1", "t2"):
+            ckpt = os.path.join(work, f"cur_{name}_{rnd}_ckpt")
+            out = os.path.join(work, f"cur_{name}_{rnd}_out")
+            stream = spark.readStream.schema(schema).parquet(
+                os.path.join(feed, "documents.parquet")
+            )
+            t0 = time.perf_counter()
+            q = curation.start_curation(
+                spark,
+                sf_dir,
+                stream,
+                write_fn=sink.parquet_writer(out),
+                checkpoint_dir=ckpt,
+                stages=stages,
+                eval_shingles=(
+                    eval_shingles if "decontam" in stages else None
+                ),
+                ts_col="ingest_ts" if "dedup" in stages else None,
+                window_size=window_size,
+                available_now=True,
+            )
+            q.awaitTermination(600)
+            if rnd == "t2":
+                prog = q.lastProgress
+                ops = (prog or {}).get("stateOperators") or []
+                state_rows[name] = sum(
+                    int(o.get("numRowsTotal", 0)) for o in ops
+                )
+            if rnd != "warm":
+                walls.append(time.perf_counter() - t0)
+        return round(n_docs / statistics.median(walls), 1)
+
+    out = {
+        "window_only": variant("plain", ()),
+        "score": variant("score", ("score",)),
+        "score_decontam": variant("sd", ("score", "decontam")),
+        "full_curation": variant(
+            "full", ("score", "decontam", "dedup")
+        ),
+    }
+    return {
+        "rows_per_sec": out,
+        "n_docs": n_docs,
+        "state_rows_last_batch": state_rows,
+    }
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
@@ -212,6 +302,10 @@ def main() -> None:
         if "--breakdown" in sys.argv:
             payload["breakdown_rows_per_sec"] = breakdown(
                 spark, feed, n_rows, work, window_size
+            )
+        if "--curate" in sys.argv:
+            payload["curation"] = curate_breakdown(
+                spark, sf_dir, work, window_size
             )
         print(json.dumps(payload))
     finally:
