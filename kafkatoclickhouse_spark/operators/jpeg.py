@@ -317,10 +317,6 @@ def _parse_jpeg(payload: bytes):
                 hi, vi = samp >> 4, samp & 0x0F
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(f"bad sampling factors {samp:#x}")
-                if progressive and samp != 0x11:
-                    raise ValueError(
-                        "subsampled progressive JPEG unsupported"
-                    )
                 comps.append((cid, tq, hi, vi))
             if nc == 1:
                 # single-component frame: sampling factors are
@@ -330,6 +326,10 @@ def _parse_jpeg(payload: bytes):
                 comps = [(comps[0][0], comps[0][1], 1, 1)]
             hmax = max(c[2] for c in comps)
             vmax = max(c[3] for c in comps)
+            if progressive and (hmax != 1 or vmax != 1):
+                raise ValueError(
+                    "subsampled progressive JPEG unsupported"
+                )
             for _cid, _tq, hi, vi in comps:
                 if hmax % hi or vmax % vi:
                     raise ValueError(

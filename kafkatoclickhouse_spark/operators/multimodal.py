@@ -1477,6 +1477,11 @@ def _classify_jpeg(p: bytes) -> tuple[str, str, str]:
             if i + 10 + 3 * ncomp > len(p):  # component table cut off
                 return ("jpeg", "fallback", "truncated")
             samplings = [p[i + 10 + 3 * c + 1] for c in range(ncomp)]
+            if ncomp == 1:
+                # single-component frames: sampling factors are
+                # meaningless (T.81 A.1.1) — the decoder normalizes
+                # to 1x1, so the triage must route these baseline
+                samplings = [0x11]
             hs = [s >> 4 for s in samplings]
             vs = [s & 0x0F for s in samplings]
             factors_ok = (
@@ -1487,7 +1492,7 @@ def _classify_jpeg(p: bytes) -> tuple[str, str, str]:
             if (
                 m in (0xC0, 0xC2)
                 and precision == 8
-                and all(s == 0x11 for s in samplings)
+                and (maxhv := (max(hs), max(vs))) == (1, 1)
             ):
                 # baseline AND progressive both decode natively (r11)
                 detail = (

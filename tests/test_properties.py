@@ -827,8 +827,30 @@ def test_classify_image_routes_off_fixture_variants():
     assert classify_image(sof(0xC2))[2] == "jpeg_progressive"
     assert classify_image(sof(0xC1))[2] == "jpeg_extended"
     assert classify_image(sof(0xC0, precision=12))[2] == "jpeg_deep"
-    assert classify_image(sof(0xC0, sampling=0x22))[2] == (
-        "jpeg_subsampled"
+    # r13: single-component sampling factors normalize to 1x1
+    # (T.81 A.1.1) — routes baseline; the header-only stream then
+    # fails the pure decode, surfacing as 'error' by design
+    assert classify_image(sof(0xC0, sampling=0x22))[:1] + (
+        classify_image(sof(0xC0, sampling=0x22))[2],
+    ) == ("jpeg", "jpeg_baseline")
+    # single-component PROGRESSIVE normalizes the same way (routes
+    # progressive; header-only stream -> decode error by design)
+    assert classify_image(sof(0xC2, sampling=0x22)) == (
+        "jpeg", "error", "jpeg_progressive"
+    )
+    # MULTI-component subsampled progressive stays on fallback
+    multi = bytes(
+        [0xFF, 0xC2, 0x00, 0x11, 8, 0, 8, 0, 8, 3,
+         1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    assert classify_image(b"\xff\xd8" + multi) == (
+        "jpeg", "fallback", "jpeg_subsampled"
+    )
+    # MULTI-component subsampled BASELINE routes pure-class (r13);
+    # header-only stream surfaces as decode error
+    multi0 = bytes([0xFF, 0xC0]) + multi[2:]
+    assert classify_image(b"\xff\xd8" + multi0) == (
+        "jpeg", "error", "jpeg420"
     )
     assert classify_image(b"\xff\xd8\xff\xda\x00\x02")[2] == (
         "jpeg_no_sof"
@@ -845,8 +867,11 @@ def test_classify_image_routes_off_fixture_variants():
         "bmp", "fallback", "bmp_compressed",
     )
 
-    assert classify_image(b"GIF89a....") == (
-        "unknown", "undecodable", "unknown_magic",
+    # r13: GIF magic is recognized (native codec) — a truncated
+    # stream routes 'error' out of the pure decode, never a raise
+    assert classify_image(b"GIF89a....") == ("gif", "error", "gif89a")
+    assert classify_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == (
+        "webp", "fallback", "webp"
     )
 
     # truncated recognized-magic streams must ROUTE, never raise
