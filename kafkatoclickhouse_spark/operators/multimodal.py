@@ -959,8 +959,15 @@ def multimodal_decode_jpeg420_stats(
     Huffman tables, component crop, nearest upsample, YCbCr→RGB —
     and report exact per-channel pixel sums. The oracle recomputes
     the closed-form rule without seeing a byte of JPEG, so every
-    stage of the subsampled decode is load-bearing for the hash."""
-    docs = load_table(spark, sf_dir, "documents")
+    stage of the subsampled decode is load-bearing for the hash.
+    Fan-out: the sampled codec loop is the most per-doc-expensive of
+    the image fixtures (6 blocks/MCU, three DC chains), so the
+    single-split local fixture is repartitioned to the core count
+    before the synth+decode map stage (input-layout guard — a no-op
+    on real multi-split inputs)."""
+    from kafkatoclickhouse_spark.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_stats(synthesize_jpeg420_images(docs))
 
 
