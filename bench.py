@@ -189,6 +189,7 @@ HEADLINE = [
     "corpus_tokenizer_fertility_bytes",
     "multimodal_decode_jpeg420_stats",
     "multimodal_decode_gif_stats",
+    "multimodal_decode_jpeg_restart_stats",
 ]
 
 

@@ -16,10 +16,12 @@ raw bit per block), AC first with spectral selection and EOB-run
 decoding, and AC refinement (the G.1.2.3 correction-bit walk:
 newly-significant ±1<<Al insertion, history-coefficient correction
 bits inside runs, ZRL and EOB-run semantics over zero-HISTORY
-positions only). Subsampled, 12-bit, lossless/hierarchical,
-arithmetic-coded and restart-interval streams are rejected LOUDLY
-(ValueError), never silently mis-decoded; on a real cluster those
-fall through to PIL (see ``multimodal.py``).
+positions only). Chroma-subsampled baseline (4:2:0/4:2:2/4:4:0 — MCU interleave +
+nearest upsample) and restart-interval (DRI/RSTn) sequential streams
+decode natively since r13; 12-bit, lossless/hierarchical,
+arithmetic-coded, and progressive-with-restarts streams are rejected
+LOUDLY (ValueError), never silently mis-decoded; on a real cluster
+those fall through to PIL (see ``multimodal.py``).
 
 Encoder: the matching baseline writer (used for fixture synthesis
 and round-trip tests) — forward DCT, quantization, zigzag, canonical
@@ -220,6 +222,15 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self._out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-bit pad) and emit RSTm — T.81 F.1.2.3. The
+        pad byte goes through put() so an all-ones 0xFF still gets
+        stuffed; the marker itself is raw."""
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)
+        self._out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -246,17 +257,44 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def _find_scan_end(payload: bytes, start: int) -> int:
     """First marker position at/after ``start`` — entropy data ends
-    at any 0xFF not followed by a stuffed 0x00."""
+    at any 0xFF not followed by a stuffed 0x00 or an RSTn marker
+    (restart markers live INSIDE the entropy stream)."""
     e = start
     n = len(payload)
     while True:
         f = payload.find(b"\xff", e)
         if f < 0 or f + 1 >= n:
             return n
-        if payload[f + 1] == 0x00:  # stuffed data byte
+        nxt = payload[f + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
             e = f + 2
             continue
         return f
+
+
+def _split_restart_segments(data: bytes) -> list[bytes]:
+    """Split raw scan bytes into per-restart-interval entropy
+    segments at RSTn markers (safe on raw bytes: a true 0xFF data
+    byte is always stuffed as FF 00, so FF D0-D7 sequences are
+    genuine markers), each segment unstuffed."""
+    segs: list[bytes] = []
+    pos = 0
+    e = 0
+    n = len(data)
+    while True:
+        f = data.find(b"\xff", e)
+        if f < 0 or f + 1 >= n:
+            segs.append(_unstuff(data[pos:]))
+            return segs
+        nxt = data[f + 1]
+        if 0xD0 <= nxt <= 0xD7:
+            segs.append(_unstuff(data[pos:f]))
+            pos = e = f + 2
+            continue
+        e = f + 2 if nxt == 0x00 else f + 1
+        if nxt != 0x00 and f + 1 >= n:
+            segs.append(_unstuff(data[pos:]))
+            return segs
 
 
 def _parse_jpeg(payload: bytes):
@@ -273,6 +311,7 @@ def _parse_jpeg(payload: bytes):
     huff_ac_raw: dict[int, tuple[list[int], list[int]]] = {}
     frame = None
     progressive = False
+    dri = 0
     scans = []
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -282,7 +321,8 @@ def _parse_jpeg(payload: bytes):
         if marker == 0xD9:  # EOI
             break
         if 0xD0 <= marker <= 0xD7:
-            raise ValueError("restart markers unsupported")
+            # standalone RST outside a scan's entropy stream
+            raise ValueError("restart marker outside entropy data")
         if marker in (0xC1, 0xC3) or (
             0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC)
         ):
@@ -290,10 +330,13 @@ def _parse_jpeg(payload: bytes):
                 f"unsupported JPEG frame type 0x{marker:02x} "
                 "(only baseline SOF0 / progressive SOF2)"
             )
-        if marker == 0xDD:
-            raise ValueError("restart intervals (DRI) unsupported")
+        # DRI handled below (segment with 2-byte interval payload)
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDD:  # DRI: restart interval in MCUs
+            dri = (seg[0] << 8) | seg[1]
+            pos += seglen
+            continue
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
@@ -369,8 +412,19 @@ def _parse_jpeg(payload: bytes):
                     ac_luts[ta] = _lut_table(*huff_ac_raw[ta])
             data_start = pos + seglen
             data_end = _find_scan_end(payload, data_start)
-            entropy = _unstuff(payload[data_start:data_end])
-            scans.append((sc, ss, se, ah, al, dc_luts, ac_luts, entropy))
+            raw = payload[data_start:data_end]
+            if dri:
+                if progressive:
+                    raise ValueError(
+                        "restart intervals in progressive JPEG "
+                        "unsupported"
+                    )
+                segments = _split_restart_segments(raw)
+            else:
+                segments = [_unstuff(raw)]
+            scans.append(
+                (sc, ss, se, ah, al, dc_luts, ac_luts, segments, dri)
+            )
             pos = data_end
             continue
         # APPn/COM and anything else: skip
@@ -394,7 +448,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         # interleave at mixed sampling factors (T.81 A.2.3)
         if len(scans) != 1:
             raise ValueError("multiple scans in a baseline stream")
-        sc, ss, se, ah, al, dc_luts, ac_luts, entropy = scans[0]
+        sc, ss, se, ah, al, dc_luts, ac_luts, segments, dri = scans[0]
         if (ss, se, ah, al) != (0, 63, 0, 0):
             raise ValueError("bad baseline scan header")
         if len(sc) != nc:
@@ -402,7 +456,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         mcux = (w + 8 * hmax - 1) // (8 * hmax)
         mcuy = (h + 8 * vmax - 1) // (8 * vmax)
         coef = _baseline_entropy_decode_sampled(
-            entropy, sc, comps, mcux, mcuy, dc_luts, ac_luts
+            segments, sc, comps, mcux, mcuy, dc_luts, ac_luts, dri
         )
         grids = [
             (mcuy * vi, mcux * hi) for (_cid, _tq, hi, vi) in comps
@@ -410,20 +464,22 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     elif not progressive:
         if len(scans) != 1:
             raise ValueError("multiple scans in a baseline stream")
-        sc, ss, se, ah, al, dc_luts, ac_luts, entropy = scans[0]
+        sc, ss, se, ah, al, dc_luts, ac_luts, segments, dri = scans[0]
         if (ss, se, ah, al) != (0, 63, 0, 0):
             raise ValueError("bad baseline scan header")
         if len(sc) != nc:
             raise ValueError("scan/frame component mismatch")
-        flat = _baseline_entropy_decode(entropy, sc, nb, dc_luts, ac_luts)
+        flat = _baseline_entropy_decode(
+            segments, sc, nb, dc_luts, ac_luts, dri
+        )
         coef = [flat[ci::nc] for ci in range(nc)]
         grids = [(by, bx)] * nc
     else:
         coef = [np.zeros((nb, 64), dtype=np.int64) for _ in range(nc)]
         cid_to_ci = {cid: i for i, (cid, *_rest) in enumerate(comps)}
         pred = [0] * nc
-        for sc, ss, se, ah, al, dc_luts, ac_luts, entropy in scans:
-            br = _Bits(entropy)
+        for sc, ss, se, ah, al, dc_luts, ac_luts, segments, _dri in scans:
+            br = _Bits(segments[0])
             cis = [cid_to_ci[cid] for (cid, _td, _ta) in sc]
             if ss == 0:
                 if se != 0:
@@ -486,22 +542,43 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _baseline_entropy_decode(
-    entropy: bytes, scan, nb: int, dc_luts, ac_luts
+    segments, scan, nb: int, dc_luts, ac_luts, dri: int = 0
 ) -> np.ndarray:
     """The baseline single-scan fast loop (r8 brief #7): unstuffed
     data + 16-bit-peek LUTs, entropy-decoded into a flat
     (n_blocks*nc, 64) coefficient matrix in MCU-interleaved order.
-    Only the inherently sequential symbol walk stays a Python loop."""
-    data = entropy + b"\x00\x00\x00\x00"
+    Only the inherently sequential symbol walk stays a Python loop.
+    ``segments`` are per-restart-interval entropy chunks (one chunk
+    when dri == 0); at each restart the bit reader re-aligns (fresh
+    segment) and the DC predictors reset (T.81 F.2.1.3.1)."""
     nc = len(scan)
     n_blocks = nb * nc
     luts = [(dc_luts[td], ac_luts[ta]) for (_cid, td, ta) in scan]
-    pred = [0] * nc
-    pos = 0  # bit cursor
-    total_bits = (len(data) - 4) * 8
     # flat Python list for the sequential fill; reshaped to numpy once
     flat = [0] * (n_blocks * 64)
-    for blk in range(n_blocks):
+    per_seg = dri * nc if dri else n_blocks
+    done = 0
+    for seg in segments:
+        if done >= n_blocks:
+            break
+        data = seg + b"\x00\x00\x00\x00"
+        pred = [0] * nc
+        pos = 0  # bit cursor
+        total_bits = (len(data) - 4) * 8
+        _decode_block_run(
+            data, flat, range(done, min(done + per_seg, n_blocks)),
+            nc, luts, pred, pos, total_bits,
+        )
+        done = min(done + per_seg, n_blocks)
+    if done < n_blocks:
+        raise ValueError("restart segments short of MCU count")
+    return np.array(flat, dtype=np.int64).reshape(n_blocks, 64)
+
+
+def _decode_block_run(
+    data, flat, blocks, nc, luts, pred, pos, total_bits
+):
+    for blk in blocks:
         ci = blk % nc
         dc_lut, ac_lut = luts[ci]
         base = blk * 64
@@ -560,19 +637,22 @@ def _baseline_entropy_decode(
             k += 1
         if pos > total_bits + 7:
             raise ValueError("JPEG entropy stream exhausted")
-    return np.array(flat, dtype=np.int64).reshape(n_blocks, 64)
 
 
 def _baseline_entropy_decode_sampled(
-    entropy: bytes, scan, comps, mcux: int, mcuy: int, dc_luts, ac_luts
+    segments, scan, comps, mcux: int, mcuy: int, dc_luts, ac_luts,
+    dri: int = 0,
 ):
     """MCU-interleaved entropy decode at mixed sampling factors
     (T.81 A.2.3): within each MCU, components in scan order, each
     contributing Vi×Hi blocks in raster order. Returns one
     (nb_c, 64) int64 coefficient matrix per component, indexed by
     the component's OWN block grid (mcuy*Vi rows × mcux*Hi cols).
-    Same 16-bit-peek LUT walk as the 1×1 fast loop."""
-    data = entropy + b"\x00\x00\x00\x00"
+    Same 16-bit-peek LUT walk as the 1×1 fast loop. ``segments``
+    are per-restart-interval chunks (one when dri == 0): at each
+    restart the reader re-aligns and all DC predictors reset."""
+    seg_iter = iter(segments)
+    data = next(seg_iter) + b"\x00\x00\x00\x00"
     cid_to_ci = {cid: i for i, (cid, *_rest) in enumerate(comps)}
     flats = [
         [0] * (mcux * hi * mcuy * vi * 64)
@@ -591,8 +671,20 @@ def _baseline_entropy_decode_sampled(
     pred = [0] * len(comps)
     pos = 0
     total_bits = (len(data) - 4) * 8
+    mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if dri and mcu and mcu % dri == 0:
+                try:
+                    data = next(seg_iter) + b"\x00\x00\x00\x00"
+                except StopIteration:
+                    raise ValueError(
+                        "restart segments short of MCU count"
+                    ) from None
+                pred = [0] * len(comps)
+                pos = 0
+                total_bits = (len(data) - 4) * 8
+            mcu += 1
             for ci, v, hh, hi, vi, dc_lut, ac_lut in slots:
                 flat = flats[ci]
                 base = (
@@ -908,18 +1000,32 @@ GRAY_QUANT = np.array([8] + [16] * 63, dtype=np.int32)
 COLOR_QUANT = np.array([8] + [16] * 63, dtype=np.int32)
 
 
-def encode_jpeg_gray(img: np.ndarray, quant: np.ndarray = GRAY_QUANT) -> bytes:
-    """(h, w) uint8 -> baseline grayscale JPEG bytes."""
+def encode_jpeg_gray(
+    img: np.ndarray,
+    quant: np.ndarray = GRAY_QUANT,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) uint8 -> baseline grayscale JPEG bytes.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that many MCUs (single-component MCU = one block), with
+    byte alignment and DC-predictor reset per T.81 F.1.2.3."""
     h, w = img.shape
     dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
     ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
     writer = _BitWriter()
     pred = 0
     qrows, lasts = _component_qcoefs(img.astype(np.float64), quant)
-    for q, last in zip(qrows, lasts):
+    rst = 0
+    for blk, (q, last) in enumerate(zip(qrows, lasts)):
+        if restart_interval and blk and blk % restart_interval == 0:
+            writer.restart(rst)
+            rst = (rst + 1) & 7
+            pred = 0
         pred = _encode_block(writer, q, last, pred, dc_codes, ac_codes)
     out = bytearray(b"\xff\xd8")
     out += _quant_seg(0, quant)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
     out += bytes([1, 0x11, 0])
     out += _dht_seg(0, 0, DC_LUM_BITS, DC_LUM_VALS)
@@ -930,7 +1036,11 @@ def encode_jpeg_gray(img: np.ndarray, quant: np.ndarray = GRAY_QUANT) -> bytes:
     return bytes(out)
 
 
-def encode_jpeg_rgb(img: np.ndarray, quant: np.ndarray = COLOR_QUANT) -> bytes:
+def encode_jpeg_rgb(
+    img: np.ndarray,
+    quant: np.ndarray = COLOR_QUANT,
+    restart_interval: int = 0,
+) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline 4:4:4 YCbCr JPEG bytes."""
     h, w, _ = img.shape
     rgb = img.astype(np.float64)
@@ -951,7 +1061,12 @@ def encode_jpeg_rgb(img: np.ndarray, quant: np.ndarray = COLOR_QUANT) -> bytes:
     writer = _BitWriter()
     preds = [0, 0, 0]
     by, bx = (h + 7) // 8, (w + 7) // 8
+    rst = 0
     for blk in range(by * bx):
+        if restart_interval and blk and blk % restart_interval == 0:
+            writer.restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0, 0, 0]
         for ci in range(3):
             qrows, lasts = comp[ci]
             preds[ci] = _encode_block(
@@ -959,6 +1074,8 @@ def encode_jpeg_rgb(img: np.ndarray, quant: np.ndarray = COLOR_QUANT) -> bytes:
             )
     out = bytearray(b"\xff\xd8")
     out += _quant_seg(0, quant)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 9, 8, h, w, 3)
     for cid in (1, 2, 3):
         out += bytes([cid, 0x11, 0])
@@ -980,6 +1097,7 @@ def encode_jpeg_rgb_subsampled(
     img: np.ndarray,
     sampling: tuple[int, int] = (2, 2),
     quant: np.ndarray = COLOR_QUANT,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline chroma-subsampled YCbCr JPEG.
     ``sampling`` = luma (Hi, Vi): (2, 2) = 4:2:0, (2, 1) = 4:2:2;
@@ -1026,8 +1144,15 @@ def encode_jpeg_rgb_subsampled(
     mcux, mcuy = W // mw, H // mh
     ybx = W // 8  # luma blocks across
     cbx = W // (8 * sh)  # chroma blocks across
+    mcu = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0, 0, 0]
+            mcu += 1
             qrows, lasts = comp[0]
             for v in range(sv):
                 for hh in range(sh):
@@ -1045,6 +1170,8 @@ def encode_jpeg_rgb_subsampled(
                 )
     out = bytearray(b"\xff\xd8")
     out += _quant_seg(0, quant)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 9, 8, h, w, 3)
     out += bytes([1, (sh << 4) | sv, 0])
     out += bytes([2, 0x11, 0])

@@ -971,6 +971,101 @@ def multimodal_decode_jpeg420_stats(
     return decode_stats(synthesize_jpeg420_images(docs))
 
 
+# --- restart-interval JPEG fixture + oracled decode (r13) -------------
+#
+# Camera and libjpeg output commonly carries DRI/RSTn restart markers
+# (error-resilience framing); until r13 those streams were rejected
+# to the PIL fallback. The codec now decodes restart intervals for
+# sequential frames (segment split at RSTn on raw bytes — safe
+# because true 0xFF data bytes are always stuffed — byte re-align +
+# DC-predictor reset per segment, T.81 F.2.1.3.1). Certified under
+# the same carve-out as baseline: block-constant tiles decode
+# bit-exactly across MANY restart segments (interval 1..4 MCUs), so
+# the predictor resets and segment boundaries are load-bearing.
+
+JRS_BW_BASE, JRS_BW_MOD = 2, 4  # blocks across = 2 + doc_id % 4
+JRS_BH_BASE, JRS_BH_MOD = 2, 3  # blocks down   = 2 + doc_id % 3
+
+
+def _jpeg_restart_block_value(doc_id, bx, by):
+    """Shared block-luma rule, mirrored textually in the oracle."""
+    return (doc_id * 43 + bx * 21 + by * 17) % 256
+
+
+def synthesize_jpeg_restart_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with a REAL restart-interval grayscale JPEG
+    per document — DRI segment + RSTn markers every 1 + doc_id % 4
+    MCUs (so most images span several restart segments and the RST
+    index wraps past 7 on the larger ones). Map-only."""
+    import numpy as np
+
+    from kafkatoclickhouse_spark.operators.jpeg import encode_jpeg_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw = JRS_BW_BASE + d % JRS_BW_MOD
+                bh = JRS_BH_BASE + d % JRS_BH_MOD
+                by, bx = np.mgrid[0:bh, 0:bw]
+                blocks = _jpeg_restart_block_value(d, bx, by)
+                img = np.kron(
+                    blocks, np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_jpeg_gray(img, restart_interval=1 + d % 4)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+@query(
+    "multimodal_decode_jpeg_restart_stats",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             {JRS_BW_BASE} + doc_id % {JRS_BW_MOD} AS bw,
+             {JRS_BH_BASE} + doc_id % {JRS_BH_MOD} AS bh
+      FROM documents
+    ),
+    blk AS (
+      SELECT doc_id, bw, bh, unnest(range(bw * bh)) AS i FROM dims
+    ),
+    v AS (
+      SELECT doc_id, bw, bh,
+             (doc_id * 43 + (i % bw) * 21 + (i // bw) * 17) % 256 AS val
+      FROM blk
+    )
+    SELECT doc_id,
+           CAST(MAX(bw) * 8 AS INTEGER) AS width,
+           CAST(MAX(bh) * 8 AS INTEGER) AS height,
+           3 AS channels,
+           CAST(SUM(val) * 64 AS BIGINT) AS sum_r,
+           CAST(SUM(val) * 64 AS BIGINT) AS sum_g,
+           CAST(SUM(val) * 64 AS BIGINT) AS sum_b
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_decode_jpeg_restart_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synthesize a restart-interval grayscale JPEG per document
+    (block-constant tiles, DRI = 1 + doc_id % 4 MCUs), decode it
+    through the segment-split restart path — RSTn detection on raw
+    bytes, per-segment byte re-alignment, DC-predictor resets — and
+    report exact per-channel pixel sums. The oracle replays the
+    closed-form rule, so a wrong segment boundary or a missed
+    predictor reset is a hash mismatch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_stats(synthesize_jpeg_restart_images(docs))
+
+
 # --- GIF fixture + oracled decode (r13 — VERDICT r12 #6) --------------
 #
 # GIF is palette-indexed and LOSSLESS, so no carve-out is needed: a
@@ -1018,12 +1113,12 @@ def synthesize_gif_images(docs: DataFrame) -> DataFrame:
                         idx,
                         pal,
                         interlace=bool(d % 2),
-                        # (d // 12) % 3: orthogonal to the coverage
-                        # fixture's doc_id % 12 class selector, so
+                        # (d // 13) % 3: orthogonal to the coverage
+                        # fixture's doc_id % 13 class selector, so
                         # BOTH version tags appear in every class
                         version=(
                             b"GIF89a"
-                            if (d // 12) % 3 == 0
+                            if (d // 13) % 3 == 0
                             else b"GIF87a"
                         ),
                     )
@@ -1461,11 +1556,14 @@ def _try_pure(p: bytes) -> str:
 
 
 def _classify_jpeg(p: bytes) -> tuple[str, str, str]:
-    """Walk the segment chain to the SOF marker — the byte that
-    decides baseline vs progressive/extended — then check precision
-    and per-component subsampling (the two other reject axes of
-    operators/jpeg.py)."""
+    """Walk the segment chain through SOF (the byte that decides
+    baseline vs progressive/extended), precision, per-component
+    subsampling, AND any DRI segment (restart intervals decode
+    natively for sequential frames since r13, but not progressive) —
+    the walk continues to SOS so a DRI after SOF is still seen."""
     i = 2
+    sof = None  # (marker, precision, samplings)
+    dri = False
     while i + 3 < len(p):
         if p[i] != 0xFF:
             return ("jpeg", "fallback", "jpeg_malformed")
@@ -1489,47 +1587,60 @@ def _classify_jpeg(p: bytes) -> tuple[str, str, str]:
                 # meaningless (T.81 A.1.1) — the decoder normalizes
                 # to 1x1, so the triage must route these baseline
                 samplings = [0x11]
-            hs = [s >> 4 for s in samplings]
-            vs = [s & 0x0F for s in samplings]
-            factors_ok = (
-                all(1 <= f <= 4 for f in hs + vs)
-                and all(max(hs) % f == 0 for f in hs)
-                and all(max(vs) % f == 0 for f in vs)
-            )
-            if (
-                m in (0xC0, 0xC2)
-                and precision == 8
-                and (maxhv := (max(hs), max(vs))) == (1, 1)
-            ):
-                # baseline AND progressive both decode natively (r11)
-                detail = (
-                    "jpeg_baseline" if m == 0xC0 else "jpeg_progressive"
-                )
-                return ("jpeg", _try_pure(p), detail)
-            if m == 0xC0 and precision == 8 and factors_ok:
-                # subsampled BASELINE decodes natively since r13
-                # (MCU interleave + nearest chroma upsample); the
-                # detail names the layout for the coverage report
-                maxh, maxv = max(hs), max(vs)
-                detail = (
-                    "jpeg420"
-                    if (maxh, maxv) == (2, 2)
-                    else "jpeg422"
-                    if (maxh, maxv) in ((2, 1), (1, 2))
-                    else "jpeg_sampled"
-                )
-                return ("jpeg", _try_pure(p), detail)
-            if m not in (0xC0, 0xC2):
-                detail = "jpeg_extended"
-            elif precision != 8:
-                detail = "jpeg_deep"
-            else:
-                detail = "jpeg_subsampled"
-            return ("jpeg", "fallback", detail)
-        if m == 0xDA:  # SOS before any SOF
+            sof = (m, precision, samplings)
+        elif m == 0xDD:
+            dri = True
+        elif m == 0xDA:  # SOS: routing facts are all in hand
             break
         i += 2 + ((p[i + 2] << 8) | p[i + 3])
-    return ("jpeg", "fallback", "jpeg_no_sof")
+    if sof is None:
+        return ("jpeg", "fallback", "jpeg_no_sof")
+    m, precision, samplings = sof
+    hs = [s >> 4 for s in samplings]
+    vs = [s & 0x0F for s in samplings]
+    factors_ok = (
+        all(1 <= f <= 4 for f in hs + vs)
+        and all(max(hs) % f == 0 for f in hs)
+        and all(max(vs) % f == 0 for f in vs)
+    )
+    if m == 0xC2 and dri:
+        # progressive restart intervals stay outside the pure codec
+        return ("jpeg", "fallback", "jpeg_restart_progressive")
+    if (
+        m in (0xC0, 0xC2)
+        and precision == 8
+        and (max(hs), max(vs)) == (1, 1)
+    ):
+        # baseline AND progressive both decode natively (r11);
+        # baseline restart intervals decode natively (r13) and get
+        # their own coverage detail
+        if m == 0xC0 and dri:
+            detail = "jpeg_restart"
+        else:
+            detail = (
+                "jpeg_baseline" if m == 0xC0 else "jpeg_progressive"
+            )
+        return ("jpeg", _try_pure(p), detail)
+    if m == 0xC0 and precision == 8 and factors_ok:
+        # subsampled BASELINE decodes natively since r13
+        # (MCU interleave + nearest chroma upsample); the
+        # detail names the layout for the coverage report
+        maxh, maxv = max(hs), max(vs)
+        detail = (
+            "jpeg420"
+            if (maxh, maxv) == (2, 2)
+            else "jpeg422"
+            if (maxh, maxv) in ((2, 1), (1, 2))
+            else "jpeg_sampled"
+        )
+        return ("jpeg", _try_pure(p), detail)
+    if m not in (0xC0, 0xC2):
+        detail = "jpeg_extended"
+    elif precision != 8:
+        detail = "jpeg_deep"
+    else:
+        detail = "jpeg_subsampled"
+    return ("jpeg", "fallback", detail)
 
 
 def _classify_batches(
@@ -1715,18 +1826,18 @@ def _synthesize_webp_headers(docs: DataFrame) -> DataFrame:
     oracle="""
     SELECT format, path, detail, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM (
-      SELECT CASE CAST(doc_id % 12 AS INTEGER)
+      SELECT CASE CAST(doc_id % 13 AS INTEGER)
                WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
                WHEN 2 THEN 'jpeg' WHEN 3 THEN 'png'
                WHEN 4 THEN 'jpeg' WHEN 6 THEN 'png'
                WHEN 7 THEN 'png' WHEN 8 THEN 'jpeg'
                WHEN 9 THEN 'jpeg' WHEN 10 THEN 'gif'
-               WHEN 11 THEN 'webp'
+               WHEN 11 THEN 'webp' WHEN 12 THEN 'jpeg'
                ELSE 'unknown' END AS format,
-             CASE CAST(doc_id % 12 AS INTEGER)
+             CASE CAST(doc_id % 13 AS INTEGER)
                WHEN 8 THEN 'fallback' WHEN 11 THEN 'fallback'
                WHEN 5 THEN 'undecodable' ELSE 'pure' END AS path,
-             CASE CAST(doc_id % 12 AS INTEGER)
+             CASE CAST(doc_id % 13 AS INTEGER)
                WHEN 0 THEN 'ppm_p6' WHEN 1 THEN 'bmp24'
                WHEN 2 THEN 'jpeg_baseline'
                WHEN 3 THEN 'png8_noninterlaced'
@@ -1735,9 +1846,10 @@ def _synthesize_webp_headers(docs: DataFrame) -> DataFrame:
                WHEN 7 THEN 'png16'
                WHEN 8 THEN 'jpeg_deep'
                WHEN 9 THEN 'jpeg420'
-               WHEN 10 THEN CASE WHEN (doc_id // 12) % 3 = 0
+               WHEN 10 THEN CASE WHEN (doc_id // 13) % 3 = 0
                                  THEN 'gif89a' ELSE 'gif87a' END
                WHEN 11 THEN 'webp'
+               WHEN 12 THEN 'jpeg_restart'
                ELSE 'unknown_magic' END AS detail
       FROM documents)
     GROUP BY format, path, detail
@@ -1747,10 +1859,11 @@ def multimodal_codec_coverage(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Codec-coverage report over a MIXED image corpus: one payload
-    per document, format by doc_id % 12 (PPM / BMP24 / baseline JPEG
+    per document, format by doc_id % 13 (PPM / BMP24 / baseline JPEG
     / PNG / REAL progressive JPEG / non-image bytes / Adam7
     interlaced PNG / 16-bit PNG / 12-bit JPEG header / REAL 4:2:0
-    color JPEG / REAL GIF / WebP header), classified by
+    color JPEG / REAL GIF / WebP header / REAL restart-interval
+    JPEG), classified by
     :func:`classify_image` and counted by (format, route, detail).
     The oracle predicts every class in closed form, so the hash
     match certifies (a) the marker-level triage routes each
@@ -1765,7 +1878,7 @@ def multimodal_codec_coverage(
     (format, path, detail) triples — at 100 TB the payloads never
     leave their scan tasks."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    cls = F.col("doc_id") % 12
+    cls = F.col("doc_id") % 13
     branches = [
         synthesize_ppm_images(docs.filter(cls == 0)),
         synthesize_bmp_images(docs.filter(cls == 1), w=32, h=16),
@@ -1787,6 +1900,7 @@ def multimodal_codec_coverage(
         synthesize_jpeg420_images(docs.filter(cls == 9)),
         synthesize_gif_images(docs.filter(cls == 10)),
         _synthesize_webp_headers(docs.filter(cls == 11)),
+        synthesize_jpeg_restart_images(docs.filter(cls == 12)),
     ]
     mixed = branches[0]
     for b in branches[1:]:

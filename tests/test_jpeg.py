@@ -382,3 +382,85 @@ def test_property_subsampled_lossy_roundtrip_bounded(
     assert out.shape == img.shape
     err = np.abs(out.astype(int) - img.astype(int))
     assert err.mean() <= 30.0
+
+
+# ---------------------------------------------------------------------------
+# Restart intervals (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_restart_gray_block_constant_bit_exact():
+    """The carve-out survives restart framing: many segments, RST
+    index wrapping past 7, predictor resets at every boundary."""
+    rng = np.random.RandomState(21)
+    for ri in (1, 2, 3, 5, 64):
+        blocks = rng.randint(0, 256, size=(4, 5))
+        gray = np.kron(
+            blocks, np.ones((8, 8), dtype=np.int64)
+        ).astype(np.uint8)
+        out = J.decode_jpeg(J.encode_jpeg_gray(gray, restart_interval=ri))
+        assert np.array_equal(out[..., 0], gray), ri
+
+
+def test_restart_pixels_identical_to_unframed():
+    """Restarts change FRAMING, not coefficients: the decoded pixels
+    must equal the no-restart encode of the same image — for 4:4:4
+    color and for 4:2:0 subsampled MCUs alike."""
+    rng = np.random.RandomState(22)
+    img = rng.randint(0, 256, size=(24, 40, 3)).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg_rgb(img))
+    for ri in (1, 4, 7):
+        got = J.decode_jpeg(J.encode_jpeg_rgb(img, restart_interval=ri))
+        assert np.array_equal(got, base), ri
+    sub = J.decode_jpeg(J.encode_jpeg_rgb_subsampled(img, (2, 2)))
+    for ri in (1, 2):
+        got = J.decode_jpeg(
+            J.encode_jpeg_rgb_subsampled(img, (2, 2), restart_interval=ri)
+        )
+        assert np.array_equal(got, sub), ri
+
+
+def test_restart_predictor_reset_is_load_bearing():
+    """A missing predictor reset would corrupt every block after the
+    first boundary on a DC gradient — the exact failure mode the
+    reset rule exists for."""
+    blocks = (np.arange(24).reshape(4, 6) * 10) % 256
+    gray = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(
+        np.uint8
+    )
+    out = J.decode_jpeg(J.encode_jpeg_gray(gray, restart_interval=2))
+    assert np.array_equal(out[..., 0], gray)
+
+
+def test_restart_malformed_rejects():
+    import struct
+
+    img = np.full((16, 16), 77, dtype=np.uint8)
+    enc = J.encode_jpeg_gray(img, restart_interval=1)
+    # truncate away the final restart segment: short of MCU count
+    last_rst = max(
+        enc.rfind(bytes([0xFF, 0xD0 + m])) for m in range(8)
+    )
+    with pytest.raises(ValueError):
+        J.decode_jpeg(enc[: last_rst + 2] + b"\xff\xd9")
+    # progressive + DRI rejects loudly
+    prog = bytearray(J.encode_jpeg_gray_progressive(img))
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 2)
+    i = prog.find(b"\xff\xc2")
+    with pytest.raises(ValueError, match="restart"):
+        J.decode_jpeg(bytes(prog[:i]) + dri + bytes(prog[i:]))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(min_value=8, max_value=48),
+    w=st.integers(min_value=8, max_value=48),
+    ri=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_property_restart_matches_unframed(h, w, ri, seed):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    a = J.decode_jpeg(J.encode_jpeg_gray(img))
+    b = J.decode_jpeg(J.encode_jpeg_gray(img, restart_interval=ri))
+    assert np.array_equal(a, b)
