@@ -190,6 +190,7 @@ HEADLINE = [
     "multimodal_decode_jpeg420_stats",
     "multimodal_decode_gif_stats",
     "multimodal_decode_jpeg_restart_stats",
+    "corpus_pack_serve_manifest",
 ]
 
 

@@ -1733,3 +1733,135 @@ def corpus_tokenizer_fertility_bytes(
             " AS LONG)"
         ).alias("byte_vs_char_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted packed-dataset artifact (r13 — the SEVENTH index family)
+# ---------------------------------------------------------------------------
+#
+# Everything above COMPUTES the training tensor; a real pipeline
+# writes it once and every trainer epoch READS the artifact. Same
+# lifecycle discipline as the other six families: fingerprint-keyed
+# directory, chunks + epoch-order parquet, meta.json written LAST as
+# the crash-safe build-complete marker; the serve query reads ONLY
+# the artifact (poison-pinned) while its oracle recomputes the whole
+# chain from raw text, so a stale or corrupt artifact is a hash
+# mismatch.
+
+
+def pack_dataset_dir(sf_dir: str) -> str:
+    return bpe_index_dir(sf_dir) + "_packds"
+
+
+def corpus_pack_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    force: bool = False,
+) -> str:
+    """BUILD half: materialize the packed training dataset —
+
+      - ``chunks.parquet``: (chunk_id, n_tokens, token_ids,
+        doc_spans, loss_mask) — the tensor + boundary metadata;
+      - ``epochs.parquet``: (epoch, chunk_id, order_key) — the
+        deterministic epoch shuffle;
+      - ``meta.json`` (written LAST): chunk budget, epoch count,
+        chunk/token totals, source fingerprint."""
+    path = path or pack_dataset_dir(sf_dir)
+    fp = list(table_fingerprint(sf_dir, "documents"))
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.isfile(meta_path) and not force:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if (
+            meta.get("fingerprint") == fp
+            and meta.get("chunk_tokens") == CHUNK_TOKENS
+            and meta.get("n_epochs") == N_EPOCHS
+        ):
+            return path
+    try:
+        os.remove(meta_path)
+    except FileNotFoundError:
+        pass
+    os.makedirs(path, exist_ok=True)
+    chunks = corpus_pack_examples_spans(spark, sf_dir)
+    chunks.write.mode("overwrite").parquet(
+        os.path.join(path, "chunks.parquet")
+    )
+    corpus_epoch_order(spark, sf_dir).write.mode("overwrite").parquet(
+        os.path.join(path, "epochs.parquet")
+    )
+    stats = (
+        spark.read.parquet(os.path.join(path, "chunks.parquet"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .collect()[0]
+    )
+    with open(meta_path, "w") as fh:
+        json.dump(
+            {
+                "fingerprint": fp,
+                "chunk_tokens": CHUNK_TOKENS,
+                "n_epochs": N_EPOCHS,
+                "n_chunks": int(stats["n_chunks"]),
+                "total_tokens": int(stats["total_tokens"]),
+            },
+            fh,
+        )
+    return path
+
+
+@query(
+    "corpus_pack_serve_manifest",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_ENCODE_IDS},
+    {_SQL_PACK_SPANS},
+    tot AS (
+      SELECT CAST(COALESCE(SUM(len(token_ids)), 0) AS BIGINT) AS t
+      FROM ch
+    ),
+    epch AS (
+      SELECT unnest(range(0, (t + {CHUNK_TOKENS} - 1)
+                             // {CHUNK_TOKENS})) AS chunk_id
+      FROM tot
+    ),
+    ep AS (SELECT unnest(range(1, {N_EPOCHS} + 1)) AS epoch)
+    SELECT CAST(ep.epoch AS BIGINT) AS epoch,
+           CAST(c.chunk_id AS BIGINT) AS chunk_id,
+           {_EPOCH_HASH_SQL.replace("chunk_id", "c.chunk_id")
+                           .replace("epoch", "ep.epoch")} AS order_key,
+           CAST(len(c.token_ids) AS BIGINT) AS n_tokens,
+           CAST(len(c.token_ids) - len(c.doc_spans) AS BIGINT)
+             AS n_loss_tokens
+    FROM ch c CROSS JOIN ep
+    """,
+)
+def corpus_pack_serve_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SERVE: the per-epoch training manifest read ONLY from the
+    persisted packed-dataset artifact — (epoch, chunk_id, order_key,
+    n_tokens, n_loss_tokens) for every (epoch, chunk): the exact
+    work list a trainer walks in ORDER BY (order_key, chunk_id) per
+    epoch, with the loss-token count (n_tokens − span count: each
+    span's first position is masked) a budget dashboard reads. The
+    Spark side joins the artifact's epochs × chunks parquet (no
+    recompute — poison-pinned); the oracle recomputes the entire
+    chain from raw text: retrain, encode, offsets, slice pieces,
+    spans, epoch hash."""
+    path = corpus_pack_index_build(spark, sf_dir)
+    chunks = spark.read.parquet(
+        os.path.join(path, "chunks.parquet")
+    ).select(
+        "chunk_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("doc_spans"))
+        .cast("long")
+        .alias("n_loss_tokens"),
+    )
+    epochs = spark.read.parquet(os.path.join(path, "epochs.parquet"))
+    return epochs.join(chunks, "chunk_id").select(
+        "epoch", "chunk_id", "order_key", "n_tokens", "n_loss_tokens"
+    )

@@ -610,3 +610,50 @@ def test_bytes_serve_reads_only_persisted_merges(spark, sf_dir):
         assert all(after[d] >= before[d] for d in before)
     finally:
         bpetrain.text_bpe_bytes_index_build(spark, sf_dir, force=True)
+
+
+def test_pack_dataset_artifact_lifecycle_and_poison(spark, sf_dir):
+    """The packed-dataset artifact (seventh family): build is
+    fingerprint-cached with a meta-last marker; the manifest serve
+    reads ONLY the persisted parquet — poisoning chunks.parquet
+    provably changes the served counts (no silent recompute) — and
+    the warm artifact equals the live computation."""
+    path = bpetrain.corpus_pack_index_build(spark, sf_dir)
+    meta = json.load(open(os.path.join(path, "meta.json")))
+    assert meta["n_chunks"] > 0 and meta["total_tokens"] > 0
+    mtime = os.path.getmtime(os.path.join(path, "meta.json"))
+    assert bpetrain.corpus_pack_index_build(spark, sf_dir) == path
+    assert os.path.getmtime(os.path.join(path, "meta.json")) == mtime
+
+    served = bpetrain.corpus_pack_serve_manifest(spark, sf_dir)
+    rows = served.collect()
+    assert len(rows) == meta["n_chunks"] * bpetrain.N_EPOCHS
+    # live equality: n_tokens per chunk matches corpus_pack_examples
+    live = {
+        r["chunk_id"]: r["n_tokens"]
+        for r in bpetrain.corpus_pack_examples(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert live[r["chunk_id"]] == r["n_tokens"]
+
+    # poison: shrink every chunk's token count in the artifact
+    pq = os.path.join(path, "chunks.parquet")
+    poisoned = (
+        spark.read.parquet(pq)
+        .withColumn(
+            "n_tokens", (F.col("n_tokens") * 0).cast("long")
+        )
+    )
+    poisoned.write.mode("overwrite").parquet(pq + ".tmp")
+    import shutil
+
+    shutil.rmtree(pq)
+    os.rename(pq + ".tmp", pq)
+    try:
+        after = bpetrain.corpus_pack_serve_manifest(
+            spark, sf_dir
+        ).collect()
+        assert all(r["n_tokens"] == 0 for r in after)
+        assert after, "poisoned serve returned nothing"
+    finally:
+        bpetrain.corpus_pack_index_build(spark, sf_dir, force=True)
