@@ -271,10 +271,19 @@ def _train_from_wf(
     """Strategy dispatch over any (word, cnt) sufficient statistic —
     shared by the character and byte alphabets."""
     if local_max_words and local_max_words > 0:
-        rows = wf.limit(local_max_words + 1).collect()
-        if len(rows) <= local_max_words:
+        # Arrow-path collect (ADVICE r13): toPandas materializes the
+        # bounded word table as two flat arrays — no per-row PySpark
+        # Row objects, whose ~10× per-entry overhead made the old
+        # .collect() several GB near the 4M-word bound.
+        pdf = wf.limit(local_max_words + 1).toPandas()
+        if len(pdf) <= local_max_words:
             return _train_local(
-                {r["word"]: r["cnt"] for r in rows},
+                dict(
+                    zip(
+                        pdf["word"].tolist(),
+                        (int(c) for c in pdf["cnt"].tolist()),
+                    )
+                ),
                 n_merges,
                 sym_width,
             )
@@ -911,7 +920,10 @@ def _placed_encodings(
     pack-examples family."""
     from pyspark.sql import Window as W
 
-    from kafkatoclickhouse_spark.operators.text import PREFIX_BUCKET
+    from kafkatoclickhouse_spark.operators.text import (
+        PREFIX_BUCKET,
+        exclusive_bucket_prefix,
+    )
 
     ranks = load_trained_ranks(spark, sf_dir)
     vocab = load_trained_vocab(spark, sf_dir)
@@ -931,17 +943,8 @@ def _placed_encodings(
     totals = enc.groupBy("bucket").agg(
         F.sum("n_toks").alias("bucket_total")
     )
-    w_buckets = W.orderBy("bucket").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    prefixes = totals.select(
-        "bucket",
-        (
-            F.sum("bucket_total").over(w_buckets)
-            - F.col("bucket_total")
-        ).alias("bucket_prefix"),
-    )
-    return local.join(F.broadcast(prefixes), "bucket").select(
+    prefixes = exclusive_bucket_prefix(totals)
+    return local.join(prefixes, "bucket").select(
         "doc_id",
         (
             F.col("bucket_prefix")
@@ -1766,10 +1769,25 @@ def corpus_pack_index_build(
       - ``epochs.parquet``: (epoch, chunk_id, order_key) — the
         deterministic epoch shuffle;
       - ``meta.json`` (written LAST): chunk budget, epoch count,
-        chunk/token totals, source fingerprint."""
+        chunk/token totals, source fingerprint, and the FULL meta of
+        the BPE tokenizer artifact the chunks were encoded under —
+        a tokenizer retrain (budget change, corpus change) therefore
+        invalidates the packed tensors too."""
     path = path or pack_dataset_dir(sf_dir)
     fp = list(table_fingerprint(sf_dir, "documents"))
     meta_path = os.path.join(path, "meta.json")
+    # The chunks are encoded under the trained char-BPE tokenizer, so
+    # the pack artifact is stale whenever THAT artifact is — freshen
+    # it first and fold its meta (budget, merge count, vocab) into
+    # this family's validity check (VERDICT r13 #1: checking only
+    # fingerprint/chunk_tokens/n_epochs served stale tensors after a
+    # BPE_TRAIN_MERGES change, the exact staleness class the r12 fix
+    # closed for the BPE family itself).
+    bpe_meta_path = os.path.join(
+        text_bpe_index_build(spark, sf_dir), "meta.json"
+    )
+    with open(bpe_meta_path) as fh:
+        bpe_meta = json.load(fh)
     if os.path.isfile(meta_path) and not force:
         with open(meta_path) as fh:
             meta = json.load(fh)
@@ -1777,6 +1795,7 @@ def corpus_pack_index_build(
             meta.get("fingerprint") == fp
             and meta.get("chunk_tokens") == CHUNK_TOKENS
             and meta.get("n_epochs") == N_EPOCHS
+            and meta.get("tokenizer_meta") == bpe_meta
         ):
             return path
     try:
@@ -1805,6 +1824,7 @@ def corpus_pack_index_build(
                 "fingerprint": fp,
                 "chunk_tokens": CHUNK_TOKENS,
                 "n_epochs": N_EPOCHS,
+                "tokenizer_meta": bpe_meta,
                 "n_chunks": int(stats["n_chunks"]),
                 "total_tokens": int(stats["total_tokens"]),
             },

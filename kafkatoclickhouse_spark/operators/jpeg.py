@@ -291,10 +291,11 @@ def _split_restart_segments(data: bytes) -> list[bytes]:
             segs.append(_unstuff(data[pos:f]))
             pos = e = f + 2
             continue
+        # any other FF-prefixed pair is either a stuffed data byte
+        # (skip both) or a foreign marker _find_scan_end guarantees
+        # cannot appear here — the trailing _unstuff raises loudly
+        # if that guarantee is ever violated
         e = f + 2 if nxt == 0x00 else f + 1
-        if nxt != 0x00 and f + 1 >= n:
-            segs.append(_unstuff(data[pos:]))
-            return segs
 
 
 def _parse_jpeg(payload: bytes):

@@ -469,6 +469,75 @@ HOLDOUT_PCT = 10  # doc buckets 90-99 → holdout
 
 CHUNK_TOKENS = 2048
 PREFIX_BUCKET = 1000  # doc_ids per range bucket of the prefix sum
+PREFIX_LEVELS = 2  # parent levels stacked above the doc buckets
+
+
+def exclusive_bucket_prefix(totals: DataFrame) -> DataFrame:
+    """(bucket, bucket_total) → (bucket, bucket_prefix): the exact
+    exclusive prefix sum over per-bucket totals with NO unpartitioned
+    window anywhere in the plan (VERDICT r13 #2 — the old
+    single-phase ``W.orderBy("bucket")`` serialized n_docs/1000
+    bucket rows through one task, a real ceiling at ~100 B docs).
+
+    Shape: ``PREFIX_LEVELS`` rounds of {group ``PREFIX_BUCKET``
+    buckets into a parent, local exclusive cumsum WINDOWED BY the
+    parent key}, so every window is partitioned and every level
+    shrinks the relation 1000×. The topmost totals — bounded at
+    n_docs/PREFIX_BUCKET^(levels+1) rows, ~100 rows even at 100 B
+    docs — get their exclusive prefix from a triangular broadcast
+    self-join (SUM over strictly-smaller keys), which needs no
+    ordering at all. Parent prefixes then propagate back down via
+    broadcast joins of the (tiny) upper levels. Exactness does not
+    depend on the fan-out or level count, so the naive-global-window
+    oracles are unchanged."""
+    from pyspark.sql import Window as W
+
+    cur = totals.select(
+        F.col("bucket").alias("k0"),
+        F.col("bucket_total").cast("long").alias("v0"),
+    )
+    locals_ = []
+    for i in range(PREFIX_LEVELS):
+        parent = f"k{i + 1}"
+        cur = cur.withColumn(
+            parent, F.floor(F.col(f"k{i}") / PREFIX_BUCKET)
+        )
+        w = (
+            W.partitionBy(parent)
+            .orderBy(f"k{i}")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        locals_.append(
+            cur.select(
+                f"k{i}",
+                parent,
+                (F.sum(f"v{i}").over(w) - F.col(f"v{i}")).alias(
+                    f"lp{i}"
+                ),
+            )
+        )
+        cur = cur.groupBy(parent).agg(
+            F.sum(f"v{i}").cast("long").alias(f"v{i + 1}")
+        )
+    top = PREFIX_LEVELS
+    lhs = cur.select(F.col(f"k{top}").alias("ka"))
+    rhs = cur.select(
+        F.col(f"k{top}").alias("kb"), F.col(f"v{top}").alias("vb")
+    )
+    pref = (
+        lhs.join(F.broadcast(rhs), F.col("kb") < F.col("ka"), "left")
+        .groupBy("ka")
+        .agg(F.coalesce(F.sum("vb"), F.lit(0)).cast("long").alias(f"p{top}"))
+        .withColumnRenamed("ka", f"k{top}")
+    )
+    for i in reversed(range(PREFIX_LEVELS)):
+        pref = locals_[i].join(F.broadcast(pref), f"k{i + 1}").select(
+            f"k{i}",
+            (F.col(f"p{i + 1}") + F.col(f"lp{i}")).alias(f"p{i}"),
+        )
+    return pref.select(
+        F.col("k0").alias("bucket"), F.col("p0").alias("bucket_prefix")
+    )
 
 
 @query(
@@ -538,14 +607,16 @@ def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign each document the {chunk}-token context window its first
     token lands in — the concat-and-chunk layout LLM pretraining
     uses. The global token offset is a prefix sum, computed WITHOUT
-    a single-partition global window (the naive ORDER BY window
+    a single-partition window ANYWHERE (the naive ORDER BY window
     serializes the whole table through one reducer): doc_ids are
     range-bucketed, each bucket computes its local running sum in
-    parallel, the per-bucket totals (one row per bucket — the only
-    single-partition step, at 1/{bucket}th the data) turn into
-    exclusive bucket offsets, and a broadcast join adds them back.
-    Two narrow shuffles + one broadcast at any corpus size; the
-    oracle is the naive global window, proving the decomposition
+    parallel, and the per-bucket totals get their exclusive offsets
+    from ``exclusive_bucket_prefix`` — a {bucket}-ary hierarchy of
+    PARTITIONED windows topped by a triangular broadcast self-join,
+    so no level ever funnels more than 1/{bucket}th of its input
+    through one task. A few narrow shuffles over geometrically
+    shrinking relations at any corpus size; the oracle is the naive
+    global window, proving the decomposition
     exact.""".format(chunk=CHUNK_TOKENS, bucket=PREFIX_BUCKET)
     docs = load_table(spark, sf_dir, "documents")
     return _pack_chunks(docs, textfns.ws_token_count(F.col("text")))
@@ -569,18 +640,9 @@ def _pack_chunks(docs: DataFrame, n_toks_col) -> DataFrame:
     )
     local = t.withColumn("local_cum", F.sum("n_toks").over(w_local))
     totals = t.groupBy("bucket").agg(F.sum("n_toks").alias("bucket_total"))
-    w_buckets = (
-        W.orderBy("bucket")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    prefixes = totals.select(
-        "bucket",
-        (F.sum("bucket_total").over(w_buckets) - F.col("bucket_total")).alias(
-            "bucket_prefix"
-        ),
-    )
+    prefixes = exclusive_bucket_prefix(totals)
     return (
-        local.join(F.broadcast(prefixes), "bucket")
+        local.join(prefixes, "bucket")
         .select(
             "doc_id",
             "n_toks",

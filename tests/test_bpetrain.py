@@ -657,3 +657,38 @@ def test_pack_dataset_artifact_lifecycle_and_poison(spark, sf_dir):
         assert after, "poisoned serve returned nothing"
     finally:
         bpetrain.corpus_pack_index_build(spark, sf_dir, force=True)
+
+
+def test_pack_dataset_rebuilds_on_tokenizer_change(spark, sf_dir):
+    """VERDICT r13 #1 / ADVICE r13: the packed-dataset artifact's
+    validity check must cover the TOKENIZER the chunks were encoded
+    under, not just the corpus fingerprint — otherwise a budget
+    change retrains the BPE artifact (its meta checks budget, the
+    r12 fix) while the pack family keeps serving chunks tokenized
+    under the OLD table. Simulate an artifact built under an older
+    tokenizer by tampering the recorded tokenizer_meta and prove the
+    next build call rebuilds (meta restored, not served stale)."""
+    path = bpetrain.corpus_pack_index_build(spark, sf_dir)
+    meta_path = os.path.join(path, "meta.json")
+    meta = json.load(open(meta_path))
+    assert meta["tokenizer_meta"]["budget"] == bpetrain.BPE_TRAIN_MERGES
+
+    stale = dict(meta)
+    stale["tokenizer_meta"] = dict(
+        meta["tokenizer_meta"], budget=meta["tokenizer_meta"]["budget"] - 1
+    )
+    with open(meta_path, "w") as fh:
+        json.dump(stale, fh)
+    try:
+        assert bpetrain.corpus_pack_index_build(spark, sf_dir) == path
+        rebuilt = json.load(open(meta_path))
+        # the stale tokenizer stamp is gone — the artifact was
+        # rebuilt under (and re-stamped with) the current tokenizer
+        assert (
+            rebuilt["tokenizer_meta"]["budget"]
+            == bpetrain.BPE_TRAIN_MERGES
+        )
+        assert rebuilt["n_chunks"] == meta["n_chunks"]
+        assert rebuilt["total_tokens"] == meta["total_tokens"]
+    finally:
+        bpetrain.corpus_pack_index_build(spark, sf_dir, force=True)

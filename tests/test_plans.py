@@ -467,3 +467,38 @@ def test_aqe_skew_join_splits_skewed_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "corpus_pack_chunks",
+        "corpus_pack_chunks_bpe",
+        "corpus_pack_chunks_bpe_trained",
+        "corpus_pack_examples",
+        "corpus_pack_examples_spans",
+        "corpus_epoch_order",
+    ],
+)
+def test_pack_family_has_no_unpartitioned_window(spark, sf_dir, name):
+    """VERDICT r13 #2: the pack family's global prefix sum must not
+    plan ANY unpartitioned window ('WindowExec: No Partition Defined
+    ... Moving all data to a single partition') — the old two-phase
+    shape ran its second phase as a single-task sort over
+    n_docs/PREFIX_BUCKET bucket totals, a ceiling at ~100 B docs.
+    After `exclusive_bucket_prefix`, every windowspecdefinition must
+    carry at least one partition column (the first spec element is a
+    bare column, not an ordering)."""
+    import re
+
+    plan = plans.plan_string(
+        registry.QUERIES[name](spark, sf_dir), "simple"
+    )
+    offenders = [
+        m.group(0)
+        for m in re.finditer(r"windowspecdefinition\([^,)]+,", plan)
+        if re.match(
+            r"windowspecdefinition\([^,()]*(ASC|DESC)", m.group(0)
+        )
+    ]
+    assert not offenders, f"{name}: unpartitioned window(s): {offenders}"
