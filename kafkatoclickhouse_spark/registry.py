@@ -43,6 +43,7 @@ def load_all() -> None:
     from kafkatoclickhouse_spark.operators import (  # noqa: F401
         advanced as _advanced,
         asof as _asof,
+        bigramlm as _bigramlm,
         bpetrain as _bpetrain,
         cdc as _cdc,
         classifier as _classifier,

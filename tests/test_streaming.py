@@ -1845,3 +1845,55 @@ def test_curation_engines_same_membership_with_dedup(
         r["doc_id"] for r in fired["grouped_udf"]
     )
     assert fired["jvm"]
+
+
+def test_streaming_bigram_gate_matches_batch_twin(spark, sf_dir, tmp_path):
+    """r14: the streaming bigram-perplexity gate must agree
+    doc-for-doc (n_bigrams AND micro-exact avg NLL) with its batch
+    twin `text_bigram_hashed_logperp` on the same persisted hashed
+    model — the plans differ only in join-vs-map-literal delivery of
+    the bucket counts. Docs with <2 tokens score NULL and pass the
+    keep gate (length filtering is not perplexity's job)."""
+    from kafkatoclickhouse_spark import registry
+    from kafkatoclickhouse_spark.streaming.bigram_gate import (
+        streaming_bigram_nll,
+    )
+
+    batch = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll_nats"])
+        for r in registry.QUERIES["text_bigram_hashed_logperp"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = tmp_path / "bigram_feed"
+    docs.write.parquet(str(feed))
+    short_id = -778
+    docs.limit(1).withColumn("doc_id", F.lit(short_id)).withColumn(
+        "text", F.lit("solitary")
+    ).write.mode("append").parquet(str(feed))
+    stream = spark.readStream.schema(docs.schema).parquet(str(feed))
+    assert stream.isStreaming
+
+    scored = streaming_bigram_nll(
+        stream, spark, sf_dir, keep_below_nats=50.0
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("bigram_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "bigram_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll_nats"], r["keep"])
+        for r in spark.table("bigram_stream").collect()
+    }
+    n, nll, keep = got.pop(short_id)
+    assert (n, nll, keep) == (0, None, True)
+    assert {k: v[:2] for k, v in got.items()} == batch
+    assert all(v[2] is not None for v in got.values())
