@@ -54,6 +54,7 @@ def load_all() -> None:
         event_windows as _event_windows,
         forensics as _forensics,
         graph as _graph,
+        htmlx as _htmlx,
         kmeans as _kmeans,
         mixture as _mixture,
         multimodal as _multimodal,
