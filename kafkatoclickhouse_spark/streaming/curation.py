@@ -41,6 +41,7 @@ from kafkatoclickhouse_spark.streaming.classifier import (
 )
 from kafkatoclickhouse_spark.streaming.decontam import (
     streaming_decontaminate,
+    streaming_decontaminate_bloom,
 )
 
 CURATION_STAGES = ("score", "decontam", "dedup")
@@ -55,6 +56,7 @@ def curation_topology(
     drop_rejected: bool = True,
     ts_col: str | None = None,
     dedup_watermark: str = "10 minutes",
+    decontam_mode: str = "bloom",
 ) -> DataFrame:
     """Compose the selected curation stages over a document stream
     (needs at least ``doc_id``/``text``; ``dedup`` additionally needs
@@ -79,9 +81,21 @@ def curation_topology(
             raise ValueError(
                 "the decontam stage needs an eval_shingles relation"
             )
-        out = streaming_decontaminate(out, eval_shingles)
+        if decontam_mode == "bloom":
+            # VERDICT r13 #6: the Bloom prefilter is the production
+            # default — row-identical verdicts (no false negatives),
+            # exact probes only on candidate docs
+            out = streaming_decontaminate_bloom(out, eval_shingles)
+        elif decontam_mode == "exact":
+            out = streaming_decontaminate(out, eval_shingles)
+        else:
+            raise ValueError(
+                f"unknown decontam_mode: {decontam_mode!r}"
+            )
         if drop_rejected:
-            out = out.filter(~F.col("contaminated"))
+            out = out.filter(~F.col("contaminated")).drop(
+                "bloom_candidate"
+            )
     if "dedup" in stages:
         if ts_col is None:
             raise ValueError(
@@ -112,6 +126,7 @@ def start_curation(
     max_retries: int = 3,
     available_now: bool = False,
     engine: str = "jvm",
+    decontam_mode: str = "bloom",
 ) -> StreamingQuery:
     """Curated stream → per-``window_key`` count window → retrying
     sink, one running query. The count window is the reference R5
@@ -132,6 +147,7 @@ def start_curation(
         stages=stages,
         eval_shingles=eval_shingles,
         ts_col=ts_col,
+        decontam_mode=decontam_mode,
     )
     if engine == "grouped_udf":
         windowed = count_window.keyed_count_window(

@@ -1897,3 +1897,66 @@ def test_streaming_bigram_gate_matches_batch_twin(spark, sf_dir, tmp_path):
     assert (n, nll, keep) == (0, None, True)
     assert {k: v[:2] for k, v in got.items()} == batch
     assert all(v[2] is not None for v in got.values())
+
+
+def test_streaming_bloom_decontaminate_matches_exact(
+    spark, sf_dir, tmp_path
+):
+    """r14 (VERDICT r13 #6): the Bloom-gated decontamination gate
+    must agree doc-for-doc with the exact gate — Bloom filters have
+    no false negatives and every candidate is exact-verified, so the
+    verdict is identical BY CONSTRUCTION; this pin catches a bit-mask
+    build or probe bug. Candidates must cover all contaminated docs,
+    and a NULL-text doc stays a total contaminated=false."""
+    from kafkatoclickhouse_spark.functions import hashing
+    from kafkatoclickhouse_spark.operators import decontam as bd
+    from kafkatoclickhouse_spark.streaming.decontam import (
+        streaming_decontaminate,
+        streaming_decontaminate_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = tmp_path / "bloom_feed"
+    docs.write.parquet(str(feed))
+    null_id = -12399
+    docs.limit(1).withColumn("doc_id", F.lit(null_id)).withColumn(
+        "text", F.lit(None).cast("string")
+    ).write.mode("append").parquet(str(feed))
+
+    evals = (
+        docs.where(F.col("doc_id") % bd.EVAL_MOD == 0)
+        .select(
+            F.explode(
+                hashing.word_shingles(F.col("text"), bd.DECONTAM_N)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(feed))
+    flagged = streaming_decontaminate_bloom(stream, evals)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("bloom_decontam_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "bloom_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["doc_id"]: (r["contaminated"], r["bloom_candidate"])
+        for r in spark.table("bloom_decontam_stream").collect()
+    }
+
+    # exact twin, batch-applied (the gate is stateless expressions)
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in streaming_decontaminate(docs, evals).collect()
+    }
+    assert got.pop(null_id) == (False, False)
+    assert {k: v[0] for k, v in got.items()} == exact
+    # no false negatives: every contaminated doc was a candidate
+    assert all(v[1] for v in got.values() if v[0])
+    # and contamination really occurs in this fixture (eval ⊂ docs)
+    assert any(v[0] for v in got.values())

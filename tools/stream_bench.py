@@ -202,7 +202,11 @@ def curate_breakdown(spark, sf_dir: str, work: str, window_size: int):
 
     state_rows = {}
 
-    def variant(name: str, stages: tuple[str, ...]):
+    def variant(
+        name: str,
+        stages: tuple[str, ...],
+        decontam_mode: str = "bloom",
+    ):
         walls = []
         for rnd in ("warm", "t0", "t1", "t2"):
             ckpt = os.path.join(work, f"cur_{name}_{rnd}_ckpt")
@@ -224,6 +228,7 @@ def curate_breakdown(spark, sf_dir: str, work: str, window_size: int):
                 ts_col="ingest_ts" if "dedup" in stages else None,
                 window_size=window_size,
                 available_now=True,
+                decontam_mode=decontam_mode,
             )
             q.awaitTermination(600)
             if rnd == "t2":
@@ -240,14 +245,35 @@ def curate_breakdown(spark, sf_dir: str, work: str, window_size: int):
         "window_only": variant("plain", ()),
         "score": variant("score", ("score",)),
         "score_decontam": variant("sd", ("score", "decontam")),
+        "score_decontam_exact": variant(
+            "sdx", ("score", "decontam"), decontam_mode="exact"
+        ),
         "full_curation": variant(
             "full", ("score", "decontam", "dedup")
         ),
     }
+    # Bloom precision, measured batch-side on the same feed/eval set
+    # (VERDICT r13 #6: "false-positive rate surfaced"): candidates
+    # paid an exact probe; the excess over contaminated is the FP
+    # overhead the bit mask did not prune.
+    from kafkatoclickhouse_spark.streaming.decontam import (
+        streaming_decontaminate_bloom,
+    )
+
+    flags = streaming_decontaminate_bloom(docs, eval_shingles)
+    bl = flags.agg(
+        F.sum(F.col("bloom_candidate").cast("long")).alias("cand"),
+        F.sum(F.col("contaminated").cast("long")).alias("cont"),
+    ).collect()[0]
     return {
         "rows_per_sec": out,
         "n_docs": n_docs,
         "state_rows_last_batch": state_rows,
+        "bloom": {
+            "candidates": int(bl["cand"]),
+            "contaminated": int(bl["cont"]),
+            "false_positives": int(bl["cand"]) - int(bl["cont"]),
+        },
     }
 
 
