@@ -971,6 +971,112 @@ def multimodal_decode_jpeg420_stats(
     return decode_stats(synthesize_jpeg420_images(docs))
 
 
+# --- progressive 4:2:0 JPEG fixture + oracled decode (r14) ------------
+#
+# VERDICT r13 #5: large web progressive JPEGs are typically ALSO
+# 4:2:0 — the intersection, not the union, is what a crawl actually
+# contains. Both kernels existed separately since r13 (4:2:0 MCU
+# interleave; 4-kernel Annex G progressive); r14 composes them:
+# interleaved DC scans walk the MCU grid over MCU-padded component
+# grids (pad blocks decoded and discarded), non-interleaved AC scans
+# walk each component's TRUE grid. Certified under the same
+# exactness carve-out as the baseline 4:2:0 query: gray-valued
+# block-constant tiles keep chroma flat (DC-only) at any sampling,
+# so decode is bit-exact and the oracle is closed-form.
+
+J420P_BW_BASE, J420P_BW_MOD = 2, 3  # luma blocks across = 2 + d % 3
+J420P_BH_BASE, J420P_BH_MOD = 2, 2  # luma blocks down   = 2 + d % 2
+
+
+def _jpeg420p_block_value(doc_id, bx, by):
+    """Shared block-luma rule, mirrored textually in the oracle —
+    distinct constants from every other JPEG fixture."""
+    return (doc_id * 47 + bx * 19 + by * 23) % 256
+
+
+def synthesize_jpeg420_progressive_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with a REAL progressive (SOF2) 4:2:0 color
+    JPEG per document — mixed sampling factors AND a 4-kernel
+    Annex G scan script (DC first interleaved over MCUs, AC first
+    per component, DC refine, AC refine). Odd luma block counts make
+    the MCU pad blocks and the true-grid AC walk load-bearing.
+    Map-only, like the other synthesizers."""
+    import numpy as np
+
+    from kafkatoclickhouse_spark.operators.jpeg import (
+        encode_jpeg_rgb_progressive_subsampled,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw = J420P_BW_BASE + d % J420P_BW_MOD
+                bh = J420P_BH_BASE + d % J420P_BH_MOD
+                by, bx = np.mgrid[0:bh, 0:bw]
+                blocks = _jpeg420p_block_value(d, bx, by)
+                gray = np.kron(
+                    blocks, np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                img = np.stack([gray, gray, gray], axis=-1)
+                payloads.append(
+                    encode_jpeg_rgb_progressive_subsampled(img, (2, 2))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+@query(
+    "multimodal_decode_jpeg420_progressive_stats",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             {J420P_BW_BASE} + doc_id % {J420P_BW_MOD} AS bw,
+             {J420P_BH_BASE} + doc_id % {J420P_BH_MOD} AS bh
+      FROM documents
+    ),
+    blk AS (
+      SELECT doc_id, bw, bh, unnest(range(bw * bh)) AS i FROM dims
+    ),
+    v AS (
+      SELECT doc_id, bw, bh,
+             (doc_id * 47 + (i % bw) * 19 + (i // bw) * 23) % 256 AS val
+      FROM blk
+    )
+    SELECT doc_id,
+           CAST(MAX(bw) * 8 AS INTEGER) AS width,
+           CAST(MAX(bh) * 8 AS INTEGER) AS height,
+           3 AS channels,
+           CAST(SUM(val) * 64 AS BIGINT) AS sum_r,
+           CAST(SUM(val) * 64 AS BIGINT) AS sum_g,
+           CAST(SUM(val) * 64 AS BIGINT) AS sum_b
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_decode_jpeg420_progressive_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synthesize a progressive 4:2:0 color JPEG per document and
+    decode it through the composed path: per-scan accumulation into
+    true-grid coefficient arrays, MCU-interleaved DC first/refine
+    with pad-block discard, per-component AC first/refine, then
+    component crop, nearest upsample, YCbCr→RGB. The oracle
+    recomputes the closed-form rule without seeing a byte, so every
+    stage of the composition is load-bearing for the hash. Same
+    fan-out guard as the baseline 4:2:0 query (the per-doc codec
+    loop is the expensive part, not the scan)."""
+    from kafkatoclickhouse_spark.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return decode_stats(synthesize_jpeg420_progressive_images(docs))
+
+
 # --- restart-interval JPEG fixture + oracled decode (r13) -------------
 #
 # Camera and libjpeg output commonly carries DRI/RSTn restart markers
@@ -1621,10 +1727,12 @@ def _classify_jpeg(p: bytes) -> tuple[str, str, str]:
                 "jpeg_baseline" if m == 0xC0 else "jpeg_progressive"
             )
         return ("jpeg", _try_pure(p), detail)
-    if m == 0xC0 and precision == 8 and factors_ok:
-        # subsampled BASELINE decodes natively since r13
-        # (MCU interleave + nearest chroma upsample); the
-        # detail names the layout for the coverage report
+    if m in (0xC0, 0xC2) and precision == 8 and factors_ok:
+        # subsampled BASELINE decodes natively since r13 (MCU
+        # interleave + nearest chroma upsample); subsampled
+        # PROGRESSIVE since r14 (true-grid coefficient arrays, MCU
+        # walk with pad-block discard). The detail names the layout
+        # for the coverage report.
         maxh, maxv = max(hs), max(vs)
         detail = (
             "jpeg420"
@@ -1633,6 +1741,8 @@ def _classify_jpeg(p: bytes) -> tuple[str, str, str]:
             if (maxh, maxv) in ((2, 1), (1, 2))
             else "jpeg_sampled"
         )
+        if m == 0xC2:
+            detail += "_progressive"
         return ("jpeg", _try_pure(p), detail)
     if m not in (0xC0, 0xC2):
         detail = "jpeg_extended"
@@ -1826,18 +1936,19 @@ def _synthesize_webp_headers(docs: DataFrame) -> DataFrame:
     oracle="""
     SELECT format, path, detail, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM (
-      SELECT CASE CAST(doc_id % 13 AS INTEGER)
+      SELECT CASE CAST(doc_id % 14 AS INTEGER)
                WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
                WHEN 2 THEN 'jpeg' WHEN 3 THEN 'png'
                WHEN 4 THEN 'jpeg' WHEN 6 THEN 'png'
                WHEN 7 THEN 'png' WHEN 8 THEN 'jpeg'
                WHEN 9 THEN 'jpeg' WHEN 10 THEN 'gif'
                WHEN 11 THEN 'webp' WHEN 12 THEN 'jpeg'
+               WHEN 13 THEN 'jpeg'
                ELSE 'unknown' END AS format,
-             CASE CAST(doc_id % 13 AS INTEGER)
+             CASE CAST(doc_id % 14 AS INTEGER)
                WHEN 8 THEN 'fallback' WHEN 11 THEN 'fallback'
                WHEN 5 THEN 'undecodable' ELSE 'pure' END AS path,
-             CASE CAST(doc_id % 13 AS INTEGER)
+             CASE CAST(doc_id % 14 AS INTEGER)
                WHEN 0 THEN 'ppm_p6' WHEN 1 THEN 'bmp24'
                WHEN 2 THEN 'jpeg_baseline'
                WHEN 3 THEN 'png8_noninterlaced'
@@ -1850,6 +1961,7 @@ def _synthesize_webp_headers(docs: DataFrame) -> DataFrame:
                                  THEN 'gif89a' ELSE 'gif87a' END
                WHEN 11 THEN 'webp'
                WHEN 12 THEN 'jpeg_restart'
+               WHEN 13 THEN 'jpeg420_progressive'
                ELSE 'unknown_magic' END AS detail
       FROM documents)
     GROUP BY format, path, detail
@@ -1859,18 +1971,19 @@ def multimodal_codec_coverage(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Codec-coverage report over a MIXED image corpus: one payload
-    per document, format by doc_id % 13 (PPM / BMP24 / baseline JPEG
+    per document, format by doc_id % 14 (PPM / BMP24 / baseline JPEG
     / PNG / REAL progressive JPEG / non-image bytes / Adam7
     interlaced PNG / 16-bit PNG / 12-bit JPEG header / REAL 4:2:0
     color JPEG / REAL GIF / WebP header / REAL restart-interval
-    JPEG), classified by
+    JPEG / REAL progressive 4:2:0 JPEG), classified by
     :func:`classify_image` and counted by (format, route, detail).
     The oracle predicts every class in closed form, so the hash
     match certifies (a) the marker-level triage routes each
     synthesized format correctly — progressive JPEG and interlaced
-    PNG route PURE since r11, 16-bit PNG since r12, and their
-    streams actually decode and 4:2:0 baseline routes PURE since
-    r13, (b) every pure-routed stream DECODES (a
+    PNG route PURE since r11, 16-bit PNG since r12, their
+    streams actually decode, 4:2:0 baseline routes PURE since
+    r13 and progressive 4:2:0 since r14, (b) every pure-routed
+    stream DECODES (a
     codec regression flips its row to path='error' and fails
     parity), and (c) nothing raises on the fallback/undecodable
     classes (12-bit JPEG keeps the fallback route exercised now that
@@ -1878,7 +1991,7 @@ def multimodal_codec_coverage(
     (format, path, detail) triples — at 100 TB the payloads never
     leave their scan tasks."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    cls = F.col("doc_id") % 13
+    cls = F.col("doc_id") % 14
     branches = [
         synthesize_ppm_images(docs.filter(cls == 0)),
         synthesize_bmp_images(docs.filter(cls == 1), w=32, h=16),
@@ -1901,6 +2014,7 @@ def multimodal_codec_coverage(
         synthesize_gif_images(docs.filter(cls == 10)),
         _synthesize_webp_headers(docs.filter(cls == 11)),
         synthesize_jpeg_restart_images(docs.filter(cls == 12)),
+        synthesize_jpeg420_progressive_images(docs.filter(cls == 13)),
     ]
     mixed = branches[0]
     for b in branches[1:]:

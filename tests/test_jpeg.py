@@ -334,10 +334,13 @@ def test_subsampled_dc_prediction_chains_are_per_component():
     assert np.array_equal(out, img)
 
 
-def test_subsampled_rejects_progressive_and_bad_factors():
+def test_subsampled_rejects_relabeled_sof2_and_bad_factors():
     import struct
 
-    # subsampled SOF2 must raise, not silently mis-decode
+    # a subsampled BASELINE scan relabeled SOF2 is invalid
+    # progressive syntax (full-band interleaved scan) — it must
+    # raise, not mis-decode through the r14 progressive-subsampled
+    # path (which requires a real Annex G scan script)
     img = np.full((16, 16, 3), 90, dtype=np.uint8)
     payload = bytearray(J.encode_jpeg_rgb_subsampled(img, (2, 2)))
     i = payload.find(b"\xff\xc0")
@@ -464,3 +467,52 @@ def test_property_restart_matches_unframed(h, w, ri, seed):
     a = J.decode_jpeg(J.encode_jpeg_gray(img))
     b = J.decode_jpeg(J.encode_jpeg_gray(img, restart_interval=ri))
     assert np.array_equal(a, b)
+
+
+# Progressive + chroma-subsampled composition (r14, VERDICT r13 #5)
+
+
+def test_progressive_subsampled_gray_tiles_bit_exact_all_layouts():
+    """The exactness carve-out composed: gray block-constant tiles
+    through a REAL progressive subsampled stream (4:2:0/4:2:2/4:4:0)
+    decode bit-exactly — DC-only coefficients survive the 4-kernel
+    scan script, the MCU pad-block discard, and the chroma
+    crop+upsample."""
+    for sampling in ((2, 2), (2, 1), (1, 2)):
+        for bw, bh in ((2, 2), (3, 2), (2, 3), (5, 3)):
+            by, bx = np.mgrid[0:bh, 0:bw]
+            blocks = (bx * 13 + by * 29 + 31) % 256
+            gray = np.kron(
+                blocks, np.ones((8, 8), dtype=np.int64)
+            ).astype(np.uint8)
+            img = np.stack([gray, gray, gray], axis=-1)
+            out = J.decode_jpeg(
+                J.encode_jpeg_rgb_progressive_subsampled(img, sampling)
+            )
+            assert np.array_equal(out, img), (sampling, bw, bh)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=8, max_value=40),
+    w=st.integers(min_value=8, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    sampling=st.sampled_from([(2, 2), (2, 1), (1, 2)]),
+)
+def test_property_progressive_subsampled_matches_baseline_subsampled(
+    h, w, seed, sampling
+):
+    """Arbitrary color content at arbitrary (non-MCU-aligned) dims:
+    the progressive subsampled encode decodes PIXEL-IDENTICAL to the
+    baseline subsampled encode of the same image — the quantized
+    coefficients are identical by construction, so any divergence is
+    a scan-script, pad-block, or grid-mapping bug in either
+    direction."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg_rgb_subsampled(img, sampling))
+    prog = J.decode_jpeg(
+        J.encode_jpeg_rgb_progressive_subsampled(img, sampling)
+    )
+    assert base.shape == prog.shape == (h, w, 3)
+    assert np.array_equal(base, prog)
