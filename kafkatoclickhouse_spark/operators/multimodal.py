@@ -2163,3 +2163,118 @@ def multimodal_decode_wav_stats(
             " frame_idx long, energy long, n_samples long"
         ),
     )
+
+
+# --- multi-depth WAV sweep (r14, VERDICT r13 #8) ----------------------
+#
+# 24-bit integer and float32 PCM are common in speech corpora;
+# operators/wav.py decodes both natively since r14 (float32 via the
+# Q15 requantization convention — exact because the fixture's float
+# content IS Q15: k/32768 with integer k). Depth by doc_id % 4 so
+# every depth appears at every SF; the amplitude rule scales to each
+# depth's range, making the sign extension (24-bit bit-23 boundary)
+# and the float round-trip load-bearing for the hash.
+
+WAVD_BITS = (16, 8, 24, 32)  # by doc_id % 4
+# modulus per depth; amplitude = rule % mod - mod // 2
+WAVD_MODS = (4001, 256, 8_000_001, 65_536)
+
+
+def _synthesize_wav_depth_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from kafkatoclickhouse_spark.operators.wav import encode_wav
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n_frames = (
+                WAV_FRAMES_BASE + (d % WAV_FRAMES_MOD) * WAV_FRAMES_STEP
+            )
+            n_ch = 1 + d % 2
+            rate = WAV_RATE_BASE + (d % WAV_RATE_MOD) * WAV_RATE_STEP
+            bits = WAVD_BITS[d % 4]
+            mod = WAVD_MODS[d % 4]
+            f, c = np.mgrid[0:n_frames, 0:n_ch]
+            samples = (
+                (d * 31 + f * 17 + c * 23) % mod - mod // 2
+            ).astype(np.int64)
+            payloads.append(encode_wav(samples, rate, bits=bits))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@query(
+    "multimodal_decode_wav_depths_stats",
+    oracle=f"""
+    WITH par AS (
+      SELECT doc_id,
+             {WAV_FRAMES_BASE} + (doc_id % {WAV_FRAMES_MOD})
+               * {WAV_FRAMES_STEP} AS n_frames,
+             1 + doc_id % 2 AS n_channels,
+             {WAV_RATE_BASE} + (doc_id % {WAV_RATE_MOD})
+               * {WAV_RATE_STEP} AS sample_rate,
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN 16 WHEN 1 THEN 8
+               WHEN 2 THEN 24 ELSE 32 END AS bits,
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN {WAVD_MODS[0]} WHEN 1 THEN {WAVD_MODS[1]}
+               WHEN 2 THEN {WAVD_MODS[2]} ELSE {WAVD_MODS[3]} END AS md
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, bits, n_channels, sample_rate, j,
+             (doc_id * 31 + (j // n_channels) * 17
+              + (j % n_channels) * 23) % md - md // 2 AS smp
+      FROM par, LATERAL (SELECT unnest(range(n_frames * n_channels)) AS j)
+    )
+    SELECT doc_id,
+           CAST(MAX(bits) AS INTEGER) AS bits,
+           CAST(MAX(sample_rate) AS INTEGER) AS sample_rate,
+           CAST(MAX(n_channels) AS INTEGER) AS n_channels,
+           CAST(j // {WAV_WINDOW} AS BIGINT) AS frame_idx,
+           CAST(SUM(smp * smp) AS BIGINT) AS energy,
+           CAST(COUNT(*) AS BIGINT) AS n_samples
+    FROM s GROUP BY doc_id, j // {WAV_WINDOW}
+    """,
+)
+def multimodal_decode_wav_depths_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The depth sweep: synthesize 8/16/24-bit integer and float32
+    WAVs (depth by doc_id % 4, amplitude scaled to each depth's
+    range — 24-bit content spans ±4M, far past int16), decode
+    through the one RIFF parser, and report the same exact windowed
+    energies. The oracle replays the closed-form rule per depth —
+    a sign-extension bug at the 24-bit boundary or a float
+    requantization drift is a hash mismatch, not a silent skew."""
+    from kafkatoclickhouse_spark.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    audio = docs.select("doc_id").mapInPandas(
+        _synthesize_wav_depth_batches,
+        schema="doc_id long, payload binary",
+    )
+    decoded = audio.mapInPandas(
+        _decode_wav_batches,
+        schema=(
+            "doc_id long, sample_rate int, n_channels int,"
+            " frame_idx long, energy long, n_samples long"
+        ),
+    )
+    return decoded.select(
+        "doc_id",
+        F.expr(
+            "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 16 WHEN 1 THEN 8"
+            " WHEN 2 THEN 24 ELSE 32 END"
+        )
+        .cast("int")
+        .alias("bits"),
+        "sample_rate",
+        "n_channels",
+        "frame_idx",
+        "energy",
+        "n_samples",
+    )

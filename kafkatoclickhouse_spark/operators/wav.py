@@ -14,9 +14,15 @@ Format notes (RIFF spec / RFC 2361):
   - chunk walk: each chunk is (4-byte id, 4-byte LE size, payload,
     pad byte if size is odd) — the pad byte is the classic parser
     bug, exercised by the Hypothesis round-trip on odd data sizes;
-  - ``fmt `` chunk: PCM means audio_format == 1; this decoder
-    accepts bit depths 16 (LE signed) and 8 (unsigned, rebased to
-    signed by −128 like every audio stack);
+  - ``fmt `` chunk: PCM means audio_format == 1 — this decoder
+    accepts bit depths 8 (unsigned, rebased to signed by −128 like
+    every audio stack), 16 (LE signed), and since r14 24 (LE signed
+    3-byte, the studio/speech-corpus staple); audio_format == 3
+    (WAVE_FORMAT_IEEE_FLOAT) at 32 bits decodes natively too, with
+    samples REQUANTIZED to Q15 integers (round(f·32768)) so the
+    decode stays integer-exact and oracle-replayable — exact
+    whenever the content is Q15 (every fixture is), a documented
+    half-ulp quantization otherwise. float64 stays fallback;
   - ``data`` chunk: interleaved frames (sample f of channel c at
     index f·n_channels + c).
 
@@ -40,20 +46,38 @@ def encode_wav(
     """Serialize an (n_frames, n_channels) integer array as a
     canonical PCM WAV: RIFF header, 16-byte fmt chunk, data chunk,
     odd-size pad byte. ``bits`` 16 → LE int16; 8 → unsigned bytes
-    (values expected in [-128, 127], stored +128)."""
+    (values expected in [-128, 127], stored +128); 24 → LE signed
+    3-byte; 32 → IEEE float32 (format 3) storing Q15 integers as
+    value/32768 — the inverse of the decoder's requantization, so
+    integer samples round-trip exactly."""
     if samples.ndim != 2:
         raise ValueError("samples must be (n_frames, n_channels)")
     n_frames, n_ch = samples.shape
+    audio_format = 1
     if bits == 16:
         body = samples.astype("<i2").tobytes()
     elif bits == 8:
         body = (samples.astype(np.int64) + 128).astype(np.uint8).tobytes()
+    elif bits == 24:
+        a = samples.astype(np.int64).reshape(-1)
+        if (a < -(1 << 23)).any() or (a >= (1 << 23)).any():
+            raise ValueError("sample out of 24-bit range")
+        u = (a & 0xFFFFFF).astype("<u4").view(np.uint8).reshape(-1, 4)
+        body = u[:, :3].tobytes()  # low 3 LE bytes of each sample
+    elif bits == 32:
+        audio_format = 3
+        body = (
+            (samples.astype(np.float64) / 32768.0)
+            .astype("<f4")
+            .tobytes()
+        )
     else:
         raise ValueError(f"unsupported bit depth {bits}")
     block_align = n_ch * (bits // 8)
     byte_rate = sample_rate * block_align
     fmt = struct.pack(
-        "<HHIIHH", 1, n_ch, sample_rate, byte_rate, block_align, bits
+        "<HHIIHH",
+        audio_format, n_ch, sample_rate, byte_rate, block_align, bits,
     )
     chunks = b"".join(
         _chunk(cid, payload)
@@ -83,9 +107,15 @@ def classify_wav(payload: bytes) -> tuple[str, str]:
     if fmt is None:
         return ("undecodable", "no_fmt_chunk")
     audio_format, _, _, _, _, bits = fmt
+    if audio_format == 3:
+        # IEEE float decodes natively at 32 bits (Q15 requantize);
+        # float64 and malformed float tags stay fallback
+        if bits == 32:
+            return ("pure", "float32")
+        return ("fallback", f"float_bits_{bits}")
     if audio_format != 1:
         return ("fallback", f"compressed_format_{audio_format}")
-    if bits not in (8, 16):
+    if bits not in (8, 16, 24):
         return ("fallback", f"pcm_bits_{bits}")
     return ("pure", f"pcm{bits}")
 
@@ -118,10 +148,11 @@ def _walk(p: bytes):
 
 def decode_wav(payload: bytes):
     """(sample_rate, samples) where samples is an
-    (n_frames, n_channels) int64 array — PCM 16-bit LE or 8-bit
-    unsigned (rebased −128) only; anything else raises (callers
-    triage with :func:`classify_wav` first, exactly like the image
-    codecs' ``decode_image`` contract)."""
+    (n_frames, n_channels) int64 array — PCM 8-bit unsigned (rebased
+    −128), 16-bit LE, 24-bit LE signed, or IEEE float32 (Q15
+    requantized); anything else raises (callers triage with
+    :func:`classify_wav` first, exactly like the image codecs'
+    ``decode_image`` contract)."""
     if len(payload) < 12 or payload[:4] != b"RIFF":
         raise ValueError("not RIFF")
     if payload[8:12] != b"WAVE":
@@ -130,16 +161,34 @@ def decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_ch, sample_rate, _byte_rate, block_align, bits = fmt
-    if audio_format != 1:
+    if audio_format not in (1, 3):
         raise ValueError(f"compressed format {audio_format}")
     if n_ch < 1:
         raise ValueError("zero channels")
-    if bits == 16:
+    if audio_format == 3:
+        if bits != 32:
+            raise ValueError(f"unsupported float depth {bits}")
+        f = np.frombuffer(
+            data[: len(data) - len(data) % 4], dtype="<f4"
+        ).astype(np.float64)
+        # Q15 requantization: integer-exact whenever content is
+        # k/32768 (see module docstring)
+        a = np.round(f * 32768.0).astype(np.int64)
+    elif bits == 16:
         a = np.frombuffer(
             data[: len(data) - len(data) % 2], dtype="<i2"
         ).astype(np.int64)
     elif bits == 8:
         a = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    elif bits == 24:
+        trimmed = data[: len(data) - len(data) % 3]
+        u = np.frombuffer(trimmed, dtype=np.uint8).reshape(-1, 3)
+        v = (
+            u[:, 0].astype(np.int64)
+            | (u[:, 1].astype(np.int64) << 8)
+            | (u[:, 2].astype(np.int64) << 16)
+        )
+        a = v - ((v >> 23) & 1) * (1 << 24)  # sign-extend bit 23
     else:
         raise ValueError(f"unsupported bit depth {bits}")
     if block_align != n_ch * (bits // 8):

@@ -74,15 +74,21 @@ def test_wav_triage_routes_never_raise():
         "no_fmt_chunk",
     )
     assert classify_wav(good[:20]) == ("undecodable", "truncated")
-    # IEEE-float WAV (format 3) → fallback, like progressive JPEG
+    # a format-3 (IEEE float) TAG on 16-bit data is malformed — only
+    # 32-bit floats decode natively (r14); the mislabeled stream
+    # must route fallback and raise, never mis-decode
     f32 = bytearray(good)
     f32[20:22] = struct.pack("<H", 3)
-    assert classify_wav(bytes(f32)) == (
-        "fallback",
-        "compressed_format_3",
-    )
+    assert classify_wav(bytes(f32)) == ("fallback", "float_bits_16")
     with pytest.raises(ValueError):
         decode_wav(bytes(f32))
+    # mu-law and other compressed formats stay fallback
+    ulaw = bytearray(good)
+    ulaw[20:22] = struct.pack("<H", 7)
+    assert classify_wav(bytes(ulaw)) == (
+        "fallback",
+        "compressed_format_7",
+    )
 
 
 def test_wav_8bit_rebase_matches_convention():
@@ -94,3 +100,61 @@ def test_wav_8bit_rebase_matches_convention():
     assert data[:3] == bytes([0, 128, 255])
     _, got = decode_wav(payload)
     assert (got == samples).all()
+
+
+# 24-bit integer + float32 PCM depths (r14, VERDICT r13 #8)
+
+
+@given(
+    st.integers(min_value=1, max_value=61),
+    st.integers(min_value=1, max_value=3),
+    st.sampled_from([24, 32]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=80, deadline=None)
+def test_wav_deep_depth_roundtrip(n_frames, n_ch, bits, rng):
+    """24-bit (full ±2^23 range) and float32 (Q15 content) WAVs
+    round-trip integer-exactly; both route 'pure' in triage."""
+    lo, hi = (
+        (-(1 << 23), (1 << 23) - 1) if bits == 24 else (-32768, 32767)
+    )
+    samples = np.array(
+        [
+            [rng.randint(lo, hi) for _ in range(n_ch)]
+            for _ in range(n_frames)
+        ],
+        dtype=np.int64,
+    )
+    payload = encode_wav(samples, 48_000, bits=bits)
+    assert len(payload) % 2 == 0
+    expect = "pcm24" if bits == 24 else "float32"
+    assert classify_wav(payload) == ("pure", expect)
+    rate, got = decode_wav(payload)
+    assert rate == 48_000
+    assert (got == samples).all()
+
+
+def test_wav_24bit_sign_extension_edges():
+    """Bit-23 boundary values: min/−1/0/+1/max must sign-extend
+    exactly through the 3-byte LE pack/unpack."""
+    edge = np.array(
+        [[-(1 << 23)], [-1], [0], [1], [(1 << 23) - 1]], dtype=np.int64
+    )
+    _, got = decode_wav(encode_wav(edge, 8000, bits=24))
+    assert (got == edge).all()
+    with pytest.raises(ValueError):
+        encode_wav(np.array([[1 << 23]], dtype=np.int64), 8000, bits=24)
+
+
+def test_wav_float32_non_q15_content_quantizes_half_ulp():
+    """Floats that are NOT k/32768 requantize to the nearest Q15
+    integer — the documented convention, not an error."""
+    import struct as _struct
+
+    payload = bytearray(
+        encode_wav(np.array([[100]], dtype=np.int64), 8000, bits=32)
+    )
+    # overwrite the single float with 0.5000123 (not Q15)
+    payload[-4:] = _struct.pack("<f", 0.5000123)
+    _, got = decode_wav(bytes(payload))
+    assert got[0, 0] == round(0.5000123 * 32768)
