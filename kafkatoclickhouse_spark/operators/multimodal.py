@@ -180,6 +180,17 @@ def decode_image(payload: bytes) -> "object":
         except ValueError:
             if _PIL_Image is None:
                 raise
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # dependency-free VP8L (lossless WebP) decoder
+        # (operators/webp.py, r14); lossy VP8 and unsupported
+        # transforms raise there and fall through to PIL if present
+        from kafkatoclickhouse_spark.operators.webp import decode_webp
+
+        try:
+            return decode_webp(payload)[..., :3]
+        except ValueError:
+            if _PIL_Image is None:
+                raise
     if _PIL_Image is not None:  # pragma: no cover - not in container
         import io
 
@@ -1647,9 +1658,22 @@ def classify_image(payload: bytes) -> tuple[str, str, str]:
         detail = "gif87a" if p[:6] == b"GIF87a" else "gif89a"
         return ("gif", _try_pure(p), detail)
     if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
-        # recognized but outside the pure codecs (VP8 bitstream) —
-        # PIL fallback on deployments that have it
-        return ("webp", "fallback", "webp")
+        # VP8L (lossless) decodes natively since r14 when its
+        # feature set is the supported subset (no predictor/color/
+        # color-indexing transform, no meta prefix — inspected from
+        # the header bits WITHOUT a decode); lossy VP8 and
+        # transform-heavy lossless streams stay PIL fallback.
+        from kafkatoclickhouse_spark.operators.webp import (
+            vp8l_features,
+        )
+
+        try:
+            feats = vp8l_features(p)
+        except Exception:  # noqa: BLE001 — triage must not raise
+            return ("webp", "fallback", "webp")
+        if any(t != 2 for t in feats["transforms"]):
+            return ("webp", "fallback", "vp8l_transform")
+        return ("webp", _try_pure(p), "vp8l")
     return ("unknown", "undecodable", "unknown_magic")
 
 
@@ -1936,19 +1960,19 @@ def _synthesize_webp_headers(docs: DataFrame) -> DataFrame:
     oracle="""
     SELECT format, path, detail, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM (
-      SELECT CASE CAST(doc_id % 14 AS INTEGER)
+      SELECT CASE CAST(doc_id % 15 AS INTEGER)
                WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
                WHEN 2 THEN 'jpeg' WHEN 3 THEN 'png'
                WHEN 4 THEN 'jpeg' WHEN 6 THEN 'png'
                WHEN 7 THEN 'png' WHEN 8 THEN 'jpeg'
                WHEN 9 THEN 'jpeg' WHEN 10 THEN 'gif'
                WHEN 11 THEN 'webp' WHEN 12 THEN 'jpeg'
-               WHEN 13 THEN 'jpeg'
+               WHEN 13 THEN 'jpeg' WHEN 14 THEN 'webp'
                ELSE 'unknown' END AS format,
-             CASE CAST(doc_id % 14 AS INTEGER)
+             CASE CAST(doc_id % 15 AS INTEGER)
                WHEN 8 THEN 'fallback' WHEN 11 THEN 'fallback'
                WHEN 5 THEN 'undecodable' ELSE 'pure' END AS path,
-             CASE CAST(doc_id % 14 AS INTEGER)
+             CASE CAST(doc_id % 15 AS INTEGER)
                WHEN 0 THEN 'ppm_p6' WHEN 1 THEN 'bmp24'
                WHEN 2 THEN 'jpeg_baseline'
                WHEN 3 THEN 'png8_noninterlaced'
@@ -1962,6 +1986,7 @@ def _synthesize_webp_headers(docs: DataFrame) -> DataFrame:
                WHEN 11 THEN 'webp'
                WHEN 12 THEN 'jpeg_restart'
                WHEN 13 THEN 'jpeg420_progressive'
+               WHEN 14 THEN 'vp8l'
                ELSE 'unknown_magic' END AS detail
       FROM documents)
     GROUP BY format, path, detail
@@ -1971,11 +1996,13 @@ def multimodal_codec_coverage(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Codec-coverage report over a MIXED image corpus: one payload
-    per document, format by doc_id % 14 (PPM / BMP24 / baseline JPEG
+    per document, format by doc_id % 15 (PPM / BMP24 / baseline JPEG
     / PNG / REAL progressive JPEG / non-image bytes / Adam7
     interlaced PNG / 16-bit PNG / 12-bit JPEG header / REAL 4:2:0
-    color JPEG / REAL GIF / WebP header / REAL restart-interval
-    JPEG / REAL progressive 4:2:0 JPEG), classified by
+    color JPEG / REAL GIF / lossy-WebP header / REAL restart-interval
+    JPEG / REAL progressive 4:2:0 JPEG / REAL VP8L lossless WebP —
+    the lossy header still exercising fallback while VP8L routes
+    pure since r14), classified by
     :func:`classify_image` and counted by (format, route, detail).
     The oracle predicts every class in closed form, so the hash
     match certifies (a) the marker-level triage routes each
@@ -1991,7 +2018,7 @@ def multimodal_codec_coverage(
     (format, path, detail) triples — at 100 TB the payloads never
     leave their scan tasks."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    cls = F.col("doc_id") % 14
+    cls = F.col("doc_id") % 15
     branches = [
         synthesize_ppm_images(docs.filter(cls == 0)),
         synthesize_bmp_images(docs.filter(cls == 1), w=32, h=16),
@@ -2015,6 +2042,7 @@ def multimodal_codec_coverage(
         _synthesize_webp_headers(docs.filter(cls == 11)),
         synthesize_jpeg_restart_images(docs.filter(cls == 12)),
         synthesize_jpeg420_progressive_images(docs.filter(cls == 13)),
+        synthesize_webp_images(docs.filter(cls == 14)),
     ]
     mixed = branches[0]
     for b in branches[1:]:
@@ -2026,6 +2054,113 @@ def multimodal_codec_coverage(
     return classified.groupBy("format", "path", "detail").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+# --- VP8L (lossless WebP) fixture + oracled decode (r14) --------------
+#
+# VERDICT r13 #7: WebP was classified by magic only. operators/webp.py
+# now decodes the VP8L subset natively; the fixture turns on EVERY
+# supported decoder path at once — subtract-green transform, color
+# cache, distance-1 LZ77 runs (cells are 4px-wide horizontal bands),
+# full code-length-coded prefix tables — and VP8L is lossless, so the
+# closed-form pixel rule is exact with no carve-out needed.
+
+WEBP_W_BASE, WEBP_W_MOD = 16, 5
+WEBP_H_BASE, WEBP_H_MOD = 8, 4
+WEBP_NCELL = 6
+WEBP_CELL_W = 4
+
+
+def _webp_cell_exprs(doc_id, x, y):
+    """Shared palette-cell rule, mirrored textually in the oracle."""
+    return (doc_id * 7 + (x // WEBP_CELL_W) * 3 + y * 5) % WEBP_NCELL
+
+
+def synthesize_webp_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with a REAL VP8L lossless WebP per document
+    — subtract-green + 5-bit color cache + run back-references.
+    Map-only, like the other synthesizers."""
+    import numpy as np
+
+    from kafkatoclickhouse_spark.operators.webp import encode_webp
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = WEBP_W_BASE + d % WEBP_W_MOD
+                h = WEBP_H_BASE + d % WEBP_H_MOD
+                y, x = np.mgrid[0:h, 0:w]
+                cell = _webp_cell_exprs(d, x, y)
+                img = np.stack(
+                    [
+                        (d * 11 + cell * 37) % 256,
+                        (d * 13 + cell * 41) % 256,
+                        (d * 17 + cell * 43) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_webp(
+                        img,
+                        subtract_green=True,
+                        cache_bits=5,
+                        lz77_runs=True,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+@query(
+    "multimodal_decode_webp_stats",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             {WEBP_W_BASE} + doc_id % {WEBP_W_MOD} AS w,
+             {WEBP_H_BASE} + doc_id % {WEBP_H_MOD} AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims
+    ),
+    c AS (
+      SELECT doc_id, w, h,
+             (doc_id * 7 + ((i % w) // {WEBP_CELL_W}) * 3
+              + (i // w) * 5) % {WEBP_NCELL} AS cell
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           3 AS channels,
+           CAST(SUM((doc_id * 11 + cell * 37) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 13 + cell * 41) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 17 + cell * 43) % 256) AS BIGINT) AS sum_b
+    FROM c GROUP BY doc_id
+    """,
+)
+def multimodal_decode_webp_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synthesize a VP8L lossless WebP per document and decode it
+    back through the full pipeline — RIFF walk, LSB bit reader,
+    code-length-coded canonical prefix tables, color-cache
+    hits/inserts, distance-1 back-references through the plain-
+    distance escape, inverse subtract-green — and report exact
+    per-channel pixel sums. Lossless means the oracle replays the
+    cell rule with no carve-out: ANY decoder bug is a hash
+    mismatch."""
+    from kafkatoclickhouse_spark.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return decode_stats(synthesize_webp_images(docs))
 
 
 # --- PCM WAV audio fixture + oracled decode (VERDICT r10 #8) ----------
