@@ -838,13 +838,15 @@ def test_classify_image_routes_off_fixture_variants():
     assert classify_image(sof(0xC2, sampling=0x22)) == (
         "jpeg", "error", "jpeg_progressive"
     )
-    # MULTI-component subsampled progressive stays on fallback
+    # MULTI-component subsampled PROGRESSIVE routes pure-class since
+    # r14 (the composed decode path); header-only stream surfaces as
+    # decode error by design, like the baseline pin below
     multi = bytes(
         [0xFF, 0xC2, 0x00, 0x11, 8, 0, 8, 0, 8, 3,
          1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
     assert classify_image(b"\xff\xd8" + multi) == (
-        "jpeg", "fallback", "jpeg_subsampled"
+        "jpeg", "error", "jpeg420_progressive"
     )
     # MULTI-component subsampled BASELINE routes pure-class (r13);
     # header-only stream surfaces as decode error
