@@ -193,19 +193,34 @@ def dsir_logweights(docs: DataFrame, target_pred: Column) -> DataFrame:
     given corpus and score the pool with the integer micro-nat
     importance log-weight. The λ table is ≤ DSIR_BUCKETS rows and
     broadcast; docs with no tokens score 0 (both models agree)."""
+    # r14: the model fit is a ≤ DSIR_BUCKETS-row aggregate, so it is
+    # collected ONCE as a bounded driver barrier (the classifier /
+    # kmeans pattern) instead of recomputing the whole tokenize +
+    # explode + md5 gram pipeline for the λ table AND AGAIN for its
+    # totals — the old tot-crossJoin-counts shape cost a third full
+    # corpus pass because Spark's exchange reuse does not fire across
+    # those branch shapes (verified on the executed plan: 37
+    # exchanges, 2 reused). Totals are integer sums (exact in
+    # Python); λ itself is still computed BY SPARK on the collected
+    # integers so the ln() floats stay bit-identical to the oracle's.
     gb = _grams_df(docs).withColumn("is_t", target_pred)
-    counts = gb.groupBy("bucket").agg(
-        F.sum(F.col("is_t").cast("long")).cast("long").alias("c_t"),
-        F.sum((~F.col("is_t")).cast("long")).cast("long").alias("c_r"),
+    counts_pdf = (
+        gb.groupBy("bucket")
+        .agg(
+            F.sum(F.col("is_t").cast("long")).cast("long").alias("c_t"),
+            F.sum((~F.col("is_t")).cast("long")).cast("long").alias("c_r"),
+        )
+        .toPandas()
     )
-    tot = counts.agg(
-        F.sum("c_t").cast("long").alias("t_t"),
-        F.sum("c_r").cast("long").alias("t_r"),
-    )
-    lam = counts.crossJoin(F.broadcast(tot)).select(
+    t_t = int(counts_pdf["c_t"].sum())
+    t_r = int(counts_pdf["c_r"].sum())
+    spark = docs.sparkSession
+    lam = spark.createDataFrame(
+        counts_pdf, schema="bucket long, c_t long, c_r long"
+    ).select(
         "bucket",
         _llr_micro_col(
-            F.col("c_t"), F.col("c_r"), F.col("t_t"), F.col("t_r")
+            F.col("c_t"), F.col("c_r"), F.lit(t_t), F.lit(t_r)
         ).alias("lam_micro"),
     )
     raw_grams = gb.filter(~F.col("is_t")).select("doc_id", "bucket")
@@ -314,7 +329,12 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixes k is the one bounded driver barrier."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     tpred = F.col("source").isin(*DSIR_TARGET_SOURCES)
-    n_raw = docs.filter(~tpred).count()
+    # the k-fixing count barrier reads the un-fanned scan: a COUNT
+    # over one narrow column gains nothing from the repartition and
+    # would otherwise pay its exchange
+    n_raw = (
+        load_table(spark, sf_dir, "documents").filter(~tpred).count()
+    )
     return dsir_select(docs, tpred, max(n_raw // DSIR_SELECT_DIV, 1))
 
 
@@ -349,7 +369,12 @@ def corpus_dsir_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same plan as the selection plus one source-keyed count."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     tpred = F.col("source").isin(*DSIR_TARGET_SOURCES)
-    n_raw = docs.filter(~tpred).count()
+    # the k-fixing count barrier reads the un-fanned scan: a COUNT
+    # over one narrow column gains nothing from the repartition and
+    # would otherwise pay its exchange
+    n_raw = (
+        load_table(spark, sf_dir, "documents").filter(~tpred).count()
+    )
     sel = dsir_select(
         docs, tpred, max(n_raw // DSIR_SELECT_DIV, 1)
     ).select("doc_id", F.lit(1).alias("hit"))

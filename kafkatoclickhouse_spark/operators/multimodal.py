@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafkatoclickhouse_spark.registry import query
-from kafkatoclickhouse_spark.tables import load_table
+from kafkatoclickhouse_spark.tables import fan_out, load_table
 
 # Compressed-codec libraries (PIL/cv2/librosa) are absent in this
 # environment; the built-in pure-numpy decoder below handles the
@@ -250,7 +250,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata projection off the multimodal frame — metadata
     queries never touch payload bytes (column pruning drops the
     binary column at the scan; the 100 TB point of the design)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     mm = with_binary_payload(docs)
     return mm.select(
         "doc_id",
@@ -280,7 +280,7 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-character over the source text — identical to the byte path
     because the fixture text is pure ASCII (char code == payload
     byte), the same technique as ``multimodal_resize``."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return byte_features(with_binary_payload(docs))
 
 
@@ -317,7 +317,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     text — identical because the fixture text is pure ASCII (verified:
     0 multi-byte docs), which is what makes the binary path
     hash-checkable at all."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     mm = with_binary_payload(docs)
     n_frames = F.ceil(
         F.col("meta.n_bytes").cast("double") / FRAME_BYTES
@@ -409,7 +409,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array<int>`` column is unhashable there. The oracle recomputes
     the integer-stride byte selection directly over the source text
     (pure ASCII fixture, so char code == payload byte)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     px = resize(with_binary_payload(docs))
     return px.select(
         "doc_id",
@@ -486,7 +486,7 @@ def multimodal_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture like ``multimodal_byte_features``. Empty payloads emit a
     single (frame 0, energy 0, n 0) row so every document is
     accounted for."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     mm = with_binary_payload(docs)
     return mm.select("doc_id", "payload").mapInPandas(
         _frame_energy_batches,
@@ -672,7 +672,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mismatch, not a silent skew. (Closes the r3-brief decode-stub
     item: ``decode_image`` now really parses PPM P6 and 24-bit BMP;
     compressed codecs still require PIL and fail loudly without it.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_stats(synthesize_ppm_images(docs))
 
 
@@ -766,7 +766,7 @@ def multimodal_decode_jpeg_stats(
     level shift, gray→RGB expansion — is load-bearing for the hash
     match. Same mapInPandas kernel slot as the PPM/BMP decode; a
     real corpus swaps the synthesizer for an object-store fetch."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_stats(synthesize_jpeg_images(docs))
 
 
@@ -864,7 +864,7 @@ def multimodal_decode_jpeg_progressive_stats(
     + correction-bit refinement with EOB runs, then the shared
     dequant/iDCT tail — and report exact per-channel pixel sums.
     Every progressive kernel is load-bearing for the hash match."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_stats(synthesize_jpeg_progressive_images(docs))
 
 
@@ -976,8 +976,6 @@ def multimodal_decode_jpeg420_stats(
     single-split local fixture is repartitioned to the core count
     before the synth+decode map stage (input-layout guard — a no-op
     on real multi-split inputs)."""
-    from kafkatoclickhouse_spark.tables import fan_out
-
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_stats(synthesize_jpeg420_images(docs))
 
@@ -1082,8 +1080,6 @@ def multimodal_decode_jpeg420_progressive_stats(
     stage of the composition is load-bearing for the hash. Same
     fan-out guard as the baseline 4:2:0 query (the per-doc codec
     loop is the expensive part, not the scan)."""
-    from kafkatoclickhouse_spark.tables import fan_out
-
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_stats(synthesize_jpeg420_progressive_images(docs))
 
@@ -1179,7 +1175,7 @@ def multimodal_decode_jpeg_restart_stats(
     report exact per-channel pixel sums. The oracle replays the
     closed-form rule, so a wrong segment boundary or a missed
     predictor reset is a hash mismatch."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_stats(synthesize_jpeg_restart_images(docs))
 
 
@@ -1285,7 +1281,7 @@ def multimodal_decode_gif_stats(
     exact per-channel pixel sums. The oracle replays the index and
     palette rules in SQL — every decoder stage is load-bearing for
     the hash match."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_stats(synthesize_gif_images(docs))
 
 
@@ -1378,7 +1374,7 @@ def multimodal_decode_png_stats(
     inflate, all five row unfilters, RGB expansion) is load-bearing
     for the hash match. Same mapInPandas kernel slot as PPM/BMP/JPEG;
     a real corpus swaps the synthesizer for an object-store fetch."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_stats(synthesize_png_images(docs))
 
 
@@ -1475,7 +1471,7 @@ def multimodal_decode_png_interlaced_stats(
     (x0/y0/dx/dy per pass), per-pass filter restart, and the scatter
     into the full raster are all load-bearing for the hash match.
     Same mapInPandas kernel slot as the other decode queries."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_stats(synthesize_png_interlaced_images(docs))
 
 
@@ -1579,7 +1575,7 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle recomputes the hash from the closed-form pixel rule; gray
     means use floor division so both engines compare exact integers.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     images = synthesize_ppm_images(docs.select("doc_id"))
     hashed = images.mapInPandas(
         _phash_batches, schema="doc_id long, phash long"
@@ -1894,7 +1890,7 @@ def multimodal_decode_png16_stats(
     seeing a byte — every deep-path stage is load-bearing for the
     hash match. Same mapInPandas kernel slot as the other decode
     queries (VERDICT r11 #6 — the last PIL-fallback route, closed)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_stats(synthesize_png16_images(docs))
 
 
@@ -2017,6 +2013,11 @@ def multimodal_codec_coverage(
     deep PNG went native). Map-only + one count shuffle over
     (format, path, detail) triples — at 100 TB the payloads never
     leave their scan tasks."""
+    # NOT fanned per-branch: 15 filter branches over one fanned scan
+    # would each replay the repartition exchange (reuse does not fire
+    # across AQE query stages here — measured 2.3 s → 9.4 s). The 15
+    # union legs run as independent single-split tasks concurrently;
+    # the ONE fan_out below spreads the decode-heavy classify stage.
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     cls = F.col("doc_id") % 15
     branches = [
@@ -2047,7 +2048,7 @@ def multimodal_codec_coverage(
     mixed = branches[0]
     for b in branches[1:]:
         mixed = mixed.unionByName(b)
-    classified = mixed.mapInPandas(
+    classified = fan_out(mixed).mapInPandas(
         _classify_batches,
         schema="doc_id long, format string, path string, detail string",
     )
@@ -2157,8 +2158,6 @@ def multimodal_decode_webp_stats(
     per-channel pixel sums. Lossless means the oracle replays the
     cell rule with no carve-out: ANY decoder bug is a hash
     mismatch."""
-    from kafkatoclickhouse_spark.tables import fan_out
-
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_stats(synthesize_webp_images(docs))
 
@@ -2289,7 +2288,7 @@ def multimodal_decode_wav_stats(
     Round-trip across bit depths, odd-length data chunks (RIFF pad
     byte) and channel counts is Hypothesis-pinned in
     tests/test_wav.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     audio = synthesize_wav_audio(docs)
     return audio.mapInPandas(
         _decode_wav_batches,
@@ -2385,8 +2384,6 @@ def multimodal_decode_wav_depths_stats(
     energies. The oracle replays the closed-form rule per depth —
     a sign-extension bug at the 24-bit boundary or a float
     requantization drift is a hash mismatch, not a silent skew."""
-    from kafkatoclickhouse_spark.tables import fan_out
-
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     audio = docs.select("doc_id").mapInPandas(
         _synthesize_wav_depth_batches,

@@ -148,9 +148,61 @@ def test_connected_components_long_path_logarithmic(spark, ordering):
     chain = spark.createDataFrame(
         [(ids[i], ids[i + 1]) for i in range(n - 1)], "src long, dst long"
     )
-    rows = connected_components(verts, chain, max_iter=16).collect()
+    # local_max_edges=0 forces the distributed star loop — the whole
+    # point here is pinning ITS round budget; the bounded-collect
+    # fast path would otherwise absorb a 999-edge graph.
+    rows = connected_components(
+        verts, chain, max_iter=16, local_max_edges=0
+    ).collect()
     assert len(rows) == n
     assert {r["component"] for r in rows} == {0}
+
+
+def test_connected_components_local_matches_distributed(spark):
+    """The r14 bounded-collect union-find fast path must agree
+    bit-for-bit with the star loop on a shape mixing chained paths,
+    a clique, isolated vertices, duplicate and reversed edges."""
+    import random as _random
+
+    from kafkatoclickhouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = _random.Random(1404)
+    ids = list(range(0, 400, 7))
+    rng.shuffle(ids)
+    edges = []
+    # three chains over shuffled ids
+    for s in range(3):
+        seg = ids[s * 15 : s * 15 + 15]
+        edges += [(seg[i], seg[i + 1]) for i in range(len(seg) - 1)]
+    # one clique
+    cl = ids[50:56]
+    edges += [(a, b) for a in cl for b in cl if a != b]
+    # duplicates + reversed
+    edges += edges[:10] + [(b, a) for a, b in edges[:10]]
+    verts = spark.createDataFrame([(i,) for i in ids], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got_local = {
+        (r["id"], r["component"])
+        for r in connected_components(verts, edf).collect()
+    }
+    got_dist = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            verts, edf, local_max_edges=0
+        ).collect()
+    }
+    assert got_local == got_dist
+    # a LIMIT bound smaller than the edge count must also take the
+    # distributed path (the n+1 probe, not a count estimate)
+    got_probe = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            verts, edf, local_max_edges=5
+        ).collect()
+    }
+    assert got_probe == got_dist
 
 
 def test_shingle_df_cap_bounds_candidate_blowup(spark):
