@@ -191,6 +191,20 @@ HEADLINE = [
     "multimodal_decode_gif_stats",
     "multimodal_decode_jpeg_restart_stats",
     "corpus_pack_serve_manifest",
+    # round-14 additions (the operators the interrupted r14 build
+    # landed; measured from this optimization round on): bigram-LM
+    # perplexity gate, HTML extraction, progressive 4:2:0 JPEG, WAV
+    # depth sweep, VP8L WebP
+    "text_bigram_train",
+    "text_bigram_logperp",
+    "text_bigram_logperp_trained",
+    "text_bigram_perplexity_filter",
+    "text_bigram_hashed_logperp",
+    "text_html_extract",
+    "text_html_extract_stats",
+    "multimodal_decode_jpeg420_progressive_stats",
+    "multimodal_decode_wav_depths_stats",
+    "multimodal_decode_webp_stats",
 ]
 
 

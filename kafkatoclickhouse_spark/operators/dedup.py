@@ -470,14 +470,109 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for every pair with exact word-3-gram
     Jaccard ≥ 0.8, doc_a < doc_b — shared by ``dedup_ngram_jaccard``
-    and the connected-components clustering in ``graph.py``."""
+    and the connected-components clustering in ``graph.py``.
+
+    r14: the verify is COUNTED off the candidate equi-join instead of
+    hydrating both shingle arrays per pair and intersecting them (the
+    same rewrite ``dedup_ngram_containment`` documents as 13× on its
+    sf1.0 hop). Shingle arrays are distinct per doc, so the rare
+    equi-join hits per (doc_a, doc_b) count |A∩B ∩ rare| exactly;
+    the ≤ hot-list part of the overlap comes from intersecting the
+    two docs' (tiny, bounded by the global hot list) hot-shingle
+    arrays: |A∩B| = c_rare + |hotA ∩ hotB|, set sizes stay uncapped.
+    Identical output by construction — a pair ALL of whose shared
+    shingles are hot was never a candidate before either (the
+    documented cap semantics). The pair shuffle now carries
+    (id, id, count), never a shingle array."""
     shingled = _shingled(spark, sf_dir).cache()
     exploded = shingled.select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    cands = rare_shingle_candidates(exploded, df_cap)
-    return exact_jaccard(cands, shingled).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+    sizes = shingled.select(
+        F.col("doc_id"), F.size("shingles").cast("long").alias("n")
+    )
+    rare = exploded
+    hotdoc = None
+    if df_cap is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        rare = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+        hotdoc = (
+            exploded.join(F.broadcast(hot), "shingle", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("shingle")).alias("hot_sh"))
+        )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("c_rare"))
+    )
+    j = counts.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+        "doc_b",
+    )
+    if hotdoc is not None:
+        empty = F.array().cast("array<string>")
+        j = (
+            j.join(
+                F.broadcast(
+                    hotdoc.select(
+                        F.col("doc_id").alias("doc_a"),
+                        F.col("hot_sh").alias("hot_a"),
+                    )
+                ),
+                "doc_a",
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    hotdoc.select(
+                        F.col("doc_id").alias("doc_b"),
+                        F.col("hot_sh").alias("hot_b"),
+                    )
+                ),
+                "doc_b",
+                "left",
+            )
+            .withColumn(
+                "_shared",
+                F.col("c_rare")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce(F.col("hot_a"), empty),
+                        F.coalesce(F.col("hot_b"), empty),
+                    )
+                ).cast("long"),
+            )
+        )
+    else:
+        j = j.withColumn("_shared", F.col("c_rare"))
+    union = F.col("na") + F.col("nb") - F.col("_shared")
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("_shared").cast("double") / union, 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 

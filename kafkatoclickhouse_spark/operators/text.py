@@ -469,7 +469,7 @@ HOLDOUT_PCT = 10  # doc buckets 90-99 → holdout
 
 CHUNK_TOKENS = 2048
 PREFIX_BUCKET = 1000  # doc_ids per range bucket of the prefix sum
-PREFIX_LEVELS = 2  # parent levels stacked above the doc buckets
+PREFIX_FANIN = 65536  # range buckets per parent of the prefix level
 
 
 def exclusive_bucket_prefix(totals: DataFrame) -> DataFrame:
@@ -479,64 +479,54 @@ def exclusive_bucket_prefix(totals: DataFrame) -> DataFrame:
     single-phase ``W.orderBy("bucket")`` serialized n_docs/1000
     bucket rows through one task, a real ceiling at ~100 B docs).
 
-    Shape: ``PREFIX_LEVELS`` rounds of {group ``PREFIX_BUCKET``
-    buckets into a parent, local exclusive cumsum WINDOWED BY the
-    parent key}, so every window is partitioned and every level
-    shrinks the relation 1000×. The topmost totals — bounded at
-    n_docs/PREFIX_BUCKET^(levels+1) rows, ~100 rows even at 100 B
-    docs — get their exclusive prefix from a triangular broadcast
-    self-join (SUM over strictly-smaller keys), which needs no
-    ordering at all. Parent prefixes then propagate back down via
-    broadcast joins of the (tiny) upper levels. Exactness does not
-    depend on the fan-out or level count, so the naive-global-window
-    oracles are unchanged."""
+    Shape (r14 — two exchanges total, down from the r14-build
+    two-level hierarchy's six, which cost every pack query ~0.8 s
+    locally): ONE partitioned window groups ``PREFIX_FANIN`` buckets
+    under a parent key and computes each bucket's local exclusive
+    cumsum (≤ 65536 rows per window task); the parent totals are
+    read off the SAME windowed relation as MAX(lp+v) — the inclusive
+    running sum is non-decreasing and ends at the group total — so
+    the aggregation reuses the window's hash partitioning instead of
+    paying its own exchange. Parent totals — n_docs /
+    (PREFIX_BUCKET·PREFIX_FANIN) rows, ~1.5 k at 100 B docs — get
+    their exclusive prefix from a triangular broadcast self-join
+    (SUM over strictly-smaller keys, no ordering), then propagate
+    back down via one broadcast join. Headroom: the triangular top
+    stays ≤ ~10⁶ broadcast rows out to ~6×10¹³ docs; beyond that add
+    a second level. Exactness does not depend on the fan-in, so the
+    naive-global-window oracles are unchanged."""
     from pyspark.sql import Window as W
 
     cur = totals.select(
         F.col("bucket").alias("k0"),
         F.col("bucket_total").cast("long").alias("v0"),
+        F.floor(F.col("bucket") / PREFIX_FANIN).alias("k1"),
     )
-    locals_ = []
-    for i in range(PREFIX_LEVELS):
-        parent = f"k{i + 1}"
-        cur = cur.withColumn(
-            parent, F.floor(F.col(f"k{i}") / PREFIX_BUCKET)
-        )
-        w = (
-            W.partitionBy(parent)
-            .orderBy(f"k{i}")
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        locals_.append(
-            cur.select(
-                f"k{i}",
-                parent,
-                (F.sum(f"v{i}").over(w) - F.col(f"v{i}")).alias(
-                    f"lp{i}"
-                ),
-            )
-        )
-        cur = cur.groupBy(parent).agg(
-            F.sum(f"v{i}").cast("long").alias(f"v{i + 1}")
-        )
-    top = PREFIX_LEVELS
-    lhs = cur.select(F.col(f"k{top}").alias("ka"))
-    rhs = cur.select(
-        F.col(f"k{top}").alias("kb"), F.col(f"v{top}").alias("vb")
+    w = (
+        W.partitionBy("k1")
+        .orderBy("k0")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    pref = (
+    loc = cur.select(
+        "k0",
+        "k1",
+        "v0",
+        (F.sum("v0").over(w) - F.col("v0")).alias("lp0"),
+    )
+    tops = loc.groupBy("k1").agg(
+        F.max(F.col("lp0") + F.col("v0")).cast("long").alias("v1")
+    )
+    lhs = tops.select(F.col("k1").alias("ka"))
+    rhs = tops.select(F.col("k1").alias("kb"), F.col("v1").alias("vb"))
+    pref1 = (
         lhs.join(F.broadcast(rhs), F.col("kb") < F.col("ka"), "left")
         .groupBy("ka")
-        .agg(F.coalesce(F.sum("vb"), F.lit(0)).cast("long").alias(f"p{top}"))
-        .withColumnRenamed("ka", f"k{top}")
+        .agg(F.coalesce(F.sum("vb"), F.lit(0)).cast("long").alias("p1"))
+        .withColumnRenamed("ka", "k1")
     )
-    for i in reversed(range(PREFIX_LEVELS)):
-        pref = locals_[i].join(F.broadcast(pref), f"k{i + 1}").select(
-            f"k{i}",
-            (F.col(f"p{i + 1}") + F.col(f"lp{i}")).alias(f"p{i}"),
-        )
-    return pref.select(
-        F.col("k0").alias("bucket"), F.col("p0").alias("bucket_prefix")
+    return loc.join(F.broadcast(pref1), "k1").select(
+        F.col("k0").alias("bucket"),
+        (F.col("p1") + F.col("lp0")).alias("bucket_prefix"),
     )
 
 
@@ -2145,16 +2135,22 @@ def text_novelty_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed count — all linear, no pair join anywhere, so unlike
     the pairwise dedup ops this sees every duplicate RELATION without
     generating candidate pairs."""
+    from pyspark.sql import Window as W
+
     shingled = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.explode(
             hashing.word_shingles(F.col("text"), SHINGLE_N_NOVELTY)
         ).alias("shingle"),
     )
-    first_seen = shingled.groupBy("shingle").agg(
-        F.min("doc_id").alias("first_doc")
+    # r14: first-occurrence via a shingle-partitioned window instead
+    # of groupBy-min + self-join — the old shape shuffled the
+    # occurrence rows twice (agg + join probe) and re-ran the
+    # tokenize/explode per consumer; min-over-window is the same
+    # value on ONE shingle-keyed exchange, no join
+    joined = shingled.withColumn(
+        "first_doc", F.min("doc_id").over(W.partitionBy("shingle"))
     )
-    joined = shingled.join(first_seen, "shingle")
     return (
         joined.groupBy("doc_id")
         .agg(
