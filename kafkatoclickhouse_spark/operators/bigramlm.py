@@ -197,8 +197,13 @@ def _lnp_micro(c12: Column, c1: Column, v: Column) -> Column:
 def _scored(docs: DataFrame) -> DataFrame:
     """(doc_id, lnp_micro) per transition, model trained on ``docs``
     itself — every doc bigram is in the model, so the joins are
-    inner and never miss."""
-    bg = _doc_bigrams(docs)
+    inner and never miss.
+
+    The transition relation is localCheckpoint-ed (r14): it feeds
+    both the model aggregate and the scoring join, whose exchanges
+    differ (partial counts vs raw rows), so without it the tokenize +
+    bigram explode ran twice. Narrow rows, rebuilt per invocation."""
+    bg = _doc_bigrams(docs).localCheckpoint()
     return (
         bg.join(_model(bg), ["w1", "w2"])
         .crossJoin(F.broadcast(_vocab(docs)))

@@ -271,21 +271,31 @@ def _clf_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _clf_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(bucket, c_keep, c_drop, weight_micro) — counts plus the
-    smoothed LLR weight; totals ride in as a broadcast scalar."""
-    counts = _clf_counts_df(spark, sf_dir)
-    tot = counts.agg(
-        F.sum("c_keep").cast("long").alias("t_keep"),
-        F.sum("c_drop").cast("long").alias("t_drop"),
+    smoothed LLR weight.
+
+    r14: the counts table is ≤ CLF_BUCKETS (4096) rows — a bounded
+    driver barrier by construction — so it is collected ONCE and the
+    class totals summed in Python (integers, exact) instead of the
+    old totals-crossJoin shape, which re-ran the whole Gopher-label +
+    tokenize + explode pipeline a second time just to produce the
+    2-long totals row (the DSIR λ-table fix, dsir.py). The weight's
+    ln() is still evaluated BY SPARK on the collected integers, so
+    floats stay bit-identical to the oracle's."""
+    counts_pdf = _clf_counts_df(spark, sf_dir).toPandas()
+    t_keep = int(counts_pdf["c_keep"].sum())
+    t_drop = int(counts_pdf["c_drop"].sum())
+    counts = spark.createDataFrame(
+        counts_pdf, schema="bucket long, c_keep long, c_drop long"
     )
-    return counts.crossJoin(F.broadcast(tot)).select(
+    return counts.select(
         "bucket",
         "c_keep",
         "c_drop",
         _weight_micro_col(
             F.col("c_keep"),
             F.col("c_drop"),
-            F.col("t_keep"),
-            F.col("t_drop"),
+            F.lit(t_keep),
+            F.lit(t_drop),
         ).alias("weight_micro"),
     )
 

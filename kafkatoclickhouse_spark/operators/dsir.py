@@ -203,12 +203,27 @@ def dsir_logweights(docs: DataFrame, target_pred: Column) -> DataFrame:
     # exchanges, 2 reused). Totals are integer sums (exact in
     # Python); λ itself is still computed BY SPARK on the collected
     # integers so the ln() floats stay bit-identical to the oracle's.
-    gb = _grams_df(docs).withColumn("is_t", target_pred)
+    # one tokenize+hash pass total: the per-(doc,bucket) histogram is
+    # localCheckpoint-ed (executor memory/disk, ≤ DSIR_BUCKETS rows
+    # per doc, recomputed on every invocation — no cross-run state)
+    # and feeds BOTH the collected model fit and the scoring join;
+    # measured 2.30 → 1.78 s vs re-running the gram pipeline twice
+    hist = (
+        _grams_df(docs)
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").alias("k"))
+        .withColumn("is_t", target_pred)
+        .localCheckpoint()
+    )
     counts_pdf = (
-        gb.groupBy("bucket")
+        hist.groupBy("bucket")
         .agg(
-            F.sum(F.col("is_t").cast("long")).cast("long").alias("c_t"),
-            F.sum((~F.col("is_t")).cast("long")).cast("long").alias("c_r"),
+            F.sum(F.when(F.col("is_t"), F.col("k")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("c_t"),
+            F.sum(F.when(~F.col("is_t"), F.col("k")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("c_r"),
         )
         .toPandas()
     )
@@ -223,11 +238,17 @@ def dsir_logweights(docs: DataFrame, target_pred: Column) -> DataFrame:
             F.col("c_t"), F.col("c_r"), F.lit(t_t), F.lit(t_r)
         ).alias("lam_micro"),
     )
-    raw_grams = gb.filter(~F.col("is_t")).select("doc_id", "bucket")
+    raw_hist = hist.filter(~F.col("is_t")).select(
+        "doc_id", "bucket", "k"
+    )
     persum = (
-        raw_grams.join(F.broadcast(lam), "bucket")
+        raw_hist.join(F.broadcast(lam), "bucket")
         .groupBy("doc_id")
-        .agg(F.sum("lam_micro").cast("long").alias("s"))
+        .agg(
+            F.sum(F.col("k") * F.col("lam_micro"))
+            .cast("long")
+            .alias("s")
+        )
     )
     pool = docs.filter(~target_pred).select("doc_id", "source")
     return pool.join(persum, "doc_id", "left").select(

@@ -142,17 +142,31 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment watches (a modality that never contributes uniquely
     is dead weight). Lexical-query selection and the query embedding
     are the two bounded driver barriers (the BM25/kmeans pattern)."""
+    from kafkatoclickhouse_spark.tables import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
     em = load_table(spark, sf_dir, "embeddings")
-    corpus = docs.join(
-        em, docs["doc_id"] == em["vec_id"]
-    ).select("doc_id", "text", "embedding")
+    # r14: the joined corpus feeds FOUR separate executions (lexical
+    # qterm collect, query-embedding first(), the scoring job's two
+    # modalities) — localCheckpoint materializes the join once per
+    # invocation instead of re-running it per execution; fan_out
+    # spreads the tokenize/cosine maps off the single-split scans
+    corpus = fan_out(
+        docs.join(em, docs["doc_id"] == em["vec_id"]).select(
+            "doc_id", "text", "embedding"
+        )
+    ).localCheckpoint()
 
     toks = corpus.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # same second-execution argument as text_bm25_topk's checkpoint
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
     dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dlen.agg(
         F.count("*").cast("long").alias("n_docs"),

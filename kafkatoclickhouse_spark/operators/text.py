@@ -1508,12 +1508,21 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final top-k is a TakeOrdered — no global sort."""
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # r14: localCheckpoint the (doc, token, tf) sufficient statistic —
+    # the qterm-selection collect below is its own execution, so
+    # without it the tokenize + explode + tf aggregate ran once for
+    # the collect AND again for the scoring job (exchange reuse never
+    # spans executions). Narrow rows, recomputed per invocation.
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
     dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dlen.agg(
         F.count("*").cast("long").alias("n_docs"),
