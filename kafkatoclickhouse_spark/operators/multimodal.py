@@ -625,17 +625,35 @@ def _decode_stats_batches(
         yield pd.DataFrame(rows)
 
 
+_STATS_SCHEMA = (
+    "doc_id long, width int, height int, channels int,"
+    " sum_r long, sum_g long, sum_b long"
+)
+
+
 def decode_stats(images: DataFrame) -> DataFrame:
     """Decode every payload with ``decode_image`` and emit exact
     integer per-channel statistics — the canonical 'decode then
     featurize' stage. Arrow-batched, map-only, no shuffle."""
     return images.select("doc_id", "payload").mapInPandas(
         _decode_stats_batches,
-        schema=(
-            "doc_id long, width int, height int, channels int,"
-            " sum_r long, sum_g long, sum_b long"
-        ),
+        schema=_STATS_SCHEMA,
     )
+
+
+def decode_stats_fused(docs: DataFrame, synth_batches) -> DataFrame:
+    """Synthesize + decode in ONE Arrow crossing (r14): the two batch
+    generators compose inside a single ``mapInPandas``, so the
+    payloads never round-trip Python → JVM → Python between the
+    stages. Row-identical to ``decode_stats(synth(docs))`` — the
+    exact same per-doc code runs, only the boundary count changes
+    (measured ~0.4 s/key at sf0.1). On a real corpus the synthesizer
+    slot is the object-store fetch and the same fusion applies."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _decode_stats_batches(synth_batches(batches))
+
+    return docs.select("doc_id").mapInPandas(gen, schema=_STATS_SCHEMA)
 
 
 @query(
@@ -673,7 +691,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     item: ``decode_image`` now really parses PPM P6 and 24-bit BMP;
     compressed codecs still require PIL and fail loudly without it.)"""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return decode_stats(synthesize_ppm_images(docs))
+    return decode_stats_fused(docs, _synthesize_ppm_batches)
 
 
 # --- baseline-JPEG fixture + oracled decode (VERDICT r7 #9) ----------
@@ -695,34 +713,37 @@ def _jpeg_block_value(doc_id, bx, by):
     return (doc_id * 17 + bx * 29 + by * 31) % 256
 
 
+def _synthesize_jpeg_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from kafkatoclickhouse_spark.operators.jpeg import encode_jpeg_gray
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            bw = JPEG_BW_BASE + d % JPEG_BW_MOD
+            bh = JPEG_BH_BASE + d % JPEG_BH_MOD
+            by, bx = np.mgrid[0:bh, 0:bw]
+            blocks = _jpeg_block_value(d, bx, by)
+            img = np.kron(
+                blocks, np.ones((8, 8), dtype=np.int64)
+            ).astype(np.uint8)
+            payloads.append(encode_jpeg_gray(img))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
 def synthesize_jpeg_images(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) with a REAL baseline grayscale JPEG per
     document — full marker structure, Annex-K Huffman tables, DCT,
     entropy coding — synthesized from the block-constant rule.
     Map-only, like the PPM/BMP synthesizers."""
-    import numpy as np
-
-    from kafkatoclickhouse_spark.operators.jpeg import encode_jpeg_gray
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                bw = JPEG_BW_BASE + d % JPEG_BW_MOD
-                bh = JPEG_BH_BASE + d % JPEG_BH_MOD
-                by, bx = np.mgrid[0:bh, 0:bw]
-                blocks = _jpeg_block_value(d, bx, by)
-                img = np.kron(
-                    blocks, np.ones((8, 8), dtype=np.int64)
-                ).astype(np.uint8)
-                payloads.append(encode_jpeg_gray(img))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
-
     return docs.select("doc_id").mapInPandas(
-        gen, schema="doc_id long, payload binary"
+        _synthesize_jpeg_batches, schema="doc_id long, payload binary"
     )
 
 
@@ -767,7 +788,7 @@ def multimodal_decode_jpeg_stats(
     match. Same mapInPandas kernel slot as the PPM/BMP decode; a
     real corpus swaps the synthesizer for an object-store fetch."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return decode_stats(synthesize_jpeg_images(docs))
+    return decode_stats_fused(docs, _synthesize_jpeg_batches)
 
 
 # --- progressive-JPEG fixture + oracled decode (r11) ------------------
@@ -793,36 +814,39 @@ def _jpeg_prog_block_value(doc_id, bx, by):
     return (doc_id * 41 + bx * 19 + by * 23) % 256
 
 
-def synthesize_jpeg_progressive_images(docs: DataFrame) -> DataFrame:
-    """(doc_id, payload) with a REAL progressive (SOF2) grayscale
-    JPEG per document — four-scan script (DC first/AC first at Al=1,
-    DC refine, AC refine), flat progressive AC Huffman table in DHT.
-    Map-only, like the other synthesizers."""
+def _synthesize_jpeg_progressive_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     from kafkatoclickhouse_spark.operators.jpeg import (
         encode_jpeg_gray_progressive,
     )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                bw = JPP_BW_BASE + d % JPP_BW_MOD
-                bh = JPP_BH_BASE + d % JPP_BH_MOD
-                by, bx = np.mgrid[0:bh, 0:bw]
-                blocks = _jpeg_prog_block_value(d, bx, by)
-                img = np.kron(
-                    blocks, np.ones((8, 8), dtype=np.int64)
-                ).astype(np.uint8)
-                payloads.append(encode_jpeg_gray_progressive(img))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            bw = JPP_BW_BASE + d % JPP_BW_MOD
+            bh = JPP_BH_BASE + d % JPP_BH_MOD
+            by, bx = np.mgrid[0:bh, 0:bw]
+            blocks = _jpeg_prog_block_value(d, bx, by)
+            img = np.kron(
+                blocks, np.ones((8, 8), dtype=np.int64)
+            ).astype(np.uint8)
+            payloads.append(encode_jpeg_gray_progressive(img))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": payloads}
+        )
 
+
+def synthesize_jpeg_progressive_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with a REAL progressive (SOF2) grayscale
+    JPEG per document — four-scan script (DC first/AC first at Al=1,
+    DC refine, AC refine), flat progressive AC Huffman table in DHT.
+    Map-only, like the other synthesizers."""
     return docs.select("doc_id").mapInPandas(
-        gen, schema="doc_id long, payload binary"
+        _synthesize_jpeg_progressive_batches, schema="doc_id long, payload binary"
     )
 
 
@@ -865,7 +889,7 @@ def multimodal_decode_jpeg_progressive_stats(
     dequant/iDCT tail — and report exact per-channel pixel sums.
     Every progressive kernel is load-bearing for the hash match."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return decode_stats(synthesize_jpeg_progressive_images(docs))
+    return decode_stats_fused(docs, _synthesize_jpeg_progressive_batches)
 
 
 # --- 4:2:0 chroma-subsampled JPEG fixture + oracled decode (r13) ------
@@ -894,6 +918,35 @@ def _jpeg420_block_value(doc_id, bx, by):
     return (doc_id * 37 + bx * 13 + by * 11) % 256
 
 
+def _synthesize_jpeg420_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from kafkatoclickhouse_spark.operators.jpeg import (
+        encode_jpeg_rgb_subsampled,
+    )
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            bw = J420_BW_BASE + d % J420_BW_MOD
+            bh = J420_BH_BASE + d % J420_BH_MOD
+            by, bx = np.mgrid[0:bh, 0:bw]
+            blocks = _jpeg420_block_value(d, bx, by)
+            gray = np.kron(
+                blocks, np.ones((8, 8), dtype=np.int64)
+            ).astype(np.uint8)
+            img = np.stack([gray, gray, gray], axis=-1)
+            payloads.append(
+                encode_jpeg_rgb_subsampled(img, (2, 2))
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
 def synthesize_jpeg420_images(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) with a REAL baseline 4:2:0 color JPEG per
     document — three components at mixed sampling factors (luma 2×2,
@@ -902,34 +955,8 @@ def synthesize_jpeg420_images(docs: DataFrame) -> DataFrame:
     MCU-aligned for every doc (odd luma block counts), so the
     encoder's edge-replicate pad and the decoder's component crop
     are load-bearing. Map-only, like the other synthesizers."""
-    import numpy as np
-
-    from kafkatoclickhouse_spark.operators.jpeg import (
-        encode_jpeg_rgb_subsampled,
-    )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                bw = J420_BW_BASE + d % J420_BW_MOD
-                bh = J420_BH_BASE + d % J420_BH_MOD
-                by, bx = np.mgrid[0:bh, 0:bw]
-                blocks = _jpeg420_block_value(d, bx, by)
-                gray = np.kron(
-                    blocks, np.ones((8, 8), dtype=np.int64)
-                ).astype(np.uint8)
-                img = np.stack([gray, gray, gray], axis=-1)
-                payloads.append(
-                    encode_jpeg_rgb_subsampled(img, (2, 2))
-                )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
-
     return docs.select("doc_id").mapInPandas(
-        gen, schema="doc_id long, payload binary"
+        _synthesize_jpeg420_batches, schema="doc_id long, payload binary"
     )
 
 
@@ -977,7 +1004,7 @@ def multimodal_decode_jpeg420_stats(
     before the synth+decode map stage (input-layout guard — a no-op
     on real multi-split inputs)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return decode_stats(synthesize_jpeg420_images(docs))
+    return decode_stats_fused(docs, _synthesize_jpeg420_batches)
 
 
 # --- progressive 4:2:0 JPEG fixture + oracled decode (r14) ------------
@@ -1003,6 +1030,35 @@ def _jpeg420p_block_value(doc_id, bx, by):
     return (doc_id * 47 + bx * 19 + by * 23) % 256
 
 
+def _synthesize_jpeg420_progressive_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from kafkatoclickhouse_spark.operators.jpeg import (
+        encode_jpeg_rgb_progressive_subsampled,
+    )
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            bw = J420P_BW_BASE + d % J420P_BW_MOD
+            bh = J420P_BH_BASE + d % J420P_BH_MOD
+            by, bx = np.mgrid[0:bh, 0:bw]
+            blocks = _jpeg420p_block_value(d, bx, by)
+            gray = np.kron(
+                blocks, np.ones((8, 8), dtype=np.int64)
+            ).astype(np.uint8)
+            img = np.stack([gray, gray, gray], axis=-1)
+            payloads.append(
+                encode_jpeg_rgb_progressive_subsampled(img, (2, 2))
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
 def synthesize_jpeg420_progressive_images(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) with a REAL progressive (SOF2) 4:2:0 color
     JPEG per document — mixed sampling factors AND a 4-kernel
@@ -1010,34 +1066,8 @@ def synthesize_jpeg420_progressive_images(docs: DataFrame) -> DataFrame:
     per component, DC refine, AC refine). Odd luma block counts make
     the MCU pad blocks and the true-grid AC walk load-bearing.
     Map-only, like the other synthesizers."""
-    import numpy as np
-
-    from kafkatoclickhouse_spark.operators.jpeg import (
-        encode_jpeg_rgb_progressive_subsampled,
-    )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                bw = J420P_BW_BASE + d % J420P_BW_MOD
-                bh = J420P_BH_BASE + d % J420P_BH_MOD
-                by, bx = np.mgrid[0:bh, 0:bw]
-                blocks = _jpeg420p_block_value(d, bx, by)
-                gray = np.kron(
-                    blocks, np.ones((8, 8), dtype=np.int64)
-                ).astype(np.uint8)
-                img = np.stack([gray, gray, gray], axis=-1)
-                payloads.append(
-                    encode_jpeg_rgb_progressive_subsampled(img, (2, 2))
-                )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
-
     return docs.select("doc_id").mapInPandas(
-        gen, schema="doc_id long, payload binary"
+        _synthesize_jpeg420_progressive_batches, schema="doc_id long, payload binary"
     )
 
 
@@ -1081,7 +1111,7 @@ def multimodal_decode_jpeg420_progressive_stats(
     fan-out guard as the baseline 4:2:0 query (the per-doc codec
     loop is the expensive part, not the scan)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return decode_stats(synthesize_jpeg420_progressive_images(docs))
+    return decode_stats_fused(docs, _synthesize_jpeg420_progressive_batches)
 
 
 # --- restart-interval JPEG fixture + oracled decode (r13) -------------
@@ -1105,36 +1135,39 @@ def _jpeg_restart_block_value(doc_id, bx, by):
     return (doc_id * 43 + bx * 21 + by * 17) % 256
 
 
+def _synthesize_jpeg_restart_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from kafkatoclickhouse_spark.operators.jpeg import encode_jpeg_gray
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            bw = JRS_BW_BASE + d % JRS_BW_MOD
+            bh = JRS_BH_BASE + d % JRS_BH_MOD
+            by, bx = np.mgrid[0:bh, 0:bw]
+            blocks = _jpeg_restart_block_value(d, bx, by)
+            img = np.kron(
+                blocks, np.ones((8, 8), dtype=np.int64)
+            ).astype(np.uint8)
+            payloads.append(
+                encode_jpeg_gray(img, restart_interval=1 + d % 4)
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
 def synthesize_jpeg_restart_images(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) with a REAL restart-interval grayscale JPEG
     per document — DRI segment + RSTn markers every 1 + doc_id % 4
     MCUs (so most images span several restart segments and the RST
     index wraps past 7 on the larger ones). Map-only."""
-    import numpy as np
-
-    from kafkatoclickhouse_spark.operators.jpeg import encode_jpeg_gray
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                bw = JRS_BW_BASE + d % JRS_BW_MOD
-                bh = JRS_BH_BASE + d % JRS_BH_MOD
-                by, bx = np.mgrid[0:bh, 0:bw]
-                blocks = _jpeg_restart_block_value(d, bx, by)
-                img = np.kron(
-                    blocks, np.ones((8, 8), dtype=np.int64)
-                ).astype(np.uint8)
-                payloads.append(
-                    encode_jpeg_gray(img, restart_interval=1 + d % 4)
-                )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
-
     return docs.select("doc_id").mapInPandas(
-        gen, schema="doc_id long, payload binary"
+        _synthesize_jpeg_restart_batches, schema="doc_id long, payload binary"
     )
 
 
@@ -1176,7 +1209,7 @@ def multimodal_decode_jpeg_restart_stats(
     closed-form rule, so a wrong segment boundary or a missed
     predictor reset is a hash mismatch."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return decode_stats(synthesize_jpeg_restart_images(docs))
+    return decode_stats_fused(docs, _synthesize_jpeg_restart_batches)
 
 
 # --- GIF fixture + oracled decode (r13 — VERDICT r12 #6) --------------
@@ -1193,55 +1226,58 @@ GIF_H_BASE, GIF_H_MOD = 4, 4  # height = 4 + doc_id % 4
 GIF_NCOL_BASE, GIF_NCOL_MOD = 4, 13  # palette = 4 + doc_id % 13
 
 
+def _synthesize_gif_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from kafkatoclickhouse_spark.operators.gif import encode_gif
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w = GIF_W_BASE + d % GIF_W_MOD
+            h = GIF_H_BASE + d % GIF_H_MOD
+            ncol = GIF_NCOL_BASE + d % GIF_NCOL_MOD
+            y, x = np.mgrid[0:h, 0:w]
+            idx = ((d * 3 + x * 7 + y * 5) % ncol).astype(np.uint8)
+            i = np.arange(ncol)
+            pal = np.stack(
+                [
+                    (d * 11 + i * 31) % 256,
+                    (d * 13 + i * 37) % 256,
+                    (d * 17 + i * 41) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            payloads.append(
+                encode_gif(
+                    idx,
+                    pal,
+                    interlace=bool(d % 2),
+                    # (d // 13) % 3: orthogonal to the coverage
+                    # fixture's doc_id % 13 class selector, so
+                    # BOTH version tags appear in every class
+                    version=(
+                        b"GIF89a"
+                        if (d // 13) % 3 == 0
+                        else b"GIF87a"
+                    ),
+                )
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
 def synthesize_gif_images(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) with a REAL GIF per document — logical
     screen descriptor, global color table, genuine variable-width
     LZW stream, interlacing on odd doc_ids. Map-only, like the other
     synthesizers."""
-    import numpy as np
-
-    from kafkatoclickhouse_spark.operators.gif import encode_gif
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w = GIF_W_BASE + d % GIF_W_MOD
-                h = GIF_H_BASE + d % GIF_H_MOD
-                ncol = GIF_NCOL_BASE + d % GIF_NCOL_MOD
-                y, x = np.mgrid[0:h, 0:w]
-                idx = ((d * 3 + x * 7 + y * 5) % ncol).astype(np.uint8)
-                i = np.arange(ncol)
-                pal = np.stack(
-                    [
-                        (d * 11 + i * 31) % 256,
-                        (d * 13 + i * 37) % 256,
-                        (d * 17 + i * 41) % 256,
-                    ],
-                    axis=-1,
-                ).astype(np.uint8)
-                payloads.append(
-                    encode_gif(
-                        idx,
-                        pal,
-                        interlace=bool(d % 2),
-                        # (d // 13) % 3: orthogonal to the coverage
-                        # fixture's doc_id % 13 class selector, so
-                        # BOTH version tags appear in every class
-                        version=(
-                            b"GIF89a"
-                            if (d // 13) % 3 == 0
-                            else b"GIF87a"
-                        ),
-                    )
-                )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
-
     return docs.select("doc_id").mapInPandas(
-        gen, schema="doc_id long, payload binary"
+        _synthesize_gif_batches, schema="doc_id long, payload binary"
     )
 
 
@@ -1282,7 +1318,7 @@ def multimodal_decode_gif_stats(
     palette rules in SQL — every decoder stage is load-bearing for
     the hash match."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return decode_stats(synthesize_gif_images(docs))
+    return decode_stats_fused(docs, _synthesize_gif_batches)
 
 
 # --- PNG fixture + oracled decode (VERDICT r8 #2) --------------------
@@ -1309,32 +1345,35 @@ def _png_pixel_exprs(doc_id, x, y):
     )
 
 
+def _synthesize_png_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from kafkatoclickhouse_spark.operators.png import encode_png
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w = PNG_W_BASE + d % PNG_W_MOD
+            h = PNG_H_BASE + d % PNG_H_MOD
+            y, x = np.mgrid[0:h, 0:w]
+            r, g, b = _png_pixel_exprs(d, x, y)
+            raster = np.stack([r, g, b], axis=-1).astype(np.uint8)
+            payloads.append(encode_png(raster, color_type=2))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
 def synthesize_png_images(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) with a REAL RGB PNG per document — signature,
     CRC-framed chunks, per-row filtering across all five filter
     types, zlib-deflated IDAT. Map-only, like the other
     synthesizers."""
-    import numpy as np
-
-    from kafkatoclickhouse_spark.operators.png import encode_png
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w = PNG_W_BASE + d % PNG_W_MOD
-                h = PNG_H_BASE + d % PNG_H_MOD
-                y, x = np.mgrid[0:h, 0:w]
-                r, g, b = _png_pixel_exprs(d, x, y)
-                raster = np.stack([r, g, b], axis=-1).astype(np.uint8)
-                payloads.append(encode_png(raster, color_type=2))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
-
     return docs.select("doc_id").mapInPandas(
-        gen, schema="doc_id long, payload binary"
+        _synthesize_png_batches, schema="doc_id long, payload binary"
     )
 
 
@@ -1375,7 +1414,7 @@ def multimodal_decode_png_stats(
     for the hash match. Same mapInPandas kernel slot as PPM/BMP/JPEG;
     a real corpus swaps the synthesizer for an object-store fetch."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return decode_stats(synthesize_png_images(docs))
+    return decode_stats_fused(docs, _synthesize_png_batches)
 
 
 # --- Adam7 interlaced PNG fixture + oracled decode (r11) --------------
@@ -1405,34 +1444,37 @@ def _png_interlaced_pixel_exprs(doc_id, x, y):
     )
 
 
+def _synthesize_png_interlaced_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from kafkatoclickhouse_spark.operators.png import encode_png
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w = PNGI_W_BASE + d % PNGI_W_MOD
+            h = PNGI_H_BASE + d % PNGI_H_MOD
+            y, x = np.mgrid[0:h, 0:w]
+            r, g, b = _png_interlaced_pixel_exprs(d, x, y)
+            raster = np.stack([r, g, b], axis=-1).astype(np.uint8)
+            payloads.append(
+                encode_png(raster, color_type=2, interlace=True)
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
 def synthesize_png_interlaced_images(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) with a REAL Adam7-interlaced RGB PNG per
     document — seven-pass serialization, per-pass cycling row
     filters, CRC-framed chunks. Map-only, like the other
     synthesizers."""
-    import numpy as np
-
-    from kafkatoclickhouse_spark.operators.png import encode_png
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w = PNGI_W_BASE + d % PNGI_W_MOD
-                h = PNGI_H_BASE + d % PNGI_H_MOD
-                y, x = np.mgrid[0:h, 0:w]
-                r, g, b = _png_interlaced_pixel_exprs(d, x, y)
-                raster = np.stack([r, g, b], axis=-1).astype(np.uint8)
-                payloads.append(
-                    encode_png(raster, color_type=2, interlace=True)
-                )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
-
     return docs.select("doc_id").mapInPandas(
-        gen, schema="doc_id long, payload binary"
+        _synthesize_png_interlaced_batches, schema="doc_id long, payload binary"
     )
 
 
@@ -1472,7 +1514,7 @@ def multimodal_decode_png_interlaced_stats(
     into the full raster are all load-bearing for the hash match.
     Same mapInPandas kernel slot as the other decode queries."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return decode_stats(synthesize_png_interlaced_images(docs))
+    return decode_stats_fused(docs, _synthesize_png_interlaced_batches)
 
 
 # -- perceptual-hash image dedup --------------------------------------------
@@ -1576,9 +1618,13 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     means use floor division so both engines compare exact integers.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    images = synthesize_ppm_images(docs.select("doc_id"))
-    hashed = images.mapInPandas(
-        _phash_batches, schema="doc_id long, phash long"
+
+    # fused synth+decode+hash, one Arrow crossing (decode_stats_fused)
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _phash_batches(_synthesize_ppm_batches(batches))
+
+    hashed = docs.select("doc_id").mapInPandas(
+        _fused, schema="doc_id long, phash long"
     )
     from pyspark.sql import Window as W
 
@@ -1821,35 +1867,38 @@ def _png16_pixel_exprs(doc_id, x, y):
     )
 
 
-def synthesize_png16_images(docs: DataFrame) -> DataFrame:
-    """(doc_id, payload) with a REAL Adam7-interlaced 16-BIT RGB PNG
-    per document — big-endian samples, per-pass cycling row filters,
-    CRC-framed chunks. Map-only, like the other synthesizers."""
+def _synthesize_png16_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     from kafkatoclickhouse_spark.operators.png import encode_png
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w = PNG16_W_BASE + d % PNG16_W_MOD
-                h = PNG16_H_BASE + d % PNG16_H_MOD
-                y, x = np.mgrid[0:h, 0:w]
-                r, g, b = _png16_pixel_exprs(d, x, y)
-                raster = np.stack([r, g, b], axis=-1).astype(np.uint16)
-                payloads.append(
-                    encode_png(
-                        raster, color_type=2, depth=16, interlace=True
-                    )
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w = PNG16_W_BASE + d % PNG16_W_MOD
+            h = PNG16_H_BASE + d % PNG16_H_MOD
+            y, x = np.mgrid[0:h, 0:w]
+            r, g, b = _png16_pixel_exprs(d, x, y)
+            raster = np.stack([r, g, b], axis=-1).astype(np.uint16)
+            payloads.append(
+                encode_png(
+                    raster, color_type=2, depth=16, interlace=True
                 )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
             )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": payloads}
+        )
 
+
+def synthesize_png16_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with a REAL Adam7-interlaced 16-BIT RGB PNG
+    per document — big-endian samples, per-pass cycling row filters,
+    CRC-framed chunks. Map-only, like the other synthesizers."""
     return docs.select("doc_id").mapInPandas(
-        gen, schema="doc_id long, payload binary"
+        _synthesize_png16_batches, schema="doc_id long, payload binary"
     )
 
 
@@ -1891,7 +1940,7 @@ def multimodal_decode_png16_stats(
     hash match. Same mapInPandas kernel slot as the other decode
     queries (VERDICT r11 #6 — the last PIL-fallback route, closed)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return decode_stats(synthesize_png16_images(docs))
+    return decode_stats_fused(docs, _synthesize_png16_batches)
 
 
 def _synthesize_deep_jpeg_headers(docs: DataFrame) -> DataFrame:
@@ -2077,45 +2126,48 @@ def _webp_cell_exprs(doc_id, x, y):
     return (doc_id * 7 + (x // WEBP_CELL_W) * 3 + y * 5) % WEBP_NCELL
 
 
-def synthesize_webp_images(docs: DataFrame) -> DataFrame:
-    """(doc_id, payload) with a REAL VP8L lossless WebP per document
-    — subtract-green + 5-bit color cache + run back-references.
-    Map-only, like the other synthesizers."""
+def _synthesize_webp_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     from kafkatoclickhouse_spark.operators.webp import encode_webp
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w = WEBP_W_BASE + d % WEBP_W_MOD
-                h = WEBP_H_BASE + d % WEBP_H_MOD
-                y, x = np.mgrid[0:h, 0:w]
-                cell = _webp_cell_exprs(d, x, y)
-                img = np.stack(
-                    [
-                        (d * 11 + cell * 37) % 256,
-                        (d * 13 + cell * 41) % 256,
-                        (d * 17 + cell * 43) % 256,
-                    ],
-                    axis=-1,
-                ).astype(np.uint8)
-                payloads.append(
-                    encode_webp(
-                        img,
-                        subtract_green=True,
-                        cache_bits=5,
-                        lz77_runs=True,
-                    )
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w = WEBP_W_BASE + d % WEBP_W_MOD
+            h = WEBP_H_BASE + d % WEBP_H_MOD
+            y, x = np.mgrid[0:h, 0:w]
+            cell = _webp_cell_exprs(d, x, y)
+            img = np.stack(
+                [
+                    (d * 11 + cell * 37) % 256,
+                    (d * 13 + cell * 41) % 256,
+                    (d * 17 + cell * 43) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            payloads.append(
+                encode_webp(
+                    img,
+                    subtract_green=True,
+                    cache_bits=5,
+                    lz77_runs=True,
                 )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
             )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": payloads}
+        )
 
+
+def synthesize_webp_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with a REAL VP8L lossless WebP per document
+    — subtract-green + 5-bit color cache + run back-references.
+    Map-only, like the other synthesizers."""
     return docs.select("doc_id").mapInPandas(
-        gen, schema="doc_id long, payload binary"
+        _synthesize_webp_batches, schema="doc_id long, payload binary"
     )
 
 
@@ -2159,7 +2211,7 @@ def multimodal_decode_webp_stats(
     cell rule with no carve-out: ANY decoder bug is a hash
     mismatch."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return decode_stats(synthesize_webp_images(docs))
+    return decode_stats_fused(docs, _synthesize_webp_batches)
 
 
 # --- PCM WAV audio fixture + oracled decode (VERDICT r10 #8) ----------
@@ -2289,9 +2341,14 @@ def multimodal_decode_wav_stats(
     byte) and channel counts is Hypothesis-pinned in
     tests/test_wav.py."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    audio = synthesize_wav_audio(docs)
-    return audio.mapInPandas(
-        _decode_wav_batches,
+
+    # synth + decode fused into one Arrow crossing (decode_stats_fused
+    # rationale); row-identical to the chained two-stage form
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _decode_wav_batches(_synthesize_wav_batches(batches))
+
+    return docs.select("doc_id").mapInPandas(
+        _fused,
         schema=(
             "doc_id long, sample_rate int, n_channels int,"
             " frame_idx long, energy long, n_samples long"
@@ -2385,12 +2442,12 @@ def multimodal_decode_wav_depths_stats(
     a sign-extension bug at the 24-bit boundary or a float
     requantization drift is a hash mismatch, not a silent skew."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    audio = docs.select("doc_id").mapInPandas(
-        _synthesize_wav_depth_batches,
-        schema="doc_id long, payload binary",
-    )
-    decoded = audio.mapInPandas(
-        _decode_wav_batches,
+    # fused synth+decode, one Arrow crossing (see decode_stats_fused)
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _decode_wav_batches(_synthesize_wav_depth_batches(batches))
+
+    decoded = docs.select("doc_id").mapInPandas(
+        _fused,
         schema=(
             "doc_id long, sample_rate int, n_channels int,"
             " frame_idx long, energy long, n_samples long"
