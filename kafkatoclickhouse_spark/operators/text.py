@@ -58,7 +58,7 @@ _TEXT_STATS_ORACLE = """
 @query("text_stats", oracle=_TEXT_STATS_ORACLE)
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/char/punctuation/stopword statistics."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     text = F.col("text")
     return docs.select(
         "doc_id",
@@ -107,7 +107,7 @@ _SQL_QUALITY_SELECT = """
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining-style quality score in [0,1] per document
     (length / punctuation-ratio / stopword-ratio heuristics)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", textfns.quality_score(F.col("text")).alias("quality")
     )
@@ -146,7 +146,7 @@ def _sql_lang_hits(lang: str) -> str:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language-ID heuristic with a deterministic
     argmax tie-break (en > de > fr > es), 'und' when no markers hit."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     text = F.col("text")
     hits = {
         lang: textfns.lang_marker_hits(text, lang)
@@ -180,7 +180,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace-normalized md5 document fingerprint — the exact-dup
     key used by ``dedup_exact`` (grouping on a 32-char digest instead
     of full text keeps the 100 TB shuffle narrow)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", textfns.fingerprint(F.col("text")).alias("fingerprint")
     )
@@ -200,7 +200,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profile per labeled language (the kind of rollup a
     training-data pipeline runs before sampling)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
@@ -1134,7 +1134,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``regexp_extract_all``/``regexp_replace`` — map-only, no Python,
     no shuffle; at 100 TB this runs at parquet-scan speed. The
     hashed output pins the exact scrubbed text cross-engine."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     aug = F.concat(
         F.col("text"),
         F.lit(" "),
@@ -1634,7 +1634,7 @@ def _bm25_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, token, tf) from raw text — the ONLY tokenizing entry
     point of the BM25 family; the serve path must never reach it
     (pinned by the poison test in tests/test_bm25_index.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
@@ -2019,7 +2019,9 @@ def _budget_select(
     Arrow pandas UDF — the expensive column) is evaluated AFTER the
     selective join on the second pass; only the bounded per-key
     aggregate pass pays it corpus-wide."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): both passes evaluate the Arrow quality/count
+    # UDFs as scan-stage map work — must not inherit a single split
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     from pyspark.sql import Window as W
 
     qm = (
