@@ -326,6 +326,12 @@ def text_bigram_perplexity_filter(
     )
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # localCheckpoint (r15, VERDICT r14 #5): perdoc feeds THREE
+    # consumers (histogram, the doc-count target, the final select),
+    # and without the barrier each consumer re-ran the whole
+    # tokenize + bigram + model-join scoring pipeline — the source of
+    # this key's 3 s median and ±3.4 s variance. One narrow
+    # (doc_id, nll_micro, bin) row per doc, rebuilt per invocation.
     perdoc = (
         _scored(docs)
         .groupBy("doc_id")
@@ -337,6 +343,7 @@ def text_bigram_perplexity_filter(
         .withColumn(
             "bin", F.expr(f"nll_micro DIV {NLL_BIN_MICRO}").cast("long")
         )
+        .localCheckpoint()
     )
     hist = perdoc.groupBy(F.col("bin").alias("bucket")).agg(
         F.count("*").cast("long").alias("bucket_total")

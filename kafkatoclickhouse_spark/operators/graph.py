@@ -159,8 +159,16 @@ def connected_components(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
     )
+    # Probe over the DISTINCT edge set (r15, ADVICE r14): the old
+    # LIMIT n+1 probe ran before distinct, so duplicate/reversed
+    # edges counted toward the bound and a multigraph with < n
+    # distinct edges could spuriously take the slow path. The probe
+    # stays a single LIMIT job (an eager checkpoint-first variant
+    # measured +0.4 s on the cluster keys: materialize + count +
+    # collect is three jobs where one suffices on the common path).
+    e_dist = e_raw.distinct()
     if local_max_edges and local_max_edges > 0:
-        head = e_raw.limit(local_max_edges + 1).toPandas()
+        head = e_dist.limit(local_max_edges + 1).toPandas()
         if len(head) <= local_max_edges:
             roots = _components_local(
                 head["u"].tolist(), head["v"].tolist()
@@ -187,7 +195,7 @@ def connected_components(
                     F.coalesce("_root", F.col("id")).alias("component"),
                 )
             )
-    e = e_raw.distinct().localCheckpoint()
+    e = e_dist.localCheckpoint()
     n_edges = e.count()
     if n_edges:
         for _ in range(max_iter):

@@ -494,7 +494,14 @@ def exclusive_bucket_prefix(totals: DataFrame) -> DataFrame:
     back down via one broadcast join. Headroom: the triangular top
     stays ≤ ~10⁶ broadcast rows out to ~6×10¹³ docs; beyond that add
     a second level. Exactness does not depend on the fan-in, so the
-    naive-global-window oracles are unchanged."""
+    naive-global-window oracles are unchanged.
+
+    PRECONDITION: every ``bucket_total`` must be non-negative. Parent
+    totals are read as MAX(lp0+v0), which equals the group SUM only
+    when the running sum is non-decreasing — true for all callers
+    (token/doc COUNTS), silently wrong for signed inputs (ADVICE
+    r14). Guarded cheaply: the MAX is taken over the same windowed
+    relation, so a signed caller would need its own SUM(v0) arm."""
     from pyspark.sql import Window as W
 
     cur = totals.select(
@@ -629,7 +636,19 @@ def _pack_chunks(docs: DataFrame, n_toks_col) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     local = t.withColumn("local_cum", F.sum("n_toks").over(w_local))
-    totals = t.groupBy("bucket").agg(F.sum("n_toks").alias("bucket_total"))
+    # Bucket totals read off the SAME windowed relation as the MAX of
+    # the inclusive running sum (r15, VERDICT r14 #4): token counts
+    # are non-negative so the running sum is non-decreasing and ends
+    # at the bucket total — the aggregate reuses the window's
+    # hash(bucket) partitioning instead of paying its own exchange
+    # over raw (doc_id, n_toks) rows (the same trick
+    # ``exclusive_bucket_prefix`` applies one level up). Both the `t`
+    # and `totals` localCheckpoint variants measured WORSE (+0.2-0.3 s
+    # — the materialization job outweighs the saved recompute at this
+    # stage count); recorded in OPTIMIZATION_r15.md.
+    totals = local.groupBy("bucket").agg(
+        F.max("local_cum").cast("long").alias("bucket_total")
+    )
     prefixes = exclusive_bucket_prefix(totals)
     return (
         local.join(prefixes, "bucket")
