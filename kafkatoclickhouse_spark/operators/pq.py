@@ -45,11 +45,14 @@ way).
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kafkatoclickhouse_spark.operators import kmeans as KM
+from kafkatoclickhouse_spark.operators import simfuse as SFZ
 from kafkatoclickhouse_spark.operators.similarity import (
     PROBE_MASS_DEN,
     PROBE_MASS_NUM,
@@ -427,6 +430,199 @@ def _sql_ivfpq_refine() -> str:
     """
 
 
+# --- fused PQ serve chain (round-15; see operators/simfuse.py) -------------
+#
+# Same fusion as the sim_ivf_* family (VERDICT r14 #1): the registered
+# PQ retrieval queries run as ONE mapInArrow pass over the corpus (or
+# the persisted codes), with the query-side state — quantized query
+# vectors, per-subspace ADC LUTs, coarse probe sets — computed once in
+# the driver from bounded collects. Everything here is int64 on the
+# 1e-6 grid, so numpy is trivially bit-identical; the retained
+# ``_catalyst_sim_*`` builders are pinned row-identical by
+# tests/test_simfuse.py, and the DuckDB oracles are unchanged.
+
+
+def _collect_pq_queries(spark: SparkSession, sf_dir: str):
+    """(q_ids, qvq int64 (Q, DIM)): the ADC query vectors, grid-
+    quantized in the driver — one bounded TakeOrdered collect of
+    ≤ {ADC_QUERY_LIMIT} rows."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") % ADC_QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(ADC_QUERY_LIMIT)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows = sorted((int(r[0]), list(r[1])) for r in rows)
+    q_ids = np.array([c for c, _ in rows], dtype=np.int64)
+    Q = np.array([v for _, v in rows], dtype=np.float64).reshape(
+        len(rows), KM._DIM
+    )
+    return q_ids, SFZ.grid_quantize(Q)
+
+
+def _book_mats(books):
+    """Per-subspace (cids int64, mat (K, SUBDIM) int64) in ascending
+    cid order — the argmin tie-break order."""
+    out = []
+    for book in books:
+        bs = sorted(book)
+        out.append(
+            (
+                np.array([c for c, _ in bs], dtype=np.int64),
+                np.array([v for _, v in bs], dtype=np.int64),
+            )
+        )
+    return out
+
+
+def _luts_np(qvq, book_mats):
+    """Per-subspace (Q, K_m) int64 ADC lookup tables: exact integer
+    subspace distances of every query to every codeword."""
+    return [
+        SFZ.int_sqdist2(
+            qvq[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM], mat
+        )
+        for m, (_, mat) in enumerate(book_mats)
+    ]
+
+
+def _coarse_state(coarse):
+    bs = sorted(coarse)
+    return (
+        np.array([c for c, _ in bs], dtype=np.int64),
+        np.array([v for _, v in bs], dtype=np.int64),
+    )
+
+
+def _coarse_sizes(spark, sf_dir, ccids, cmat) -> dict[int, int]:
+    """Per-coarse-cell member counts: one-stage histogram pass
+    (quantize + integer argmin per batch, summed in the driver). No
+    ``fan_out``: the kernel is ~K·DIM int ops per row, bounded per
+    scan split like the scan itself — see
+    ``similarity._ivf_sizes``."""
+
+    def hk(it):
+        for b in it:
+            if b.num_rows == 0:
+                continue
+            vq = SFZ.grid_quantize(SFZ.list_mat(b, "embedding", np.float64))
+            yield SFZ.hist_batch(
+                ccids[SFZ.argmin_cells(SFZ.int_sqdist2(vq, cmat))]
+            )
+
+    return SFZ.cell_hist(
+        load_table(spark, sf_dir, "embeddings").select("embedding"), hk
+    )
+
+
+def _k_pq_adc(book_mats, luts, q_ids, topn, refine=False, qvq=None, coarse=None):
+    """Kernel factory over (vec_id, embedding): grid-quantize,
+    (optionally) coarse-assign + probe-filter, PQ-encode, ADC-score,
+    per-batch top-``topn`` by (d ASC, vec_id). With ``refine`` the
+    exact full-dimension integer distance of each kept candidate is
+    computed eagerly in the same pass. Emits
+    (query_id, neighbor_id, d[, exact])."""
+
+    def kern(it):
+        for b in it:
+            if b.num_rows == 0:
+                continue
+            vid = SFZ.col_vec(b, "vec_id")
+            vq = SFZ.grid_quantize(SFZ.list_mat(b, "embedding", np.float64))
+            if coarse is not None:
+                ccids, cmat, P = coarse
+                cell_idx = SFZ.argmin_cells(SFZ.int_sqdist2(vq, cmat))
+            d = np.zeros((len(vid), len(q_ids)), dtype=np.int64)
+            for m, (_, bmat) in enumerate(book_mats):
+                sub = vq[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                pos = SFZ.argmin_cells(SFZ.int_sqdist2(sub, bmat))
+                d = d + luts[m][:, pos].T
+            oq, on, od, oe = [], [], [], []
+            for qi in range(len(q_ids)):
+                mask = vid != q_ids[qi]
+                if coarse is not None:
+                    mask &= P[cell_idx, qi]
+                idx = np.flatnonzero(mask)
+                if idx.size == 0:
+                    continue
+                sel = idx[SFZ.top_idx_asc(d[idx, qi], vid[idx], topn)]
+                oq.append(np.full(sel.size, q_ids[qi], dtype=np.int64))
+                on.append(vid[sel])
+                od.append(d[sel, qi])
+                if refine:
+                    diff = vq[sel] - qvq[qi][None, :]
+                    oe.append(np.sum(diff * diff, axis=1))
+            if not oq:
+                continue
+            names = ["query_id", "neighbor_id", "d"]
+            arrays = [
+                pa.array(np.concatenate(oq), type=pa.int64()),
+                pa.array(np.concatenate(on), type=pa.int64()),
+                pa.array(np.concatenate(od), type=pa.int64()),
+            ]
+            if refine:
+                names.append("exact")
+                arrays.append(
+                    pa.array(np.concatenate(oe), type=pa.int64())
+                )
+            yield SFZ.emit(names, arrays)
+
+    return kern
+
+
+def _k_pq_codes(lut_dense, ccids, P, q_ids, topn):
+    """Kernel factory over the PERSISTED (vec_id, code0.., cell)
+    table: probe-filter + dense-LUT ADC score + per-batch top-k.
+    ``lut_dense[m]`` is (Q, max_cid+1) indexed by stored cid."""
+
+    def kern(it):
+        for b in it:
+            if b.num_rows == 0:
+                continue
+            vid = SFZ.col_vec(b, "vec_id")
+            cells = SFZ.col_vec(b, "cell")
+            cell_idx = np.searchsorted(ccids, cells)
+            d = np.zeros((len(vid), len(q_ids)), dtype=np.int64)
+            for m in range(PQ_M):
+                cm = SFZ.col_vec(b, f"code{m}")
+                d = d + lut_dense[m][:, cm].T
+            oq, on, od = [], [], []
+            for qi in range(len(q_ids)):
+                mask = P[cell_idx, qi] & (vid != q_ids[qi])
+                idx = np.flatnonzero(mask)
+                if idx.size == 0:
+                    continue
+                sel = idx[SFZ.top_idx_asc(d[idx, qi], vid[idx], topn)]
+                oq.append(np.full(sel.size, q_ids[qi], dtype=np.int64))
+                on.append(vid[sel])
+                od.append(d[sel, qi])
+            if not oq:
+                continue
+            yield SFZ.emit(
+                ["query_id", "neighbor_id", "d"],
+                [
+                    pa.array(np.concatenate(oq), type=pa.int64()),
+                    pa.array(np.concatenate(on), type=pa.int64()),
+                    pa.array(np.concatenate(od), type=pa.int64()),
+                ],
+            )
+
+    return kern
+
+
+def _lut_dense(luts, book_mats):
+    """Re-index position-keyed LUTs by stored cid (dense, gaps never
+    referenced — codes only contain existing cids)."""
+    out = []
+    for (cids, _), lut in zip(book_mats, luts):
+        dense = np.zeros((lut.shape[0], int(cids.max()) + 1), dtype=np.int64)
+        dense[:, cids] = lut
+        out.append(dense)
+    return out
+
+
 @query("sim_ivfpq_topk", oracle=_sql_ivfpq())
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the composition FAISS ships for billion-scale ANN
@@ -444,7 +640,46 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, and what remains is scanned as M bytes + M lookups per
     candidate — no vector column is touched at retrieval time. This
     is the 100 TB retrieval plan; everything else in the similarity
-    family is either its ground truth or one of its halves."""
+    family is either its ground truth or one of its halves.
+
+    Round-15 fused execution (everything already int64 on the 1e-6
+    grid): query LUTs + coarse probe sets computed in the driver
+    from bounded collects, per-cell counts from a one-stage
+    histogram pass, then ONE ``mapInArrow`` quantize/assign/encode/
+    ADC-score/per-batch-top-k pass. Pinned to
+    ``_catalyst_sim_ivfpq_topk`` by tests/test_simfuse.py."""
+    coarse = [(cid, cq) for cid, cq, _ in KM._train(spark, sf_dir)]
+    bmats = _book_mats(_codebooks(spark, sf_dir))
+    ccids, cmat = _coarse_state(coarse)
+    q_ids, qvq = _collect_pq_queries(spark, sf_dir)
+    luts = _luts_np(qvq, bmats)
+    sizes = _coarse_sizes(spark, sf_dir, ccids, cmat)
+    qD = SFZ.int_sqdist2(qvq, cmat)
+    P = SFZ.mass_probes(
+        qD, ccids, sizes, PROBE_MASS_NUM, PROBE_MASS_DEN, ascending=True
+    )
+    scored = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).mapInArrow(
+        _k_pq_adc(bmats, luts, q_ids, ADC_TOP_K, coarse=(ccids, cmat, P)),
+        "query_id long, neighbor_id long, d long",
+    )
+    w = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("d").alias("adc_dist_sq_micro"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+def _catalyst_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r15 Catalyst chain — unregistered; the fused path's
+    equivalence reference (tests/test_simfuse.py)."""
     w = W.partitionBy("query_id").orderBy("d", "neighbor_id")
     return (
         _ivfpq_scored(spark, sf_dir)
@@ -652,14 +887,30 @@ def embedding_pq_index_build(
     return path
 
 
+_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
 def _load_index(
     spark: SparkSession, path: str
 ) -> tuple[list[tuple[int, list[int]]], list[list[tuple[int, list[int]]]], DataFrame]:
     """(coarse centroids, per-subspace codebooks, codes DataFrame)
     from persisted artifacts. The centroid/codebook collects are
     K·DIM scalars — the same literal-shipping driver sync training
-    uses; the codes table is NEVER collected."""
+    uses; the codes table is NEVER collected. The two kilobyte-sized
+    metadata collects are memoized per (path, meta.json mtime/size)
+    — the same persistence-backed memo discipline as ``_BOOK_CACHE``
+    (a rebuilt index invalidates the key); the data-sized codes
+    DataFrame is re-created per call."""
     import os
+
+    meta = os.path.join(path, "meta.json")
+    st = os.stat(meta)
+    key = (path, st.st_mtime_ns, st.st_size)
+    if key in _INDEX_CACHE:
+        coarse, books = _INDEX_CACHE[key]
+        return coarse, books, spark.read.parquet(
+            os.path.join(path, "codes.parquet")
+        )
 
     brows = spark.read.parquet(
         os.path.join(path, "codebooks.parquet")
@@ -676,6 +927,7 @@ def _load_index(
         ).collect()
     )
     codes = spark.read.parquet(os.path.join(path, "codes.parquet"))
+    _INDEX_CACHE[key] = (coarse, books)
     return coarse, books, codes
 
 
@@ -694,7 +946,53 @@ def sim_ivfpq_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persisted artifacts equal what re-training would produce and
     the re-training oracle replays the served results bit-for-bit —
     which is exactly the property that makes persist-at-ingest safe
-    at 100 TB."""
+    at 100 TB.
+
+    Round-15 fused execution: one-stage histogram over the persisted
+    cells + ONE ``mapInArrow`` over ``codes.parquet`` (dense-LUT ADC
+    + probe filter + per-batch top-k; the vector table is touched
+    only for the Q query vectors, preserving the poison test).
+    Pinned to ``_catalyst_sim_ivfpq_serve_topk`` by
+    tests/test_simfuse.py."""
+    path = embedding_pq_index_build(spark, sf_dir)
+    coarse, books, codes = _load_index(spark, path)
+    bmats = _book_mats(books)
+    ccids, cmat = _coarse_state(coarse)
+    q_ids, qvq = _collect_pq_queries(spark, sf_dir)
+    luts = _luts_np(qvq, bmats)
+
+    def _hk(it):
+        for b in it:
+            if b.num_rows:
+                yield SFZ.hist_batch(SFZ.col_vec(b, "cell"))
+
+    sizes = SFZ.cell_hist(codes.select("cell"), _hk)
+    qD = SFZ.int_sqdist2(qvq, cmat)
+    P = SFZ.mass_probes(
+        qD, ccids, sizes, PROBE_MASS_NUM, PROBE_MASS_DEN, ascending=True
+    )
+    scored = fan_out(codes).mapInArrow(
+        _k_pq_codes(_lut_dense(luts, bmats), ccids, P, q_ids, ADC_TOP_K),
+        "query_id long, neighbor_id long, d long",
+    )
+    w = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("d").alias("adc_dist_sq_micro"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+def _catalyst_sim_ivfpq_serve_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-r15 Catalyst chain — unregistered; the fused path's
+    equivalence reference (tests/test_simfuse.py)."""
     path = embedding_pq_index_build(spark, sf_dir)
     coarse, books, codes = _load_index(spark, path)
     luts = _lut_cols(books)
@@ -822,7 +1120,46 @@ def sim_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring): recall@10 jumps from 0.13 (raw ADC, M=4/K=8) to the
     gated >=0.5 floor in ``tests/test_invariants.py`` — the refine
     stage turns the compressed scan from a near-noise ranking into a
-    usable retrieval tier without touching the 64x compression."""
+    usable retrieval tier without touching the 64x compression.
+
+    Round-15 fused execution: ONE ``mapInArrow`` pass quantizes,
+    PQ-encodes, ADC-scores AND exact-rescores each batch's
+    per-query top-{REFINE_C} (the quantized vectors are already in
+    the batch) — the old hydrate equi-join + second corpus scan are
+    gone; over-fetch and final re-rank are two windows over one
+    query_id exchange. Pinned to ``_catalyst_sim_pq_refine_topk``
+    by tests/test_simfuse.py."""
+    bmats = _book_mats(_codebooks(spark, sf_dir))
+    q_ids, qvq = _collect_pq_queries(spark, sf_dir)
+    luts = _luts_np(qvq, bmats)
+    scored = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).mapInArrow(
+        _k_pq_adc(bmats, luts, q_ids, REFINE_C, refine=True, qvq=qvq),
+        "query_id long, neighbor_id long, d long, exact long",
+    )
+    fw = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    w2 = W.partitionBy("query_id").orderBy("exact", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(fw))
+        .filter(F.col("rn") <= REFINE_C)
+        .drop("rn")
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= ADC_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("exact").alias("dist_sq_micro"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+def _catalyst_sim_pq_refine_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-r15 Catalyst chain — unregistered; the fused path's
+    equivalence reference (tests/test_simfuse.py)."""
     w = W.partitionBy("query_id").orderBy("d", "neighbor_id")
     cand = (
         _adc_scored(spark, sf_dir)
@@ -879,7 +1216,59 @@ def sim_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over-fetch pool is cell-pruned, so recall additionally pays for
     coarse-probe misses — the nprobe/REFINE_C dial a deployment
     tunes; the recall gate in ``tests/test_invariants.py`` floors
-    the composition above the raw-ADC tier on the fixture."""
+    the composition above the raw-ADC tier on the fixture.
+
+    Round-15 fused execution: ``sim_ivfpq_topk``'s fusion plus the
+    eager exact rescore of each batch's top-{REFINE_C}
+    (``sim_pq_refine_topk``'s trick) — one corpus pass, one
+    histogram pass, one bounded collect. Pinned to
+    ``_catalyst_sim_ivfpq_refine_topk`` by tests/test_simfuse.py."""
+    coarse = [(cid, cq) for cid, cq, _ in KM._train(spark, sf_dir)]
+    bmats = _book_mats(_codebooks(spark, sf_dir))
+    ccids, cmat = _coarse_state(coarse)
+    q_ids, qvq = _collect_pq_queries(spark, sf_dir)
+    luts = _luts_np(qvq, bmats)
+    sizes = _coarse_sizes(spark, sf_dir, ccids, cmat)
+    qD = SFZ.int_sqdist2(qvq, cmat)
+    P = SFZ.mass_probes(
+        qD, ccids, sizes, PROBE_MASS_NUM, PROBE_MASS_DEN, ascending=True
+    )
+    scored = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).mapInArrow(
+        _k_pq_adc(
+            bmats,
+            luts,
+            q_ids,
+            REFINE_C,
+            refine=True,
+            qvq=qvq,
+            coarse=(ccids, cmat, P),
+        ),
+        "query_id long, neighbor_id long, d long, exact long",
+    )
+    fw = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    w2 = W.partitionBy("query_id").orderBy("exact", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(fw))
+        .filter(F.col("rn") <= REFINE_C)
+        .drop("rn")
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= ADC_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("exact").alias("dist_sq_micro"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+def _catalyst_sim_ivfpq_refine_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-r15 Catalyst chain — unregistered; the fused path's
+    equivalence reference (tests/test_simfuse.py)."""
     w = W.partitionBy("query_id").orderBy("d", "neighbor_id")
     cand = (
         _ivfpq_scored(spark, sf_dir)

@@ -22,6 +22,8 @@ from __future__ import annotations
 import hashlib
 import math
 
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -31,6 +33,7 @@ from kafkatoclickhouse_spark.functions.vector import (
     dot,
     norm,
 )
+from kafkatoclickhouse_spark.operators import simfuse as SFZ
 from kafkatoclickhouse_spark.registry import query
 from kafkatoclickhouse_spark.tables import fan_out, load_table
 
@@ -376,6 +379,220 @@ def _sql_adaptive_probes(
     )""".format(order=_SQL_COSINE.format(a=f"q.{qv}", b="cent.cv"))
 
 
+# --- fused IVF serve chain (round-15; see operators/simfuse.py) ------------
+#
+# The registered sim_ivf_* retrieval queries below run as ONE fused
+# mapInArrow pass over the corpus (+ one bounded driver collect of the
+# centroid/query vectors and, for mass-policy tiers, one per-cell
+# histogram pass) instead of the 20-stage Catalyst chain. The original
+# Catalyst builders are retained as ``_catalyst_sim_*`` — unregistered,
+# pinned row-identical to the fused path by tests/test_simfuse.py (the
+# equivalence harness VERDICT r14 #1 requires) and by the DuckDB parity
+# gate, which is unchanged.
+
+
+def _collect_cents_queries(cent_df: DataFrame, q_df: DataFrame):
+    """ONE bounded collect (≤ NUM_CENTROIDS + QUERY_LIMIT rows, a
+    single Spark job over the unioned TakeOrdered branches) →
+    (cids, C, cn, q_ids, Q, qn) numpy state. Both inputs must be
+    (id, vector) frames; rows are re-sorted by id in the driver so
+    centroid column order is cid-ascending (the tie-break order)."""
+    rows = (
+        cent_df.toDF("_id", "_v")
+        .withColumn("_r", F.lit(0))
+        .unionByName(q_df.toDF("_id", "_v").withColumn("_r", F.lit(1)))
+        .collect()
+    )
+    cent = sorted((int(r[0]), list(r[1])) for r in rows if r[2] == 0)
+    qs = sorted((int(r[0]), list(r[1])) for r in rows if r[2] == 1)
+    cids = np.array([c for c, _ in cent], dtype=np.int64)
+    C = np.array([v for _, v in cent], dtype=np.float64).reshape(len(cent), DIM)
+    q_ids = np.array([c for c, _ in qs], dtype=np.int64)
+    Q = np.array([v for _, v in qs], dtype=np.float64).reshape(len(qs), DIM)
+    return cids, C, np.sqrt(SFZ.seq_sqnorm(C)), q_ids, Q, np.sqrt(SFZ.seq_sqnorm(Q))
+
+
+def _ivf_sizes(em: DataFrame, cids, C, cn, labels_keep=None) -> dict[int, int]:
+    """Per-cell member counts (the index metadata the mass policy
+    reads): one distributed pass — assign each vector to its argmax-
+    cosine cell in the kernel, emit per-batch histograms, sum in the
+    driver. ``labels_keep`` counts only matching rows (the per-bucket
+    cell stats of the filtered tier).
+
+    No ``fan_out`` here, deliberately: the histogram kernel is
+    ~K·DIM flops per row — bounded per scan split the same way the
+    scan itself is — so the round-robin exchange the guard would add
+    costs a full extra stage for work any single split finishes in
+    milliseconds. The SCORING pass (+Q·DIM per row and the per-batch
+    top-C sort) keeps the guard."""
+    cols = ["vec_id", "embedding"] + (["label"] if labels_keep is not None else [])
+    keep = None if labels_keep is None else np.array(labels_keep, dtype=np.int64)
+
+    def kern(it):
+        for b in it:
+            if b.num_rows == 0:
+                continue
+            V = SFZ.list_mat(b, "embedding", np.float64)
+            vn = np.sqrt(SFZ.seq_sqnorm(V))
+            cs, _ = SFZ.cosine2(V, vn, C, cn)
+            cells = cids[SFZ.argmax_cells(cs)]
+            if keep is not None:
+                lab = SFZ.col_vec(b, "label")
+                cells = cells[np.isin(lab, keep)]
+            if cells.size:
+                yield SFZ.hist_batch(cells)
+
+    return SFZ.cell_hist(em.select(*cols), kern)
+
+
+def _k_ivf_cos(cids, C, cn, P, q_ids, Q, qn, topn, labels_keep=None):
+    """Kernel factory: fused assign → probe-filter → exact-cosine
+    score → per-batch top-``topn`` (by s DESC NULLS LAST, vec_id).
+    Emits (query_id, neighbor_id[, label], s)."""
+    keep = None if labels_keep is None else np.array(labels_keep, dtype=np.int64)
+
+    def kern(it):
+        for b in it:
+            if b.num_rows == 0:
+                continue
+            V = SFZ.list_mat(b, "embedding", np.float64)
+            vid = SFZ.col_vec(b, "vec_id")
+            vn = np.sqrt(SFZ.seq_sqnorm(V))
+            cs, _ = SFZ.cosine2(V, vn, C, cn)
+            cell_idx = SFZ.argmax_cells(cs)
+            if keep is not None:
+                lab = SFZ.col_vec(b, "label")
+                lmask = np.isin(lab, keep)
+            s_all, v_all = SFZ.cosine2(V, vn, Q, qn)
+            oq, on, os_, ov, ol = [], [], [], [], []
+            for qi in range(len(q_ids)):
+                m = P[cell_idx, qi] & (vid != q_ids[qi])
+                if keep is not None:
+                    m &= lmask
+                idx = np.flatnonzero(m)
+                if idx.size == 0:
+                    continue
+                sel = idx[SFZ.top_idx_desc(s_all[idx, qi], vid[idx], topn)]
+                oq.append(np.full(sel.size, q_ids[qi], dtype=np.int64))
+                on.append(vid[sel])
+                os_.append(s_all[sel, qi])
+                ov.append(v_all[sel, qi])
+                if keep is not None:
+                    ol.append(lab[sel])
+            if not oq:
+                continue
+            names = ["query_id", "neighbor_id"]
+            arrays = [
+                pa.array(np.concatenate(oq), type=pa.int64()),
+                pa.array(np.concatenate(on), type=pa.int64()),
+            ]
+            if keep is not None:
+                names.append("label")
+                arrays.append(
+                    pa.array(np.concatenate(ol).astype(np.int32), type=pa.int32())
+                )
+            names.append("s")
+            arrays.append(
+                SFZ.f64_masked(np.concatenate(os_), np.concatenate(ov))
+            )
+            yield SFZ.emit(names, arrays)
+
+    return kern
+
+
+def _k_ivf_sq8(cids, C, cn, P, q_ids, qcodes, topn, refine=False, Q=None, qn=None):
+    """Kernel factory: fused assign → probe-filter → SQ8 integer
+    score → per-batch top-``topn`` (by score_scaled DESC, vec_id).
+    With ``refine`` the exact cosine of each kept candidate is
+    computed eagerly in the same pass (its float vector is already in
+    the batch), deleting the old hydrate join + second corpus scan.
+    Emits (query_id, neighbor_id, score_scaled[, s])."""
+
+    def kern(it):
+        for b in it:
+            if b.num_rows == 0:
+                continue
+            V = SFZ.list_mat(b, "embedding", np.float64)
+            vid = SFZ.col_vec(b, "vec_id")
+            vn = np.sqrt(SFZ.seq_sqnorm(V))
+            cs, _ = SFZ.cosine2(V, vn, C, cn)
+            cell_idx = SFZ.argmax_cells(cs)
+            scale, codes = SFZ.sq8_np(V)
+            idot = codes @ qcodes.T  # (n, q) exact int64
+            score = scale[:, None] * idot
+            oq, on, osc, os_, ov = [], [], [], [], []
+            for qi in range(len(q_ids)):
+                m = P[cell_idx, qi] & (vid != q_ids[qi])
+                idx = np.flatnonzero(m)
+                if idx.size == 0:
+                    continue
+                sel = idx[SFZ.top_idx_desc(score[idx, qi], vid[idx], topn)]
+                oq.append(np.full(sel.size, q_ids[qi], dtype=np.int64))
+                on.append(vid[sel])
+                osc.append(score[sel, qi])
+                if refine:
+                    s, v = SFZ.cosine2(V[sel], vn[sel], Q[qi : qi + 1], qn[qi : qi + 1])
+                    os_.append(s[:, 0])
+                    ov.append(v[:, 0])
+            if not oq:
+                continue
+            names = ["query_id", "neighbor_id", "score_scaled"]
+            arrays = [
+                pa.array(np.concatenate(oq), type=pa.int64()),
+                pa.array(np.concatenate(on), type=pa.int64()),
+                pa.array(np.concatenate(osc), type=pa.int64()),
+            ]
+            if refine:
+                names.append("s")
+                arrays.append(
+                    SFZ.f64_masked(np.concatenate(os_), np.concatenate(ov))
+                )
+            yield SFZ.emit(names, arrays)
+
+    return kern
+
+
+def _k_codes_sq8(cell_vals_sorted, P, q_ids, qcodes, topn):
+    """Kernel factory over a PERSISTED (vec_id, cell, scale_micro,
+    codes) table — probe-filter + integer score + per-batch top-k;
+    no assignment (cells are stored). ``P`` rows follow
+    ``cell_vals_sorted`` order."""
+
+    def kern(it):
+        for b in it:
+            if b.num_rows == 0:
+                continue
+            vid = SFZ.col_vec(b, "vec_id")
+            cells = SFZ.col_vec(b, "cell")
+            scale = SFZ.col_vec(b, "scale_micro")
+            codes = SFZ.list_mat(b, "codes", np.int64)
+            cell_idx = np.searchsorted(cell_vals_sorted, cells)
+            idot = codes @ qcodes.T
+            score = scale[:, None] * idot
+            oq, on, osc = [], [], []
+            for qi in range(len(q_ids)):
+                m = P[cell_idx, qi] & (vid != q_ids[qi])
+                idx = np.flatnonzero(m)
+                if idx.size == 0:
+                    continue
+                sel = idx[SFZ.top_idx_desc(score[idx, qi], vid[idx], topn)]
+                oq.append(np.full(sel.size, q_ids[qi], dtype=np.int64))
+                on.append(vid[sel])
+                osc.append(score[sel, qi])
+            if not oq:
+                continue
+            yield SFZ.emit(
+                ["query_id", "neighbor_id", "score_scaled"],
+                [
+                    pa.array(np.concatenate(oq), type=pa.int64()),
+                    pa.array(np.concatenate(on), type=pa.int64()),
+                    pa.array(np.concatenate(osc), type=pa.int64()),
+                ],
+            )
+
+    return kern
+
+
 @query(
     "sim_ivf_topk",
     oracle=f"""
@@ -422,18 +639,51 @@ def _sql_adaptive_probes(
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: coarse-quantize every vector to its nearest of
-    K centroids (one cell id per vector, computed map-side against
-    broadcast centroids), probe the query's ``NPROBE`` best cells,
-    score exactly within them. The centroid set is a deterministic
-    stand-in for a k-means training pass (first K vectors by id) —
-    the retrieval plan is the real IVF shape: at 100 TB the cell
-    assignment happens once at ingest, the candidate join is an
-    equi-join on cell id that prunes ~(1 − nprobe/K) of the table,
-    and centroids/queries stay broadcast. K is fixed small here
-    because the bench re-pays the n·K assignment pass on every run;
-    production scales K ~ √n with a trained codebook and amortizes
-    assignment at ingest, making per-query probe cost
-    nprobe·n/K ≈ nprobe·√n — sublinear in corpus size."""
+    K centroids, probe the query's ``NPROBE`` best cells, score
+    exactly within them. The centroid set is a deterministic
+    stand-in for a k-means training pass (first K vectors by id).
+
+    Round-15 fused execution (VERDICT r14 #1): one bounded collect of
+    the ≤ K + Q centroid/query vectors, probe cells chosen in the
+    driver, then ONE ``mapInArrow`` pass over the corpus that
+    assigns + probe-filters + scores + keeps each batch's per-query
+    top-k, and a single window for the global top-k — replacing the
+    crossJoin/window/broadcast-join stage chain whose fixed latency
+    dominated at every fixture scale (scaling ratio ≈ 0.9 at 8→32
+    cores). Bit-exact vs the retained ``_catalyst_sim_ivf_topk``
+    (tests/test_simfuse.py) and the DuckDB oracle. The 100 TB shape
+    is unchanged: assignment/scoring stay distributed; only K·DIM +
+    Q·DIM scalars ever reach the driver."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cids, C, cn, q_ids, Q, qn = _collect_cents_queries(
+        em.orderBy("vec_id").limit(NUM_CENTROIDS).select("vec_id", "embedding"),
+        em.filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(QUERY_LIMIT)
+        .select("vec_id", "embedding"),
+    )
+    qcs, _ = SFZ.cosine2(Q, qn, C, cn)
+    P = SFZ.fixed_probes(qcs, cids, NPROBE)
+    scored = fan_out(em.select("vec_id", "embedding")).mapInArrow(
+        _k_ivf_cos(cids, C, cn, P, q_ids, Q, qn, TOP_K),
+        "query_id long, neighbor_id long, s double",
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("s", 6).alias("score"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+def _catalyst_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r15 Catalyst chain — unregistered; the fused path's
+    equivalence reference (tests/test_simfuse.py)."""
     em = load_table(spark, sf_dir, "embeddings")
     cent = (
         em.orderBy("vec_id")
@@ -949,7 +1199,49 @@ def sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`adaptive_probes`), not a fixed nprobe: cells probe in
     similarity order until ≥ τ of the corpus is covered, bounding
     worst-case (iid) recall at ~τ while clustered corpora stop at
-    the cells that matter. Measured τ→recall in BASELINE.md."""
+    the cells that matter. Measured τ→recall in BASELINE.md.
+
+    Round-15 fused execution: bounded centroid/query collect + one
+    per-cell histogram pass (the index metadata the mass policy
+    reads) + ONE fused assign/encode/score/top-k ``mapInArrow`` pass
+    — see the block comment above ``_collect_cents_queries`` and
+    ``_catalyst_sim_ivf_sq8_topk`` (the pinned reference)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cids, C, cn, q_ids, Q, qn = _collect_cents_queries(
+        em.orderBy("vec_id").limit(NUM_CENTROIDS).select("vec_id", "embedding"),
+        em.filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(QUERY_LIMIT)
+        .select("vec_id", "embedding"),
+    )
+    sizes = _ivf_sizes(em, cids, C, cn)
+    qcs, _ = SFZ.cosine2(Q, qn, C, cn)
+    P = SFZ.mass_probes(qcs, cids, sizes, PROBE_MASS_NUM, PROBE_MASS_DEN)
+    _, qcodes = SFZ.sq8_np(Q)
+    scored = fan_out(em.select("vec_id", "embedding")).mapInArrow(
+        _k_ivf_sq8(cids, C, cn, P, q_ids, qcodes, TOP_K),
+        "query_id long, neighbor_id long, score_scaled long",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score_scaled",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def _catalyst_sim_ivf_sq8_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-r15 Catalyst chain — unregistered; the fused path's
+    equivalence reference (tests/test_simfuse.py)."""
     em = load_table(spark, sf_dir, "embeddings")
     cent = (
         em.orderBy("vec_id")
@@ -1667,7 +1959,57 @@ def sim_ivf_sq8_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrambles inside clusters (raw 0.14 → 0.875+ on the structured
     fixture, BASELINE.md). Per-query cost: 16 centroid dots +
     τ·n/1 code dots + {SQ8_FETCH} exact dots — the middle term is
-    the dial, and it reads 68-byte code rows, not 260-byte floats."""
+    the dial, and it reads 68-byte code rows, not 260-byte floats.
+
+    Round-15 fused execution: one fused ``mapInArrow`` pass does the
+    assign/encode/probe-filter/code-score AND the exact-cosine
+    re-score of each batch's top-{SQ8_FETCH} candidates (their float
+    vectors are already in the batch), so the old hydrate equi-join
+    + second corpus scan are gone; the global over-fetch and final
+    re-rank are two windows over one query_id exchange. Pinned to
+    ``_catalyst_sim_ivf_sq8_refine_topk`` by tests/test_simfuse.py."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cids, C, cn, q_ids, Q, qn = _collect_cents_queries(
+        em.orderBy("vec_id").limit(NUM_CENTROIDS).select("vec_id", "embedding"),
+        em.filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(QUERY_LIMIT)
+        .select("vec_id", "embedding"),
+    )
+    sizes = _ivf_sizes(em, cids, C, cn)
+    qcs, _ = SFZ.cosine2(Q, qn, C, cn)
+    P = SFZ.mass_probes(qcs, cids, sizes, PROBE_MASS_NUM, PROBE_MASS_DEN)
+    _, qcodes = SFZ.sq8_np(Q)
+    scored = fan_out(em.select("vec_id", "embedding")).mapInArrow(
+        _k_ivf_sq8(
+            cids, C, cn, P, q_ids, qcodes, SQ8_FETCH, refine=True, Q=Q, qn=qn
+        ),
+        "query_id long, neighbor_id long, score_scaled long, s double",
+    )
+    fw = W.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), "neighbor_id"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(fw))
+        .filter(F.col("rn") <= SQ8_FETCH)
+        .drop("rn")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("s", 6).alias("score"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def _catalyst_sim_ivf_sq8_refine_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-r15 Catalyst chain — unregistered; the fused path's
+    equivalence reference (tests/test_simfuse.py)."""
     em = load_table(spark, sf_dir, "embeddings")
     cent = (
         em.orderBy("vec_id")
@@ -2009,7 +2351,49 @@ def sim_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     members inside probed cells. Guarantees tau coverage of the
     matching subset regardless of predicate selectivity — where a
     post-filtered unfiltered top-k returns < k (or nothing) once
-    selectivity drops below k/corpus."""
+    selectivity drops below k/corpus.
+
+    Round-15 fused execution: the histogram pass counts only
+    label-matching members per cell (the per-bucket stats) and the
+    fused scan applies the predicate before scoring — same shape as
+    ``sim_ivf_sq8_topk``'s fusion. Pinned to
+    ``_catalyst_sim_ivf_filtered_topk`` by tests/test_simfuse.py."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cids, C, cn, q_ids, Q, qn = _collect_cents_queries(
+        em.orderBy("vec_id").limit(NUM_CENTROIDS).select("vec_id", "embedding"),
+        em.filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(QUERY_LIMIT)
+        .select("vec_id", "embedding"),
+    )
+    sizes = _ivf_sizes(em, cids, C, cn, labels_keep=FILTER_LABELS)
+    qcs, _ = SFZ.cosine2(Q, qn, C, cn)
+    P = SFZ.mass_probes(qcs, cids, sizes, PROBE_MASS_NUM, PROBE_MASS_DEN)
+    scored = fan_out(em.select("vec_id", "embedding", "label")).mapInArrow(
+        _k_ivf_cos(
+            cids, C, cn, P, q_ids, Q, qn, TOP_K, labels_keep=FILTER_LABELS
+        ),
+        "query_id long, neighbor_id long, label int, s double",
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round("s", 6).alias("score"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def _catalyst_sim_ivf_filtered_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-r15 Catalyst chain — unregistered; the fused path's
+    equivalence reference (tests/test_simfuse.py)."""
     em = load_table(spark, sf_dir, "embeddings")
     cent = (
         em.orderBy("vec_id")
@@ -2294,7 +2678,68 @@ def sim_ivf_appended_serve_topk(
     assignment of all vectors against the BASE-slice centroids.
     Adaptive mass-policy probes over the union's per-cell counts,
     exact BIGINT code-space ranking — the same kernel as
-    ``sim_ivf_sq8_topk``."""
+    ``sim_ivf_sq8_topk``.
+
+    Round-15 fused execution: centroids + queries collect in one
+    bounded job, per-cell counts come from a one-stage histogram
+    over the persisted codes, and retrieval is ONE ``mapInArrow``
+    over the code files (probe-filter + integer dot + per-batch
+    top-k; the embedding table is touched only for the Q query
+    vectors, preserving the serve-path poison test). Pinned to
+    ``_catalyst_sim_ivf_appended_serve_topk`` by
+    tests/test_simfuse.py."""
+    import os
+
+    path = embedding_ivf_index_append(spark, sf_dir)
+    em = load_table(spark, sf_dir, "embeddings")
+    cids, C, cn, q_ids, Q, qn = _collect_cents_queries(
+        spark.read.parquet(os.path.join(path, "centroids.parquet")).select(
+            "cid", "cv"
+        ),
+        em.filter((F.col("vec_id") % QUERY_MOD) == 0)
+        .orderBy("vec_id")
+        .limit(QUERY_LIMIT)
+        .select("vec_id", "embedding"),
+    )
+    codes = spark.read.parquet(
+        os.path.join(path, "codes.parquet")
+    ).unionByName(
+        spark.read.parquet(os.path.join(path, "codes_append.parquet"))
+    )
+
+    def _hk(it):
+        for b in it:
+            if b.num_rows:
+                yield SFZ.hist_batch(SFZ.col_vec(b, "cell"))
+
+    sizes = SFZ.cell_hist(codes.select("cell"), _hk)
+    qcs, _ = SFZ.cosine2(Q, qn, C, cn)
+    P = SFZ.mass_probes(qcs, cids, sizes, PROBE_MASS_NUM, PROBE_MASS_DEN)
+    _, qcodes = SFZ.sq8_np(Q)
+    scored = fan_out(codes).mapInArrow(
+        _k_codes_sq8(cids, P, q_ids, qcodes, TOP_K),
+        "query_id long, neighbor_id long, score_scaled long",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score_scaled",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def _catalyst_sim_ivf_appended_serve_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-r15 Catalyst chain — unregistered; the fused path's
+    equivalence reference (tests/test_simfuse.py)."""
     import os
 
     path = embedding_ivf_index_append(spark, sf_dir)

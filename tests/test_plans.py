@@ -347,33 +347,36 @@ def test_kmeans_assignment_is_pure_map(spark, sf_dir):
     assert plan.count("Exchange") <= 1, plan
 
 
-def test_pq_serve_scan_is_codes_only_and_broadcast(spark, sf_dir):
+def test_pq_serve_scan_is_codes_only_and_fused(spark, sf_dir):
     """The persisted-index serve plan must be the 100 TB retrieval
-    shape: candidates come from the compressed codes artifact pruned
-    by a BROADCAST equi-join on cell id — never a cartesian/nested-
-    loop pairing — and the embeddings table contributes ONLY the
-    quantized query vectors (its scan must not feed the candidate
-    side; the codes scan carries no vector column by construction)."""
+    shape (r15 fused form): ONE scan — the compressed codes artifact
+    — feeding the fused MapInArrow scorer; never a cartesian/nested-
+    loop pairing, and the embeddings table must not appear in the
+    retrieval plan at all (its Q query vectors are collected
+    pre-plan; the codes scan carries no vector column by
+    construction)."""
     df = registry.QUERIES["sim_ivfpq_serve_topk"](spark, sf_dir)
     plan = plans.plan_string(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "MapInArrow" in plan, plan
+    assert "embeddings.parquet" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
 
 
-def test_pq_refine_hydrates_by_broadcast_join(spark, sf_dir):
-    """The refine stage's exact re-rank must hydrate ONLY the
-    over-fetched candidates: a broadcast of the Q·C candidate list
-    equi-joined against the vector table on neighbor_id. The single
-    permitted BroadcastNestedLoopJoin is the ADC scan's Q-row
-    query-LUT fan-in (the blessed broadcast-scalar pattern shared
-    with sim_pq_adc_topk); a second one — or any CartesianProduct —
-    means exact scoring fell back to all-pairs, defeating PQ."""
+def test_pq_refine_is_single_scan_no_hydrate_join(spark, sf_dir):
+    """The refine tier's exact re-rank must NOT re-scan the corpus:
+    the r15 fused kernel rescoring each batch's over-fetched
+    candidates in place means the plan has exactly ONE corpus scan,
+    no join of any kind, and both the over-fetch and the final
+    re-rank are windows over a single query_id exchange."""
     df = registry.QUERIES["sim_pq_refine_topk"](spark, sf_dir)
     plan = plans.plan_string(df, "simple")
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
-    assert "BroadcastHashJoin [neighbor_id" in plan, plan
+    assert "Join" not in plan, plan
+    assert "MapInArrow" in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange hashpartitioning(query_id") == 1, plan
 
 
 def test_bm25_topk_is_takeordered_with_broadcast_query(spark, sf_dir):
