@@ -465,6 +465,21 @@ def rare_shingle_candidates(
 SHINGLE_DF_CAP = 1000
 
 
+# Exact size-ratio prefilter for the Jaccard chain (r15, VERDICT r14
+# #6): |A∩B| ≤ min(|A|,|B|), so J = |A∩B|/|A∪B| ≤ min/max — a pair
+# whose size ratio cannot reach the threshold cannot pass, whatever
+# its overlap. The emitted filter is round(J, 6) ≥ 0.8, which J ≥
+# 0.7999995 satisfies at the decimal half; pruning at 0.7999994
+# (one 1e-7 step BELOW, far wider than any double-rounding of the
+# ratio) keeps the prune strictly conservative: keep iff
+# 10^7·min(na,nb) ≥ 7_999_994·max(na,nb). Integer cross-
+# multiplication, exactness-preserving by construction — and it
+# lands in the candidate JOIN condition, so pruned pairs never
+# reach the pair aggregate at all.
+_J_PRUNE_NUM = round(JACCARD_THRESHOLD * 10**7) - 6  # 7_999_994
+_J_PRUNE_DEN = 10**7
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, df_cap: int | None = SHINGLE_DF_CAP
 ) -> DataFrame:
@@ -483,13 +498,21 @@ def ngram_jaccard_pairs(
     Identical output by construction — a pair ALL of whose shared
     shingles are hot was never a candidate before either (the
     documented cap semantics). The pair shuffle now carries
-    (id, id, count), never a shingle array."""
+    (id, id, count), never a shingle array.
+
+    r15 (VERDICT #6): the exact size-ratio prefilter
+    (``_J_PRUNE_NUM`` above) sits in the candidate join condition —
+    measured at sf0.1 it drops 63% of the pair-aggregate input rows
+    (1.27 M → 469 k) before they are grouped — and the uncapped set
+    sizes ride through the aggregate as ``MIN(n)`` (constant within
+    each pair group) instead of being equi-joined back on afterwards:
+    two pair-sized joins removed (guide §2.4) for +8 bytes/side on
+    the shingle shuffle."""
     shingled = _shingled(spark, sf_dir).cache()
     exploded = shingled.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    sizes = shingled.select(
-        F.col("doc_id"), F.size("shingles").cast("long").alias("n")
+        "doc_id",
+        F.size("shingles").cast("long").alias("n"),
+        F.explode("shingles").alias("shingle"),
     )
     rare = exploded
     hotdoc = None
@@ -512,21 +535,23 @@ def ngram_jaccard_pairs(
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                _J_PRUNE_DEN * F.least(F.col("a.n"), F.col("b.n"))
+                >= _J_PRUNE_NUM * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(F.count("*").cast("long").alias("c_rare"))
+        .agg(
+            F.count("*").cast("long").alias("c_rare"),
+            F.min("a.n").alias("na"),
+            F.min("b.n").alias("nb"),
+        )
     )
-    j = counts.join(
-        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-        "doc_a",
-    ).join(
-        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-        "doc_b",
-    )
+    j = counts
     if hotdoc is not None:
         # NO broadcast hint (r15, VERDICT r14 #3 / ADVICE): hotdoc has
         # one row per document containing >=1 hot (df > cap) shingle —
@@ -1113,15 +1138,26 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     discriminating signal; the same judgment candidate generation
     already makes), while set SIZES stay uncapped. The threshold
     test is integer cross-multiplication (5·c ≥ 4·min): no float
-    ratio decides membership."""
-    # cache: shingling feeds the hot-list agg, the pair join AND the
-    # size table — one materialization serves all three
+    ratio decides membership.
+
+    r15: set sizes ride THROUGH the pair aggregate (n is computed
+    per doc before the explode and carried on every shingle row, so
+    ``MIN(n)`` per pair — constant within the group — replays it)
+    instead of equi-joining a sizes table onto the pair counts
+    twice: two corpus-pair-sized joins (and their exchanges) leave
+    the plan for +16 bytes/row on the shingle shuffle (guide §2.4).
+    A size-RATIO prefilter was considered and REJECTED as
+    incorrect here: containment admits pairs of arbitrarily
+    different sizes (a doc quoted whole inside a 5× page is the
+    target), so min/max bounds nothing — that prune belongs to the
+    Jaccard chain (``ngram_jaccard_pairs``), where it is exact."""
+    # cache: shingling feeds the hot-list agg AND the pair join —
+    # one materialization serves both
     shingled = _shingled(spark, sf_dir).cache()
     exploded = shingled.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    sizes = shingled.select(
-        "doc_id", F.size("shingles").cast("long").alias("n")
+        "doc_id",
+        F.size("shingles").cast("long").alias("n"),
+        F.explode("shingles").alias("shingle"),
     )
     hot = (
         exploded.groupBy("shingle")
@@ -1142,22 +1178,14 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(F.count("*").cast("long").alias("n_shared"))
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.min("a.n").alias("na"),
+            F.min("b.n").alias("nb"),
+        )
     )
     return (
-        counts.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
-            ),
-            "doc_b",
-        )
-        .select(
+        counts.select(
             "doc_a",
             "doc_b",
             "n_shared",

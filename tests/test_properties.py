@@ -371,6 +371,26 @@ def test_bucketed_cosine_dedup_is_subset_of_bruteforce(spark, sf_dir):
         assert r["cos_sim"] == full[(r["vec_a"], r["vec_b"])], r
 
 
+def test_jaccard_size_ratio_prune_is_lossless(spark, sf_dir, monkeypatch):
+    """The r15 size-ratio prefilter in ``ngram_jaccard_pairs`` must
+    be invisible in the output: running the identical plan with the
+    prune disabled (threshold constant forced to 0 ⇒ every pair
+    kept) returns exactly the same rows. |A∩B| ≤ min ⇒ J ≤ min/max,
+    and the prune's 0.7999994 bound sits strictly below the
+    round-to-6 acceptance threshold 0.7999995."""
+    from kafkatoclickhouse_spark.operators import dedup as D
+
+    pruned = sorted(
+        map(tuple, D.ngram_jaccard_pairs(spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(D, "_J_PRUNE_NUM", 0)
+    full = sorted(
+        map(tuple, D.ngram_jaccard_pairs(spark, sf_dir).collect())
+    )
+    assert pruned == full
+    assert pruned, "fixture produced no jaccard pairs — vacuous test"
+
+
 def test_minhash_fast_twin_finds_same_verified_pairs(spark, sf_dir):
     """The xxhash64 bench twin must emit the same verified pairs as
     the md5 family: candidates differ (different — equally valid —
