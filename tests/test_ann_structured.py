@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import importlib.util
 import os
+import pytest
 import sys
 
 _SPEC = importlib.util.spec_from_file_location(
@@ -27,6 +28,7 @@ sys.modules["ann_recall"] = ann_recall
 _SPEC.loader.exec_module(ann_recall)
 
 
+@pytest.mark.slow
 def test_refine_recall_on_structured_vectors(spark, tmp_path):
     from kafkatoclickhouse_spark import registry
     from kafkatoclickhouse_spark.operators import kmeans as KM

@@ -47,6 +47,7 @@ def test_in_engine_training_matches_offline_tool(spark, sf_dir):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_bounded_collect_and_distributed_trainers_identical(
     spark, sf_dir
 ):
@@ -187,6 +188,7 @@ def test_trained_apply_rule_matches_offline_retokenize():
         assert count(w) == offline(w), w
 
 
+@pytest.mark.slow
 def test_build_is_fingerprint_cached_and_meta_last(spark, sf_dir, tmp_path):
     path = str(tmp_path / "bpe_idx")
     p1 = bpetrain.text_bpe_index_build(spark, sf_dir, path=path)

@@ -16,6 +16,7 @@ configured session in-process, so a subprocess is required).
 from __future__ import annotations
 
 import os
+import pytest
 import subprocess
 import sys
 
@@ -55,6 +56,7 @@ print("ALL_OK")
 """
 
 
+@pytest.mark.slow
 def test_queries_run_on_foreign_session():
     proc = subprocess.run(
         [

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import pytest
 
 from kafkatoclickhouse_spark import registry
 from kafkatoclickhouse_spark.operators import kmeans as KM
@@ -72,6 +73,7 @@ def test_pq_index_build_then_serve_without_retraining(
     assert got == expected
 
 
+@pytest.mark.slow
 def test_pq_index_stale_fingerprint_forces_rebuild(
     spark, sf_dir, tmp_path
 ):

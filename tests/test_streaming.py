@@ -1079,6 +1079,7 @@ def test_sessionize_stream_tws_matches_batch_gaps(
     assert not missing, f"due sessions not flushed: {sorted(missing)[:3]}"
 
 
+@pytest.mark.slow
 def test_sessionize_tws_restart_mid_session(spark, sf_dir, tmp_path):
     """Checkpoint-restart THROUGH pending sessions (VERDICT r7 #7):
     run 1 drains only the early half of the feed — sessions whose
@@ -1455,6 +1456,7 @@ def test_count_window_jvm_timeout_flush_matches_legacy(spark, tmp_path):
     assert reasons == {"timeout", "count"}
 
 
+@pytest.mark.slow
 def test_type_counts_tws_ttl_expires_idle_state(spark, sf_dir, tmp_path):
     """VERDICT r8 #6 — tws state TTL, the state-size backstop a
     100 TB stream needs: counters configured with a TTL must expire
@@ -1586,6 +1588,7 @@ def test_streaming_classifier_matches_batch_serve(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_streaming_curation_topology_matches_batch(spark, sf_dir, tmp_path):
     """r12 (VERDICT r11 #4): the COMPOSED curation topology — score →
     decontam → dedup in one stream — must agree with the batch
@@ -1668,6 +1671,7 @@ def test_streaming_curation_topology_matches_batch(spark, sf_dir, tmp_path):
     assert len(got_ids) > 0
 
 
+@pytest.mark.slow
 def test_curation_cli_smoke(spark, sf_dir, tmp_path):
     """python -m … --curate end-to-end on the file double: curated
     docs flow through the per-source count window into the parquet
@@ -1714,6 +1718,7 @@ def test_curation_cli_smoke(spark, sf_dir, tmp_path):
     assert max(per_window.values()) <= 5
 
 
+@pytest.mark.slow
 def test_curation_engines_row_identical(spark, sf_dir, tmp_path):
     """r12: the curation topology's two count-window engines (JVM
     foreachBatch default vs legacy grouped-UDF) must emit identical
@@ -1779,6 +1784,7 @@ def test_curation_engines_row_identical(spark, sf_dir, tmp_path):
     assert len(outs["jvm"]) > 0
 
 
+@pytest.mark.slow
 def test_curation_engines_same_membership_with_dedup(
     spark, sf_dir, tmp_path
 ):
@@ -1847,6 +1853,7 @@ def test_curation_engines_same_membership_with_dedup(
     assert fired["jvm"]
 
 
+@pytest.mark.slow
 def test_streaming_bigram_gate_matches_batch_twin(spark, sf_dir, tmp_path):
     """r14: the streaming bigram-perplexity gate must agree
     doc-for-doc (n_bigrams AND micro-exact avg NLL) with its batch
@@ -1899,6 +1906,7 @@ def test_streaming_bigram_gate_matches_batch_twin(spark, sf_dir, tmp_path):
     assert all(v[2] is not None for v in got.values())
 
 
+@pytest.mark.slow
 def test_streaming_bloom_decontaminate_matches_exact(
     spark, sf_dir, tmp_path
 ):
